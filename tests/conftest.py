@@ -1,0 +1,46 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+
+
+@pytest.fixture(scope="session")
+def spark():
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "4")
+    s = (SparkSession.builder
+         .master(f"local[{cpus}]")
+         .appName("versa_spark-tests")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.ui.enabled", "false")
+         .config("spark.driver.memory", "4g")
+         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+         .getOrCreate())
+    yield s
+    s.stop()
+
+
+# RELS_1 fixture mirrored from the reference test suite
+# (/root/reference/test/py/test_memory.py:94-100) — the shared fixture all
+# six reference driver test files use.
+RELS_1 = [
+    ("http://copia.ogbuji.net", "http://purl.org/dc/elements/1.1/creator",
+     "Uche Ogbuji", {"@context": "http://copia.ogbuji.net#_metadata"}),
+    ("http://copia.ogbuji.net", "http://purl.org/dc/elements/1.1/title",
+     "Copia", {"@context": "http://copia.ogbuji.net#_metadata", "@lang": "en"}),
+    ("http://uche.ogbuji.net", "http://purl.org/dc/elements/1.1/creator",
+     "Uche Ogbuji", {"@context": "http://uche.ogbuji.net#_metadata"}),
+    ("http://uche.ogbuji.net", "http://purl.org/dc/elements/1.1/title",
+     "Uche's home", {"@context": "http://uche.ogbuji.net#_metadata", "@lang": "en"}),
+    ("http://uche.ogbuji.net", "http://purl.org/dc/elements/1.1/title",
+     "Ulo Uche", {"@context": "http://uche.ogbuji.net#_metadata", "@lang": "ig"}),
+]
+
+
+@pytest.fixture()
+def rels1():
+    return RELS_1
