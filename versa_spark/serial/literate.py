@@ -1,0 +1,359 @@
+"""Versa Literate (Markdown-flavored) parser and writer.
+
+Semantics mirror the reference parser
+(/root/reference/tools/py/serial/literate_pure_helper.py:134-331) and writer
+(/root/reference/tools/py/serial/literate.py:80-132), re-implemented as a
+hand-rolled line parser (no pyparsing).  Format:
+
+    # @docheader            -- document header
+    * @iri:
+        * @base: http://...         (resource + resource-type base)
+        * @schema: http://...       (property base)
+        * @resource-type: http://...(resource-type base override)
+    # rid [Type]            -- resource block
+    * key: value            -- property (value: <iri>, "literal", or raw)
+        * akey: avalue      -- attribute of the preceding property
+
+Rule/fixture documents are small and parsed driver-side; for bulk corpora
+use ``parse_batched_df`` (mapInPandas over a text DataFrame).
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from dataclasses import dataclass, field
+
+from versa_spark import I, VERSA_BASEIRI, VERSA_NULL, VTYPE_REL
+from versa_spark.iri import absolutize
+from versa_spark.model import from_quads
+
+_COMMENT_PAT = re.compile(r"<!--.*?-->", re.DOTALL)
+_HEADER_PAT = re.compile(r"^(#+)\s*(.*?)\s*$")
+_TYPE_SUFFIX_PAT = re.compile(r"\[([^\]]*)\]\s*$")
+_PROP_PAT = re.compile(r"^([ \t]*)\*\s+(.*)$")
+_EXPLICIT_IRI_PAT = re.compile(r"^<(.+)>$", re.DOTALL)
+
+TEXT_VAL, RES_VAL, UNKNOWN_VAL = 1, 2, 3
+
+
+@dataclass
+class _DocInfo:
+    iri: str | None = None
+    resbase: str | None = None
+    schemabase: str | None = None
+    rtbase: str | None = None
+    lang: str | None = None
+    iris: dict = field(default_factory=dict)
+    interp: dict = field(default_factory=dict)
+
+
+def expand_iri(iri_in, base, relcontext=None):
+    """IRI expansion per the reference (literate_pure_helper.py:193-211):
+    ``@name`` → VERSA_BASEIRI + name; ``<...>`` explicit; else resolve
+    against *base*."""
+    if iri_in is None:
+        return VERSA_NULL
+    if iri_in.startswith("@"):
+        return I(absolutize(iri_in[1:], str(VERSA_BASEIRI)))
+    m = _EXPLICIT_IRI_PAT.match(iri_in)
+    if m:
+        inner = m.group(1)
+        return inner if base is None else I(absolutize(inner, base))
+    return I(iri_in if base is None else absolutize(iri_in, base))
+
+
+def _split_key_value(body: str):
+    """Split a property body ``key: value`` at the key-terminating colon.
+    Keys may be ``<iri>`` (contains colons), ``@ident`` or bare idents."""
+    if body.startswith("<"):
+        end = body.index(">")
+        key = body[: end + 1]
+        rest = body[end + 1:]
+        if not rest.lstrip().startswith(":"):
+            raise ValueError(f"Malformed property line: {body!r}")
+        value = rest.lstrip()[1:]
+    else:
+        key, _, value = body.partition(":")
+        key = key.strip()
+    return key, value
+
+
+def _parse_value(raw: str | None):
+    """→ (value, typeindic). ``<iri>`` → RES_VAL, quoted → TEXT_VAL,
+    else raw stripped text → UNKNOWN_VAL (the reference's value_expr,
+    literate_pure_helper.py:101-116)."""
+    if raw is None:
+        return "", UNKNOWN_VAL
+    s = raw.strip()
+    m = _EXPLICIT_IRI_PAT.match(s)
+    if m:
+        return m.group(1), RES_VAL
+    if len(s) >= 2 and s[0] in "\"'" and s[-1] == s[0]:
+        body = s[1:-1].replace("\\" + s[0], s[0])
+        return body, TEXT_VAL
+    return s, UNKNOWN_VAL
+
+
+@dataclass
+class _Prop:
+    indent: int
+    key: str
+    value: str | None
+    typeindic: int
+
+
+def _tokenize(vlit: str):
+    """→ list of (header | props) blocks."""
+    text = _COMMENT_PAT.sub("", vlit)
+    blocks = []
+    current = None
+    for line in text.split("\n"):
+        h = _HEADER_PAT.match(line)
+        if h and line.lstrip().startswith("#"):
+            rest = h.group(2)
+            rtype = None
+            tm = _TYPE_SUFFIX_PAT.search(rest)
+            if tm:
+                rtype = tm.group(1)
+                rest = rest[: tm.start()].strip()
+            rid = rest or None
+            current = {"rid": rid, "rtype": rtype, "props": []}
+            blocks.append(current)
+            continue
+        p = _PROP_PAT.match(line)
+        if p and current is not None:
+            key, value = _split_key_value(p.group(2))
+            val, ti = _parse_value(value)
+            current["props"].append(
+                _Prop(indent=len(p.group(1).expandtabs(4)), key=key,
+                      value=val, typeindic=ti))
+    return blocks
+
+
+def _setup_interpretations(interp: dict) -> dict:
+    out = {}
+    for prop, key in interp.items():
+        if isinstance(key, str) and key.startswith("@"):
+            key = absolutize(key[1:], str(VERSA_BASEIRI))
+        out[prop] = PREP_METHODS.get(key, lambda x, **kw: x)
+    return out
+
+
+def handle_resourceset(ltext, **kwargs):
+    """Split whitespace-separated IRIs into separate links (reference
+    literate_pure_helper.py:334-345)."""
+    out = kwargs["_sink"]
+    base = kwargs.get("base") or str(VERSA_BASEIRI)
+    for ref in ltext.strip().split():
+        out.append((kwargs["rid"], kwargs["fullprop"],
+                    I(absolutize(ref, base)), {}))
+    return None
+
+
+PREP_METHODS = {
+    str(VERSA_BASEIRI) + "text": lambda x, **kw: x,
+    str(VERSA_BASEIRI) + "resource":
+        lambda x, base=None, **kw: I(absolutize(x, base or str(VERSA_BASEIRI))),
+    str(VERSA_BASEIRI) + "resourceset": handle_resourceset,
+}
+
+
+def parse_to_quads(vlit: str, config: dict | None = None):
+    """Parse Versa Literate text → (quads list, doc base IRI)."""
+    config = config or {}
+    doc = _DocInfo(interp=_setup_interpretations(
+        config.get("interpretations", {})))
+    quads: list = []
+
+    for block in _tokenize(vlit):
+        if block["rid"] == "@docheader":
+            _process_docheader(block["props"], quads, doc)
+        else:
+            _process_resblock(block, quads, doc)
+    return quads, doc.iri
+
+
+def _apply_interp(doc, fullprop, value, rid, quads):
+    fn = doc.interp[fullprop]
+    return fn(value, rid=rid, fullprop=fullprop, base=doc.iri,
+              _sink=quads)
+
+
+def _process_resblock(block, quads, doc):
+    rid = expand_iri(block["rid"], doc.resbase)
+    if block["rtype"]:
+        quads.append((rid, VTYPE_REL,
+                      expand_iri(block["rtype"], doc.schemabase), {}))
+
+    outer_indent = -1
+    current = None
+    attrs: dict = {}
+    for prop in block["props"]:
+        if outer_indent == -1:
+            outer_indent = prop.indent
+        if prop.indent == outer_indent:
+            if current is not None:
+                quads.append((rid, current[0], current[1], attrs))
+            attrs = {}
+            key = expand_iri(prop.key, doc.schemabase)
+            value, ti = prop.value, prop.typeindic
+            if ti == RES_VAL:
+                value = expand_iri(f"<{value}>", doc.rtbase, relcontext=key)
+            elif ti == TEXT_VAL:
+                value = str(value)
+                if "@lang" not in attrs and doc.lang:
+                    attrs["@lang"] = doc.lang
+            else:
+                if key in doc.interp:
+                    value = _apply_interp(doc, key, str(value), rid, quads)
+            current = (key, value)
+        else:
+            # attribute of the current outer property (reference branch at
+            # literate_pure_helper.py:262-285 — note its atype is always
+            # UNKNOWN_VAL, so explicit-IRI attr values are stored as plain
+            # strings)
+            fullaprop = expand_iri(prop.key, doc.schemabase)
+            aval = prop.value
+            if prop.typeindic == RES_VAL:
+                aval = str(expand_iri(f"<{aval}>", doc.rtbase))
+            elif fullaprop in doc.interp:
+                aval = _apply_interp(doc, fullaprop, str(aval), rid, quads)
+            else:
+                aval = str(aval)
+            if aval is not None:
+                attrs[fullaprop] = aval
+    if current is not None:
+        quads.append((rid, current[0], current[1], attrs))
+
+
+def _process_docheader(props, quads, doc):
+    outer_indent = -1
+    current_key = None
+    for prop in props:
+        if outer_indent == -1:
+            outer_indent = prop.indent
+        if prop.indent == outer_indent:
+            current_key = prop.key
+            if prop.key == "@document":
+                doc.iri = prop.value
+            elif prop.key == "@language":
+                doc.lang = prop.value
+            elif doc.iri:
+                fullprop = I(absolutize(prop.key, doc.schemabase))
+                if fullprop in doc.interp:
+                    val = _apply_interp(doc, fullprop, prop.value, doc.iri,
+                                        quads)
+                    if val is not None:
+                        quads.append((doc.iri, fullprop, val, {}))
+                else:
+                    quads.append((doc.iri, fullprop, prop.value, {}))
+        elif current_key == "@iri":
+            k, uri = prop.key, prop.value
+            if k == "@base":
+                doc.resbase = doc.rtbase = uri
+            elif k == "@schema":
+                doc.schemabase = uri
+            elif k == "@resource-type":
+                doc.rtbase = uri
+            else:
+                doc.iris[k] = uri
+        elif current_key == "@interpretations":
+            fullprop = I(absolutize(prop.key, doc.schemabase))
+            doc.interp.update(_setup_interpretations({fullprop: prop.value}))
+
+
+def parse(vlit: str, spark=None, config: dict | None = None):
+    """Parse Literate text → Spark model DataFrame (or quads when no
+    SparkSession given). Returns (model, doc_iri) — the reference returns
+    just the base IRI and mutates the passed model."""
+    quads, doc_iri = parse_to_quads(vlit, config)
+    if spark is None:
+        return quads, doc_iri
+    return from_quads(spark, quads), doc_iri
+
+
+# ---------------------------------------------------------------------------
+# Writer (reference serial/literate.py:28-132)
+# ---------------------------------------------------------------------------
+
+def md_escape(s: str) -> str:
+    stripped = s.strip()
+    if stripped and stripped[0] == "<" and stripped[-1] == ">":
+        s = '"' + s.replace('"', '\\"') + '"'
+    return s
+
+
+def _relativize(rel: str, base: str) -> str | None:
+    if rel.startswith(base):
+        suffix = rel[len(base):]
+        if suffix and "/" not in suffix and "#" not in suffix:
+            return suffix
+    return None
+
+
+def _abbreviate(rel, bases):
+    for base in bases:
+        abbr = _relativize(str(rel), str(base))
+        if abbr:
+            if str(base) == str(VERSA_BASEIRI):
+                abbr = "@" + abbr
+            return abbr
+    return I(rel)
+
+
+def _value_format(val, is_iri):
+    if is_iri:
+        return f"<{val}>"
+    return f'"{val}"'
+
+
+def write(df, out=sys.stdout, base=None, schema=None, shorteners=None,
+          canonical=False):
+    """Write a model DataFrame as Versa Literate. Driver-side (collects);
+    canonical=True produces a deterministic sort — the reference's
+    model-equality aid (serial/literate.py:101-117)."""
+    shorteners = shorteners or {}
+    all_schema = ([schema] if schema else []) + [str(VERSA_BASEIRI)]
+
+    if any((base, schema, shorteners)):
+        out.write("# @docheader\n\n* @iri:\n")
+    if base:
+        out.write(f"    * @base: {base}")
+    if schema:
+        out.write(f"    * @schema: {schema}")
+    out.write("\n\n")
+
+    rows = df.collect()
+    by_origin: dict = {}
+    for r in rows:
+        by_origin.setdefault(r["origin"], []).append(r)
+
+    origins = sorted(by_origin) if canonical else list(by_origin)
+    for o in origins:
+        links = by_origin[o]
+        types = sorted(r["target"] for r in links
+                       if r["rel"] == str(VTYPE_REL))
+        first_type = types[0] if types else None
+        if first_type:
+            out.write(f"# {o} [{_abbreviate(first_type, all_schema)}]\n\n")
+        else:
+            out.write(f"# {o}\n\n")
+        rels = [(r["rel"], r["target"], r["t_iri"],
+                 sorted((e["k"], e["v"]) for e in (r["attrs"] or [])))
+                for r in links]
+        if canonical:
+            rels = sorted(rels, key=lambda x: (x[0], x[1] or "", x[3]))
+        for rel, t, t_iri, a in rels:
+            if rel == str(VTYPE_REL) and t == first_type:
+                continue
+            rendered_r = _abbreviate(rel, all_schema)
+            if isinstance(rendered_r, I):
+                rendered_r = f"<{rendered_r}>"
+            out.write(f"* {rendered_r}: {_value_format(t, t_iri)}\n")
+            for k, v in a:
+                rendered_k = _abbreviate(k, all_schema)
+                if isinstance(rendered_k, I):
+                    rendered_k = f"<{rendered_k}>"
+                out.write(f"    * {rendered_k}: {_value_format(v, False)}\n")
+        out.write("\n")
