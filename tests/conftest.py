@@ -3,7 +3,13 @@ import sys
 
 import pytest
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_TESTS_DIR = os.path.dirname(os.path.abspath(__file__))
+_REPO_ROOT = os.path.dirname(_TESTS_DIR)
+sys.path.insert(0, _REPO_ROOT)
+# Python workers spawned by the JVM need the same import path (closures in
+# tests pickle by module reference)
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    [_REPO_ROOT, _TESTS_DIR, os.environ.get("PYTHONPATH", "")])
 
 from pyspark.sql import SparkSession
 
