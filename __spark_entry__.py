@@ -26,10 +26,10 @@ TYPE_REL = "http://bibfra.me/purl/versa/type"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: 2-hop follow (customer → nation → region) over the quad
-    model derived from sf0.001 — the reference's `follow` traversal
-    (other_actions.py:295-329) as chained equi-joins."""
-    return _q_follow_hops(spark, "/root/testdata/sf0.001")
+    """Flagship: the transcript → knowledge-graph construction pipeline
+    (north rule) on sf0.001 — stable turn ordering, pandas-UDF mention
+    extraction, broadcast entity linking, graph triple materialization."""
+    return _q_kg_graph_triples(spark, "/root/testdata/sf0.001")
 
 
 # ---------------------------------------------------------------------------
@@ -100,6 +100,66 @@ def _q_resourcetypes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.resourcetypes(customer_links(spark, sf_dir))
 
 
+# ---------------------------------------------------------------------------
+# KG-construction queries (the north-rule pipeline; transcripts derive from
+# the documents table so DuckDB can reproduce the derivation in SQL)
+# ---------------------------------------------------------------------------
+
+def _q_kg_turn_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable turn ordering: window rank over (conv_id, turn_idx) on the
+    shuffled transcript table (north-rule per-turn invariant)."""
+    from versa_spark.kg.transcripts import (ordered_turns,
+                                            transcripts_from_documents)
+    turns = ordered_turns(transcripts_from_documents(spark, sf_dir))
+    return turns.select("conv_id", "turn_idx", "turn_rank", "role")
+
+
+def _q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized mention detection + broadcast entity linking
+    (kg.extract + kg.linking)."""
+    from versa_spark.kg import extract, linking
+    from versa_spark.kg.transcripts import (ordered_turns,
+                                            transcripts_from_documents)
+    turns = ordered_turns(transcripts_from_documents(spark, sf_dir))
+    linked = linking.link_entities(extract.turn_mentions(turns),
+                                   linking.canonical_dictionary(spark))
+    return linked.select("conv_id", "turn_idx", "surface", "entity_iri")
+
+
+def _q_kg_entity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted-key canonicalization rollup (kg.canonicalize)."""
+    from versa_spark.kg import canonicalize, extract, linking
+    from versa_spark.kg.transcripts import (ordered_turns,
+                                            transcripts_from_documents)
+    turns = ordered_turns(transcripts_from_documents(spark, sf_dir))
+    linked = linking.link_entities(extract.turn_mentions(turns),
+                                   linking.canonical_dictionary(spark))
+    stats = canonicalize.entity_mention_counts(linked, salted=True)
+    return stats.select("entity_iri", "canonical",
+                        F.col("n_mentions").cast("long").alias("n_mentions"),
+                        F.col("n_convs").cast("long").alias("n_convs"))
+
+
+def _q_kg_graph_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full KG triple table (structural + mention + entity links)."""
+    from versa_spark.kg.graph import build_graph
+    from versa_spark.kg.transcripts import (ordered_turns,
+                                            transcripts_from_documents)
+    turns = ordered_turns(transcripts_from_documents(spark, sf_dir))
+    graph = build_graph(spark, turns)["graph"]
+    return graph.select("origin", "rel", "target").distinct()
+
+
+def _q_kg_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacency edge list (IRI→IRI edges only, kg.canonicalize)."""
+    from versa_spark.kg.graph import build_graph
+    from versa_spark.kg.transcripts import (ordered_turns,
+                                            transcripts_from_documents)
+    turns = ordered_turns(transcripts_from_documents(spark, sf_dir))
+    edges = build_graph(spark, turns)["edges"]
+    return edges.select("src", "rel", "dst").distinct()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "match_rel": _q_match_rel,
@@ -108,6 +168,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "follow_hops": _q_follow_hops,
         "static_index_count": _q_static_index_count,
         "resourcetypes": _q_resourcetypes,
+        "kg_turn_order": _q_kg_turn_order,
+        "kg_mentions": _q_kg_mentions,
+        "kg_entity_stats": _q_kg_entity_stats,
+        "kg_graph_triples": _q_kg_graph_triples,
+        "kg_adjacency": _q_kg_adjacency,
     }
 
 
@@ -115,9 +180,103 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # DuckDB oracles (same derivation, straight SQL)
 # ---------------------------------------------------------------------------
 
+def _kg_ctes() -> str:
+    """Shared CTEs: the transcript derivation (mirror of
+    versa_spark.kg.transcripts.transcripts_from_documents) and the
+    canonical lexicon (mirror of kg.extract.LEXICON)."""
+    from versa_spark.kg.extract import LEXICON
+    lex_values = ", ".join(f"('{s}', '{c}')" for s, c in sorted(LEXICON.items()))
+    return f"""
+    WITH tx AS (
+        SELECT 'conv-' || (doc_id % 100) AS conv_id,
+               CAST(doc_id // 100 AS INT) AS turn_idx,
+               CASE CAST(doc_id % 4 AS INT)
+                    WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+                    WHEN 2 THEN 'system' ELSE 'tool' END AS role,
+               text,
+               CASE WHEN doc_id % 4 = 3 THEN
+                    CASE CAST(doc_id % 3 AS INT)
+                         WHEN 0 THEN 'search' WHEN 1 THEN 'calculator'
+                         ELSE 'browser' END END AS tool
+        FROM documents),
+    lex(surface, canonical) AS (VALUES {lex_values}),
+    turns AS (
+        SELECT tx.*,
+               'http://example.org/transcript/' || conv_id AS conv_iri,
+               'http://example.org/transcript/' || conv_id || '/' || turn_idx
+                   AS turn_iri,
+               ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1
+                   AS turn_rank
+        FROM tx),
+    mentions AS (
+        SELECT conv_id, turn_idx, turn_iri, surface, canonical,
+               'http://example.org/entity/' || canonical AS entity_iri
+        FROM turns JOIN lex
+          ON (' ' || text || ' ') LIKE ('% ' || surface || ' %'))
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     B = BASE
-    return {
+    TYPE = TYPE_REL
+    LABEL = "http://bibfra.me/purl/versa/label"
+    kg = _kg_ctes()
+    kg_sql = {
+        "kg_turn_order": kg + """
+            SELECT conv_id, turn_idx, CAST(turn_rank AS INT) AS turn_rank,
+                   role
+            FROM turns
+        """,
+        "kg_mentions": kg + """
+            SELECT conv_id, turn_idx, surface, entity_iri FROM mentions
+        """,
+        "kg_entity_stats": kg + """
+            SELECT entity_iri, canonical,
+                   COUNT(*) AS n_mentions,
+                   COUNT(DISTINCT conv_id) AS n_convs
+            FROM mentions GROUP BY entity_iri, canonical
+        """,
+        "kg_graph_triples": kg + f"""
+            SELECT DISTINCT conv_iri AS origin, '{TYPE}' AS rel,
+                   '{B}v/Conversation' AS target FROM turns
+            UNION
+            SELECT conv_iri, '{B}v/hasTurn', turn_iri FROM turns
+            UNION
+            SELECT turn_iri, '{TYPE}', '{B}v/Turn' FROM turns
+            UNION
+            SELECT turn_iri, '{B}v/role', role FROM turns
+            UNION
+            SELECT turn_iri, '{B}v/turnIndex', CAST(turn_idx AS VARCHAR)
+            FROM turns
+            UNION
+            SELECT turn_iri, '{B}v/usedTool', '{B}tool/' || tool
+            FROM turns WHERE tool IS NOT NULL
+            UNION
+            SELECT turn_iri, '{B}v/mentions', entity_iri FROM mentions
+            UNION
+            SELECT DISTINCT entity_iri, '{TYPE}', '{B}v/Concept'
+            FROM mentions
+            UNION
+            SELECT DISTINCT entity_iri, '{LABEL}', canonical FROM mentions
+        """,
+        "kg_adjacency": kg + f"""
+            SELECT DISTINCT conv_iri AS src, '{TYPE}' AS rel,
+                   '{B}v/Conversation' AS dst FROM turns
+            UNION
+            SELECT conv_iri, '{B}v/hasTurn', turn_iri FROM turns
+            UNION
+            SELECT turn_iri, '{TYPE}', '{B}v/Turn' FROM turns
+            UNION
+            SELECT turn_iri, '{B}v/usedTool', '{B}tool/' || tool
+            FROM turns WHERE tool IS NOT NULL
+            UNION
+            SELECT turn_iri, '{B}v/mentions', entity_iri FROM mentions
+            UNION
+            SELECT DISTINCT entity_iri, '{TYPE}', '{B}v/Concept'
+            FROM mentions
+        """,
+    }
+    return {**kg_sql, **{
         "match_rel": f"""
             SELECT '{B}nation/' || n_nationkey AS origin, n_name AS name
             FROM nation
@@ -153,4 +312,4 @@ def oracle_sql() -> dict[str, str]:
                    '{B}segment/' || c_mktsegment AS typ
             FROM customer
         """,
-    }
+    }}

@@ -1,0 +1,81 @@
+"""Benchmark harness — one JSON line for the driver.
+
+Runs the headline queries on $SPARK_GRAFT_SF_DIR (default sf0.1) with
+local[$SPARK_GRAFT_CPUS], plus a bench-scale synthetic KG-construction run
+(1M turns) measuring triples extracted/sec (the BASELINE.json metric).
+
+Scaling evidence (N vs 4N executors, sandbox stand-in): run
+``python bench_scaling.py`` which executes the same synthetic KG job at
+local[8] and local[32] and reports throughput + efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+SYNTH_TURNS = int(os.environ.get("SPARK_GRAFT_SYNTH_TURNS", "1000000"))
+
+
+def build_spark():
+    from pyspark.sql import SparkSession
+    return (SparkSession.builder
+            .master(f"local[{CPUS}]")
+            .appName("versa_spark-bench")
+            .config("spark.sql.shuffle.partitions", str(int(CPUS) * 2))
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.driver.memory", "48g")
+            .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate())
+
+
+def main() -> None:
+    spark = build_spark()
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+    headline = ["kg_graph_triples", "kg_mentions", "kg_entity_stats",
+                "follow_hops", "match_rel"]
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    for name in headline:
+        t0 = time.time()
+        counts[name] = queries[name](spark, SF_DIR).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    # Bench-scale synthetic KG construction: triples/sec at volume
+    from versa_spark.kg.graph import build_graph
+    from versa_spark.kg.transcripts import ordered_turns, synthetic_transcripts
+    n_convs = max(1, SYNTH_TURNS // 25)
+    t0 = time.time()
+    tx = synthetic_transcripts(spark, n_convs=n_convs, turns_per_conv=25)
+    turns = ordered_turns(tx)
+    n_triples = build_graph(spark, turns)["graph"].count()
+    kg_wall = time.time() - t0
+    timings["kg_synthetic_e2e"] = round(kg_wall, 3)
+    counts["kg_synthetic_e2e"] = n_triples
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "rows": counts,
+        "synthetic_turns": n_convs * 25,
+        "triples_per_sec": round(n_triples / kg_wall, 1),
+        "cpus": int(CPUS),
+    }, separators=(",", ":")))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

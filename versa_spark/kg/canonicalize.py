@@ -1,0 +1,89 @@
+"""Salted-key canonicalization: hot-entity-proof aggregation.
+
+The north rule names "groupBy canonicalization over salted keys" for
+hot-entity skew: canonical entities like the 'spark' concept appear in a
+large fraction of turns, so a naive groupBy(entity) sends one partition
+a disproportionate share.  The classic fix is two-phase aggregation over a
+salted key:
+
+    phase 1 (partial):  groupBy(entity, salt = pmod(xxhash64(row-key), S))
+    phase 2 (final):    groupBy(entity) over the ≤S partial rows per entity
+
+For algebraic aggregates (count, sum, min/max, collect_set-union) phase 2
+is exact.  Note Spark's own hash aggregate already does map-side partial
+aggregation for count/sum — explicit salting matters for the non-algebraic
+paths (collect_list of big payloads, exact distinct per key) and for
+pathological key distributions; both forms are provided and the bench
+compares them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def entity_mention_counts(linked_mentions: DataFrame, salt: int = 16,
+                          salted: bool = True) -> DataFrame:
+    """(entity_iri, canonical) → n_mentions n_convs, skew-safe.
+
+    distinct-conversation counting is the non-algebraic part: phase 1
+    collects per-salt distinct conv sets, phase 2 unions them — each
+    reducer sees at most `salt` rows per entity instead of every mention.
+    """
+    if not salted:
+        return (linked_mentions
+                .groupBy("entity_iri", "canonical")
+                .agg(F.count("*").alias("n_mentions"),
+                     F.countDistinct("conv_id").alias("n_convs")))
+    phase1 = (linked_mentions
+              .withColumn("_salt",
+                          F.pmod(F.xxhash64("conv_id", "turn_idx"),
+                                 F.lit(salt)))
+              .groupBy("entity_iri", "canonical", "_salt")
+              .agg(F.count("*").alias("_n"),
+                   F.collect_set("conv_id").alias("_convs")))
+    return (phase1
+            .groupBy("entity_iri", "canonical")
+            .agg(F.sum("_n").alias("n_mentions"),
+                 F.size(F.array_distinct(
+                     F.flatten(F.collect_list("_convs")))).alias("n_convs"))
+            .withColumn("n_mentions", F.col("n_mentions").cast("long")))
+
+
+def entity_links(linked_mentions: DataFrame) -> DataFrame:
+    """Canonical entity resource links: type + label per distinct entity
+    (the labelize stage of the pipeline, main.py:404-433, in bulk)."""
+    from versa_spark import VLABEL_REL, VTYPE_REL
+    from versa_spark.kg.extract import TYPE_CONCEPT
+    ents = (linked_mentions.select("entity_iri", "canonical")
+            .dropDuplicates(["entity_iri"]))
+    return ents.select(F.explode(F.array(
+        F.struct(F.col("entity_iri").alias("origin"),
+                 F.lit(str(VTYPE_REL)).alias("rel"),
+                 F.lit(TYPE_CONCEPT).alias("target"),
+                 F.lit(True).alias("t_iri")),
+        F.struct(F.col("entity_iri").alias("origin"),
+                 F.lit(str(VLABEL_REL)).alias("rel"),
+                 F.col("canonical").alias("target"),
+                 F.lit(False).alias("t_iri")),
+    )).alias("l")).select("l.*")
+
+
+def mention_links(linked_mentions: DataFrame) -> DataFrame:
+    """(turn_iri, v:mentions, entity_iri) edges."""
+    from versa_spark.kg.extract import REL_MENTIONS
+    return (linked_mentions
+            .select(F.col("turn_iri").alias("origin"),
+                    F.lit(REL_MENTIONS).alias("rel"),
+                    F.col("entity_iri").alias("target"),
+                    F.lit(True).alias("t_iri"))
+            .dropDuplicates(["origin", "rel", "target"]))
+
+
+def adjacency_edges(links: DataFrame) -> DataFrame:
+    """IRI→IRI edge list (src, rel, dst) — the adjacency output the north
+    rule requires alongside the graph table.  Filter keeps only resource
+    links (t_iri), i.e. real graph edges."""
+    return (links.filter(F.col("t_iri"))
+            .select(F.col("origin").alias("src"), "rel",
+                    F.col("target").alias("dst")))

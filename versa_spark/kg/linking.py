@@ -1,0 +1,90 @@
+"""Entity linking + canonical IDs.
+
+The Spark-scale restatement of the reference's ``lookup`` action — its own
+entity-linking primitive (other_actions.py:366-404): mention surfaces are
+joined against a **broadcast** canonical dictionary (alias → canonical
+entity), misses fall back to a deterministic fingerprint ID computed by
+the vectorized mmh3 kernel (kg.ids_vec), exactly the Versa resource-ID
+convention (pipeline/main.py:93-132).
+
+Join strategy: the dictionary is small (thousands–millions of aliases) →
+``F.broadcast``; when a dictionary outgrows the broadcast threshold the
+same code degrades to a sort-merge join simply by dropping the hint
+(broadcast=False), which AQE may still convert back.  Skew note: hot
+surfaces ("spark") are *fine* in a broadcast map-side join — no shuffle of
+the mention table by surface ever happens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from versa_spark import VTYPE_REL
+from versa_spark.kg.extract import ENT, LEXICON, TYPE_CONCEPT
+
+
+def canonical_dictionary(spark: SparkSession) -> DataFrame:
+    """(surface, canonical, entity_iri) rows; entity IRI derives from the
+    canonical name (SQL-expressible — the mmh3 IDs are reserved for
+    unlinked entities)."""
+    rows = [(s, c, ENT + c) for s, c in sorted(LEXICON.items())]
+    return spark.createDataFrame(
+        rows, "surface string, canonical string, entity_iri string")
+
+
+def fingerprint_plaintext_col(etype, name_rel, name_col):
+    """Column expression building the exact canonical-JSON fingerprint
+    plaintext of the Versa hash convention (main.py:117-127):
+    sorted [[k, v]…] pairs incl. the type pair, compact separators.
+
+    JVM-side string ops; JSON escaping covers backslash + quote (control
+    characters don't appear in lexicon-derived names; full escaping would
+    move to the pandas UDF)."""
+    esc = F.regexp_replace(
+        F.regexp_replace(name_col, r"\\", r"\\\\"), '"', r'\"')
+    type_pair = f'["{VTYPE_REL}","{etype}"]'
+    name_pair = F.concat(F.lit(f'["{name_rel}","'), esc, F.lit('"]'))
+    # canonical order = lexicographic sort of the two pairs
+    first_is_name = F.lit(str(name_rel)) < F.lit(str(VTYPE_REL))
+    return F.concat(
+        F.lit("["),
+        F.when(first_is_name, F.concat(name_pair, F.lit(","),
+                                       F.lit(type_pair)))
+         .otherwise(F.concat(F.lit(type_pair), F.lit(","), name_pair)),
+        F.lit("]"))
+
+
+def resource_id_udf():
+    """pandas UDF: fingerprint plaintext → 11-char Versa ID (vectorized
+    mmh3, kg.ids_vec)."""
+    from pyspark.sql.types import StringType
+
+    @F.pandas_udf(StringType())
+    def _rid(plaintexts):
+        from versa_spark.kg.ids_vec import resource_id_series
+        return resource_id_series(plaintexts)
+    return _rid
+
+
+def link_entities(mentions: DataFrame, dictionary: DataFrame,
+                  broadcast: bool = True) -> DataFrame:
+    """mentions (…, surface) ⋈ dictionary → adds ``entity_iri``,
+    ``canonical``, ``linked`` (False = dictionary miss → deterministic
+    fingerprint ID under entity/unlinked/)."""
+    dict_df = F.broadcast(dictionary) if broadcast else dictionary
+    out = mentions.join(dict_df, "surface", "left")
+    # Only misses pay the hash UDF: hits get a NULL plaintext the kernel
+    # skips (vectorized branch, not a per-row conditional)
+    plaintext = F.when(
+        F.col("entity_iri").isNull(),
+        fingerprint_plaintext_col(TYPE_CONCEPT, ENT + "name",
+                                  F.col("surface")))
+    rid = resource_id_udf()
+    return out.select(
+        *mentions.columns,
+        F.col("entity_iri").isNotNull().alias("linked"),
+        F.coalesce(F.col("canonical"), F.col("surface")).alias("canonical"),
+        F.coalesce(
+            F.col("entity_iri"),
+            F.concat(F.lit(ENT + "unlinked/"), rid(plaintext))
+        ).alias("entity_iri"))

@@ -1,0 +1,110 @@
+"""Transcript sources: the Iceberg-shaped table of the north rule.
+
+Schema (BASELINE.json input_hint):
+    conv_id: string, turn_idx: int32, role: string, text: string,
+    tool: string (nullable), ts: timestamp
+
+Two deterministic sources, no external data:
+
+* ``transcripts_from_documents`` — derives transcripts from the driver's
+  ``documents`` parquet (conv = doc_id mod C) so DuckDB oracles can
+  reproduce the derivation 1:1 in SQL.
+* ``synthetic_transcripts`` — pure ``spark.range`` grammar for bench-scale
+  volume (millions of turns), all column expressions (xxhash64-seeded
+  choices), zero Python in the row path.
+
+Both emit rows deliberately OUT of turn order (hash-shuffled) so stable
+turn reordering (window rank over (conv_id, turn_idx)) is actually
+exercised, per the per-turn-text-equality invariant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+ROLES = ("user", "assistant", "system", "tool")
+TOOLS = ("search", "calculator", "browser", "interpreter")
+
+
+def transcripts_from_documents(spark: SparkSession, sf_dir: str,
+                               convs_divisor: int = 100) -> DataFrame:
+    """documents(doc_id, text, …) → transcripts.
+
+    conv_id  = 'conv-' || doc_id % convs_divisor
+    turn_idx = doc_id // convs_divisor
+    role     = ROLES[doc_id % 4]; tool set when role='tool'
+    ts       = 2024-01-01 + doc_id minutes
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    role = F.element_at(F.array(*[F.lit(r) for r in ROLES]),
+                        (F.col("doc_id") % 4 + 1).cast("int"))
+    tool = F.when(
+        role == "tool",
+        F.element_at(F.array(*[F.lit(t) for t in TOOLS]),
+                     (F.col("doc_id") % 3 + 1).cast("int")))
+    out = docs.select(
+        F.concat(F.lit("conv-"),
+                 (F.col("doc_id") % convs_divisor)).alias("conv_id"),
+        (F.col("doc_id") / convs_divisor).cast("int").alias("turn_idx"),
+        role.alias("role"),
+        F.col("text"),
+        tool.alias("tool"),
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+         + F.make_interval(mins=F.col("doc_id").cast("int"))).alias("ts"),
+    )
+    # deliberately break physical ordering (tests must not rely on the
+    # parquet row layout; the window rank restores order). Partition count
+    # follows spark.sql.shuffle.partitions — never a hardcoded width.
+    return out.repartition(F.xxhash64("conv_id", "turn_idx"))
+
+
+def synthetic_transcripts(spark: SparkSession, n_convs: int = 1000,
+                          turns_per_conv: int = 20) -> DataFrame:
+    """Deterministic bench-scale generator: n_convs × turns_per_conv rows,
+    all column expressions (seeded by xxhash64 of ids — stable across runs
+    and partitionings).  Text embeds extractable mentions with a hot
+    entity ('spark') in ~20% of turns (skew fixture, FIXTURES.md §1)."""
+    n = n_convs * turns_per_conv
+    base = spark.range(n).select(
+        (F.col("id") % n_convs).alias("c"),
+        (F.col("id") / n_convs).cast("int").alias("turn_idx"),
+        F.col("id"))
+    h = F.abs(F.xxhash64("id"))
+    role = F.element_at(F.array(*[F.lit(r) for r in ROLES]),
+                        (h % 4 + 1).cast("int"))
+    tool = F.when(role == "tool",
+                  F.element_at(F.array(*[F.lit(t) for t in TOOLS]),
+                               (h % 3 + 1).cast("int")))
+    # entity mentions: 1-3 vocabulary words + hot entity 20% of turns
+    w1 = F.element_at(F.array(*[F.lit(w) for w in _VOCAB]),
+                      (h % len(_VOCAB) + 1).cast("int"))
+    w2 = F.element_at(F.array(*[F.lit(w) for w in _VOCAB]),
+                      (F.abs(F.xxhash64("id", F.lit(1))) % len(_VOCAB) + 1)
+                      .cast("int"))
+    hot = F.when(h % 5 == 0, F.lit(" spark")).otherwise(F.lit(""))
+    text = F.concat(F.lit("turn about "), w1, F.lit(" and "), w2, hot,
+                    F.lit(" with filler words to size the payload"))
+    return base.select(
+        F.concat(F.lit("conv-"), F.col("c")).alias("conv_id"),
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        role.alias("role"), text.alias("text"), tool.alias("tool"),
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+         + F.make_interval(mins=F.col("turn_idx"))).alias("ts"))
+
+
+_VOCAB = ("join", "merge", "hash", "sort", "window", "filter", "batch",
+          "stream", "vector", "query", "table", "column")
+
+
+def ordered_turns(transcripts: DataFrame) -> DataFrame:
+    """Stable turn ordering: window rank over (conv_id, turn_idx) — the
+    north rule's per-turn invariant.  Adds ``turn_rank`` (0-based, dense
+    within conversation) and the turn IRI."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return (transcripts
+            .withColumn("turn_rank", F.row_number().over(w) - 1)
+            .withColumn("turn_iri",
+                        F.concat(F.lit("http://example.org/transcript/"),
+                                 F.col("conv_id"), F.lit("/"),
+                                 F.col("turn_idx"))))
