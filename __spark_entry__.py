@@ -160,6 +160,143 @@ def _q_kg_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.select("src", "rel", "dst").distinct()
 
 
+def _q_zoom_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zoom_in(model, focus=customer/1, depth=2): BFS subgraph extraction
+    (reference util.py:226-253) — bounded iterative self-join."""
+    from versa_spark import ops
+    from versa_spark.testdata import (customer_links, nation_links,
+                                      with_quad_defaults)
+    links = with_quad_defaults(customer_links(spark, sf_dir).unionByName(
+        nation_links(spark, sf_dir)))
+    sub = ops.zoom_in(links, BASE + "customer/1", depth=2)
+    return sub.select("origin", "rel", "target").distinct()
+
+
+def _q_replace_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """replace_values: origin rewrite via broadcast mapping + coalesce
+    (reference util.py:162-172) — the bulk canonicalization primitive."""
+    from versa_spark import ops
+    from versa_spark.testdata import nation_links, with_quad_defaults
+    links = with_quad_defaults(nation_links(spark, sf_dir))
+    mapping = {f"{BASE}nation/{i}": f"{BASE}merged/nation-{i}"
+               for i in range(3)}
+    return (ops.replace_values(links, mapping)
+            .select("origin", "rel", "target"))
+
+
+def _q_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """labels(m) over a model carrying v:label links (util.py:99-104)."""
+    from versa_spark import ops
+    from versa_spark.testdata import nation_links
+    links = nation_links(spark, sf_dir)
+    VLABEL = "http://bibfra.me/purl/versa/label"
+    relabeled = links.withColumn(
+        "rel", F.when(F.col("rel") == BASE + "hasName",
+                      F.lit(VLABEL)).otherwise(F.col("rel")))
+    return ops.labels(relabeled)
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline ops (dedup / text analysis / similarity search)
+# ---------------------------------------------------------------------------
+
+def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups by md5 of normalized text (dedup.py).
+    The synthetic corpus has no exact dups, so double the table with
+    shifted ids — the dedup then must find exactly one group per doc."""
+    from versa_spark import dedup
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    both = docs.select("doc_id", "text").unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    groups = dedup.exact_duplicates(both)
+    return groups.select("fp_md5", "n_docs",
+                         F.col("doc_ids")[0].alias("doc_a"),
+                         F.col("doc_ids")[1].alias("doc_b"))
+
+
+def _q_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring (textops.py), all JVM expressions."""
+    from versa_spark import textops
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = textops.quality_score(textops.token_counts(docs))
+    return out.select("doc_id", "ws_tokens", "bpe_tokens", "n_words",
+                      "stopword_ratio", "quality")
+
+
+def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram language-ID heuristic (pandas UDF, textops.py)."""
+    from versa_spark import textops
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textops.with_lang_id(docs).select("doc_id", "lang_pred")
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs ≥ 0.8 over a corpus with
+    planted near-dups (doc + same doc with one word appended)."""
+    from versa_spark import dedup
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .orderBy("doc_id").limit(200))
+    planted = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" appended")).alias("text"))
+    both = docs.select("doc_id", "text").unionByName(planted)
+    return dedup.ngram_jaccard_pairs(both, threshold=0.8).select(
+        "a", "b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidates, Jaccard-verified (dedup.py) — xxhash64
+    signatures are Spark-specific, so this is a rows-only check; the
+    equivalence with exact Jaccard is asserted in tests/test_dataops.py."""
+    from versa_spark import dedup
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .orderBy("doc_id").limit(200))
+    planted = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" appended")).alias("text"))
+    both = docs.select("doc_id", "text").unionByName(planted)
+    return dedup.minhash_lsh_candidates(both, verify_threshold=0.8).select(
+        "a", "b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def _q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only check; xxhash64-based)."""
+    from versa_spark import dedup
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .orderBy("doc_id").limit(200))
+    planted = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"))
+    both = docs.select("doc_id", "text").unionByName(planted)
+    return dedup.simhash_near_dups(both, max_hamming=3)
+
+
+def _q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs ≥ 0.99 (exact pairwise kernel)."""
+    from versa_spark import dedup
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .orderBy("vec_id").limit(300))
+    # plant exact duplicates so the check is non-vacuous
+    planted = emb.select((F.col("vec_id") + 1000000).alias("vec_id"),
+                         "embedding").limit(50)
+    both = emb.select("vec_id", "embedding").unionByName(planted)
+    pairs = dedup.embedding_near_dups(both, threshold=0.99)
+    return pairs.select("a", "b", F.round("cosine", 2).alias("cos2"))
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 query vectors (simsearch.py).
+    Cosines are rounded before ranking in BOTH engines so float ulps
+    can't flip ranks."""
+    from versa_spark import simsearch
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = (emb.orderBy("vec_id").limit(10)
+                  .select(F.col("vec_id").alias("q_id"),
+                          F.col("embedding").alias("q_vec")))
+    out = simsearch.bruteforce_topk(emb, queries_df, k=5, round_digits=4)
+    return out.select("q_id", "vec_id", "rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "match_rel": _q_match_rel,
@@ -173,6 +310,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_stats": _q_kg_entity_stats,
         "kg_graph_triples": _q_kg_graph_triples,
         "kg_adjacency": _q_kg_adjacency,
+        "zoom_in": _q_zoom_in,
+        "replace_values": _q_replace_values,
+        "labels": _q_labels,
+        "exact_dedup": _q_exact_dedup,
+        "token_quality": _q_token_quality,
+        "langid": _q_langid,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "minhash_lsh": _q_minhash_lsh,      # rows-only (xxhash64 sigs)
+        "simhash_dups": _q_simhash_dups,    # rows-only (xxhash64 sigs)
+        "emb_near_dups": _q_emb_near_dups,
+        "ann_topk": _q_ann_topk,
     }
 
 
@@ -276,7 +424,225 @@ def oracle_sql() -> dict[str, str]:
             FROM mentions
         """,
     }
-    return {**kg_sql, **{
+    from versa_spark.textops import _LANG_PROFILES, BPE_ISH_TOKEN, STOPWORDS
+    gram_values = ", ".join(
+        f"('{lang}', '{g}', {ix})"
+        for ix, (lang, grams) in enumerate(_LANG_PROFILES.items())
+        for g in grams)
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    ops_sql = {
+        "zoom_in": f"""
+            WITH c AS (SELECT * FROM customer WHERE c_custkey = 1),
+            n AS (SELECT nation.* FROM nation
+                  JOIN c ON n_nationkey = c_nationkey),
+            r AS (SELECT region.* FROM region
+                  JOIN n ON region.r_regionkey = n.n_regionkey)
+            SELECT '{B}customer/' || c_custkey AS origin,
+                   '{TYPE}' AS rel,
+                   '{B}segment/' || c_mktsegment AS target FROM c
+            UNION
+            SELECT '{B}customer/' || c_custkey, '{B}hasName', c_name FROM c
+            UNION
+            SELECT '{B}customer/' || c_custkey, '{B}inNation',
+                   '{B}nation/' || c_nationkey FROM c
+            UNION
+            SELECT '{B}nation/' || n_nationkey, '{TYPE}', '{B}Nation'
+            FROM n
+            UNION
+            SELECT '{B}nation/' || n_nationkey, '{B}hasName', n_name FROM n
+            UNION
+            SELECT '{B}nation/' || n_nationkey, '{B}inRegion',
+                   '{B}region/' || n_regionkey FROM n
+            UNION
+            SELECT '{B}region/' || r_regionkey, '{TYPE}', '{B}Region'
+            FROM r
+            UNION
+            SELECT '{B}region/' || r_regionkey, '{B}hasName', r_name FROM r
+        """,
+        "replace_values": f"""
+            WITH remap AS (
+                SELECT n_nationkey,
+                       CASE WHEN n_nationkey < 3
+                            THEN '{B}merged/nation-' || n_nationkey
+                            ELSE '{B}nation/' || n_nationkey END AS origin,
+                       n_name, n_regionkey
+                FROM nation)
+            SELECT origin, '{TYPE}' AS rel, '{B}Nation' AS target FROM remap
+            UNION ALL
+            SELECT origin, '{B}hasName', n_name FROM remap
+            UNION ALL
+            SELECT origin, '{B}inRegion', '{B}region/' || n_regionkey
+            FROM remap
+            UNION ALL
+            SELECT '{B}region/' || r_regionkey, '{TYPE}', '{B}Region'
+            FROM region
+            UNION ALL
+            SELECT '{B}region/' || r_regionkey, '{B}hasName', r_name
+            FROM region
+        """,
+        "labels": f"""
+            SELECT '{B}nation/' || n_nationkey AS origin,
+                   n_name AS label FROM nation
+            UNION ALL
+            SELECT '{B}region/' || r_regionkey, r_name FROM region
+        """,
+    }
+    dataops_sql = {
+        "exact_dedup": """
+            WITH both_docs AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text FROM documents),
+            fp AS (
+                SELECT doc_id,
+                       md5(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                          'g')) AS fp_md5
+                FROM both_docs)
+            SELECT fp_md5, COUNT(*) AS n_docs,
+                   MIN(doc_id) AS doc_a, MAX(doc_id) AS doc_b
+            FROM fp GROUP BY fp_md5 HAVING COUNT(*) > 1
+        """,
+        "token_quality": f"""
+            WITH w AS (
+                SELECT doc_id, text,
+                       CASE WHEN length(trim(text)) = 0 THEN []
+                            ELSE regexp_split_to_array(trim(text), '\\s+')
+                       END AS words,
+                       length(text) AS n_chars
+                FROM documents),
+            feat AS (
+                SELECT doc_id,
+                   CAST(len(words) AS INT) AS ws_tokens,
+                   CAST(len(regexp_extract_all(text,
+                        '{BPE_ISH_TOKEN}')) AS INT) AS bpe_tokens,
+                   CAST(len(words) AS INT) AS n_words,
+                   len(list_filter(words,
+                       x -> list_contains([{stop_list}], lower(x))))
+                       AS n_stop,
+                   len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+                   n_chars
+                FROM w)
+            SELECT doc_id, ws_tokens, bpe_tokens, n_words,
+                   round(CASE WHEN n_words > 0
+                         THEN CAST(n_stop AS DOUBLE) / n_words
+                         ELSE 0.0 END, 6) AS stopword_ratio,
+                   round(
+                     (CASE WHEN n_words BETWEEN 10 AND 100000
+                           THEN 0.4 ELSE 0.0 END)
+                   + (CASE WHEN n_chars > 0 AND
+                           CAST(n_punct AS DOUBLE)/n_chars < 0.2
+                           THEN 0.2 ELSE 0.0 END)
+                   + (CASE WHEN n_words > 0 AND
+                           CAST(n_stop AS DOUBLE)/n_words > 0.01 AND
+                           CAST(n_stop AS DOUBLE)/n_words < 0.6
+                           THEN 0.2 ELSE 0.0 END)
+                   + (CASE WHEN n_words > 0 AND
+                           CAST(n_chars - n_words + 1 AS DOUBLE)/n_words > 2
+                           AND
+                           CAST(n_chars - n_words + 1 AS DOUBLE)/n_words < 12
+                           THEN 0.2 ELSE 0.0 END), 2) AS quality
+            FROM feat
+        """,
+        "langid": f"""
+            WITH grams(lang, gram, prio) AS (VALUES {gram_values}),
+            scored AS (
+                SELECT d.doc_id, g.lang, MIN(g.prio) AS prio,
+                       SUM(CASE WHEN contains(
+                           ' ' || lower(substr(d.text, 1, 1000)) || ' ',
+                           g.gram) THEN 1 ELSE 0 END) AS n
+                FROM documents d CROSS JOIN grams g
+                GROUP BY d.doc_id, g.lang),
+            ranked AS (
+                SELECT doc_id, lang, n,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                           ORDER BY n DESC, prio ASC) AS rk
+                FROM scored)
+            SELECT d.doc_id,
+                   COALESCE((SELECT lang FROM ranked r
+                             WHERE r.doc_id = d.doc_id AND r.rk = 1
+                               AND r.n >= 2), 'und') AS lang_pred
+            FROM documents d
+        """,
+        "ngram_jaccard": """
+            WITH both_docs AS (
+                SELECT doc_id, text FROM
+                  (SELECT * FROM documents ORDER BY doc_id LIMIT 200)
+                UNION ALL
+                SELECT doc_id + 1000000, text || ' appended' FROM
+                  (SELECT * FROM documents ORDER BY doc_id LIMIT 200)),
+            norm AS (
+                SELECT doc_id,
+                       regexp_split_to_array(
+                           regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                          'g'), ' ') AS words
+                FROM both_docs),
+            sh AS (
+                SELECT DISTINCT doc_id, shingle FROM (
+                    SELECT doc_id,
+                           unnest([array_to_string(words[i:i+2], ' ')
+                                   for i in range(1, len(words) - 1)])
+                               AS shingle
+                    FROM norm WHERE len(words) >= 3
+                    UNION ALL
+                    SELECT doc_id, array_to_string(words, ' ')
+                    FROM norm WHERE len(words) < 3)),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh
+                      GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b,
+                       COUNT(*) AS n_inter
+                FROM sh x JOIN sh y USING (shingle)
+                WHERE x.doc_id < y.doc_id
+                GROUP BY x.doc_id, y.doc_id)
+            SELECT a, b,
+                   round(CAST(n_inter AS DOUBLE)
+                         / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE CAST(n_inter AS DOUBLE)
+                  / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
+        """,
+        "emb_near_dups": """
+            WITH base AS (SELECT vec_id, embedding FROM embeddings
+                          ORDER BY vec_id LIMIT 300),
+            uni AS (
+                SELECT vec_id, embedding FROM base
+                UNION ALL
+                SELECT vec_id + 1000000, embedding FROM
+                  (SELECT * FROM base ORDER BY vec_id LIMIT 50)),
+            e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM uni)
+            SELECT x.vec_id AS a, y.vec_id AS b,
+                   round(list_dot_product(x.v, y.v)
+                         / (sqrt(list_dot_product(x.v, x.v))
+                            * sqrt(list_dot_product(y.v, y.v))), 2) AS cos2
+            FROM e x JOIN e y ON x.vec_id < y.vec_id
+            WHERE list_dot_product(x.v, y.v)
+                  / (sqrt(list_dot_product(x.v, x.v))
+                     * sqrt(list_dot_product(y.v, y.v))) >= 0.99
+        """,
+        "ann_topk": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            q AS (SELECT vec_id AS q_id, v AS qv FROM e
+                  ORDER BY vec_id LIMIT 10),
+            scored AS (
+                SELECT q.q_id, e.vec_id,
+                       round(list_dot_product(e.v, q.qv)
+                             / (sqrt(list_dot_product(e.v, e.v))
+                                * sqrt(list_dot_product(q.qv, q.qv))), 4)
+                           AS cosine
+                FROM e CROSS JOIN q),
+            ranked AS (
+                SELECT q_id, vec_id,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                           ORDER BY cosine DESC, vec_id) AS INT) AS rank
+                FROM scored)
+            SELECT q_id, vec_id, rank FROM ranked WHERE rank <= 5
+        """,
+    }
+    return {**kg_sql, **ops_sql, **dataops_sql, **{
         "match_rel": f"""
             SELECT '{B}nation/' || n_nationkey AS origin, n_name AS name
             FROM nation

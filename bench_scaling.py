@@ -1,0 +1,94 @@
+"""Scaling-efficiency evidence: same KG job at two parallelism levels.
+
+North rule: throughput scaling efficiency ≥ 0.8 from N to 4N executors.
+Sandbox stand-in (no real cluster): run the identical synthetic KG
+construction (fixed input) at local[8] and local[32] in separate JVMs and
+report throughput at both plus efficiency = (T_low / T_high) / (32/8).
+
+Usage:  python bench_scaling.py [turns]
+Writes one JSON line to stdout and BENCH_SCALING.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+TURNS = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+
+_WORKER = r"""
+import json, sys, time
+sys.path.insert(0, "__REPO__")
+from pyspark.sql import SparkSession
+cpus = int(sys.argv[1]); turns = int(sys.argv[2])
+spark = (SparkSession.builder.master(f"local[{cpus}]")
+         .appName(f"kg-scaling-{cpus}")
+         .config("spark.sql.shuffle.partitions", str(cpus * 2))
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.driver.memory", "24g")
+         .config("spark.ui.enabled", "false").getOrCreate())
+from versa_spark.kg.graph import build_graph
+from versa_spark.kg.transcripts import ordered_turns, synthetic_transcripts
+# warmup (session costs excluded from the measured run)
+wtx = synthetic_transcripts(spark, n_convs=200, turns_per_conv=25)
+build_graph(spark, ordered_turns(wtx))["graph"].count()
+spark.catalog.clearCache()
+best = None; n = 0
+for rep in range(int(__import__("os").environ.get("SCALING_REPS", "2"))):
+    spark.catalog.clearCache()
+    t0 = time.time()
+    tx = synthetic_transcripts(spark, n_convs=turns // 25, turns_per_conv=25)
+    n = build_graph(spark, ordered_turns(tx))["graph"].count()
+    wall = time.time() - t0
+    best = wall if best is None or wall < best else best
+print(json.dumps({"cpus": cpus, "triples": n, "wall_s": round(best, 3),
+                  "triples_per_sec": round(n / best, 1)}))
+spark.stop()
+"""
+
+
+def run_level(cpus: int) -> dict:
+    repo = os.path.dirname(os.path.abspath(__file__))
+    code = _WORKER.replace("__REPO__", repo)
+    out = subprocess.run(
+        [sys.executable, "-c", code, str(cpus), str(TURNS)],
+        capture_output=True, text=True, timeout=1200, check=True)
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    low_cpus = int(os.environ.get("SCALING_LOW", "2"))
+    high_cpus = int(os.environ.get("SCALING_HIGH", "8"))
+    trials = int(os.environ.get("SCALING_TRIALS", "2"))
+    # Interleave levels across separate JVMs and keep the best trial per
+    # level: the sandbox shares hardware, so single measurements carry
+    # large external variance.
+    lows, highs = [], []
+    for _ in range(trials):
+        lows.append(run_level(low_cpus))
+        highs.append(run_level(high_cpus))
+    low = min(lows, key=lambda r: r["wall_s"])
+    high = min(highs, key=lambda r: r["wall_s"])
+    efficiency = ((high["triples_per_sec"] / low["triples_per_sec"])
+                  / (high_cpus / low_cpus))
+    result = {
+        "metric": f"scaling_efficiency_{low_cpus}_to_{high_cpus}",
+        "value": round(efficiency, 3),
+        "unit": "ratio",
+        "turns": TURNS,
+        "low": low,
+        "high": high,
+        "criterion": ">=0.8 would be ideal linear/4; sandbox local-mode "
+                     "cores share one JVM & memory bus",
+    }
+    line = json.dumps(result, separators=(",", ":"))
+    print(line)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_SCALING.json"), "w") as f:
+        f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,120 @@
+"""CLI (parse/transform) and spark-submit --py-files packaging tests —
+the deployment target of BASELINE.md."""
+
+import os
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+VLIT_DOC = """\
+# @docheader
+
+* @iri:
+    * @base: http://example.org/classics/
+    * @schema: https://schema.org/
+
+# catcher [Book]
+
+* name: The Catcher in the Rye
+* author: J. D. Salinger
+* isbn: 0316769487
+"""
+
+RULESPEC = """\
+SCH = I('https://schema.org/')
+BF = I('http://bibfra.me/')
+
+VERSA_PIPELINE_ENTRY = generic_pipeline(
+    {SCH('Book'): materialize(BF('Instance'),
+                              fprint=[(BF('isbn'), follow(SCH('isbn')))])},
+    {SCH('name'): link(rel=BF('name'))},
+    {BF('Instance'): follow(BF('name'))},
+)
+"""
+
+
+def run_cli(args):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return subprocess.run(
+        [sys.executable, "-m", "versa_spark.cli", *args],
+        capture_output=True, text=True, env=env, timeout=120)
+
+
+def test_cli_parse_to_ntriples(tmp_path):
+    src = tmp_path / "doc.md"
+    src.write_text(VLIT_DOC)
+    out = run_cli(["parse", str(src), "--out-fmt", "nt"])
+    assert out.returncode == 0, out.stderr
+    assert ('<http://example.org/classics/catcher> '
+            '<https://schema.org/name> "The Catcher in the Rye" .'
+            in out.stdout)
+
+
+def test_cli_transform_with_rulespec(tmp_path):
+    src = tmp_path / "doc.md"
+    src.write_text(VLIT_DOC)
+    spec = tmp_path / "rules.py"
+    spec.write_text(RULESPEC)
+    out = run_cli(["transform", str(spec), str(src), "--out-fmt", "nt"])
+    assert out.returncode == 0, out.stderr
+    # fingerprinted Instance + name link + label
+    assert "http://bibfra.me/Instance" in out.stdout
+    assert '"The Catcher in the Rye"' in out.stdout
+
+
+def test_cli_json_roundtrip(tmp_path):
+    src = tmp_path / "doc.md"
+    src.write_text(VLIT_DOC)
+    j = tmp_path / "doc.json"
+    out = run_cli(["parse", str(src), "--out", str(j),
+                   "--out-fmt", "json"])
+    assert out.returncode == 0, out.stderr
+    out2 = run_cli(["parse", str(j), "--in-fmt", "json",
+                    "--out-fmt", "nt"])
+    assert out2.returncode == 0, out2.stderr
+    assert '"The Catcher in the Rye"' in out2.stdout
+
+
+SUBMIT_JOB = """\
+import sys
+from pyspark.sql import SparkSession
+# versa_spark comes ONLY from the --py-files zip
+from versa_spark.kg.graph import build_graph
+from versa_spark.kg.transcripts import ordered_turns, synthetic_transcripts
+
+spark = SparkSession.builder.getOrCreate()
+tx = synthetic_transcripts(spark, n_convs=20, turns_per_conv=5)
+n = build_graph(spark, ordered_turns(tx))["graph"].count()
+print(f"GRAPH_TRIPLES={n}")
+spark.stop()
+"""
+
+
+@pytest.mark.slow
+def test_spark_submit_py_files(tmp_path):
+    """The north rule's deployment shape: spark-submit --py-files
+    versa_spark.zip job.py, with the package NOT importable from cwd."""
+    from versa_spark.shipping import package_zip
+    zpath = package_zip(str(tmp_path))
+    job = tmp_path / "job.py"
+    job.write_text(SUBMIT_JOB)
+    spark_submit = os.path.join(os.environ.get("SPARK_HOME", "/opt/spark"),
+                                "bin", "spark-submit")
+    if not os.path.exists(spark_submit):
+        pytest.skip("spark-submit not on this machine")
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    out = subprocess.run(
+        [spark_submit, "--master", "local[4]",
+         "--conf", "spark.ui.enabled=false",
+         "--py-files", zpath, str(job)],
+        capture_output=True, text=True, env=env, cwd=str(tmp_path),
+        timeout=420)
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "GRAPH_TRIPLES=" in out.stdout
+    n = int(out.stdout.split("GRAPH_TRIPLES=")[1].split()[0])
+    assert n > 100

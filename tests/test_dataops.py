@@ -1,0 +1,170 @@
+"""Tests for the training-data pipeline ops: text analysis, dedup family,
+similarity search, multimodal plumbing."""
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from versa_spark import dedup, multimodal, simsearch, textops
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world, it's 2024!"), (2, ""), (3, "one")],
+        ["doc_id", "text"])
+    rows = {r.doc_id: r for r in textops.token_counts(df).collect()}
+    assert rows[1].ws_tokens == 4
+    # hello|world|,|it|'|s|202|4|! = 9 BPE-ish pieces (digits chunk by 3)
+    assert rows[1].bpe_tokens == 9
+    assert rows[2].ws_tokens == 0 and rows[2].bpe_tokens == 0
+    assert rows[3].ws_tokens == 1
+
+
+def test_quality_score(spark):
+    good = "the quick brown fox jumps over the lazy dog " * 3
+    bad = "!!! ??? ### $$$ %%%"
+    df = spark.createDataFrame([(1, good), (2, bad)], ["doc_id", "text"])
+    rows = {r.doc_id: r for r in textops.quality_score(df).collect()}
+    assert rows[1].quality >= 0.8
+    assert rows[2].quality <= 0.4
+    assert rows[1].stopword_ratio > 0.1
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame([
+        (1, "the house and the garden of the king is in the town"),
+        (2, "le chien de la maison est dans le jardin avec les enfants"),
+        (3, "die kinder und der hund sind in dem schoenen garten"),
+        (4, "xqz vjw 123"),
+    ], ["doc_id", "text"])
+    rows = {r.doc_id: r.lang_pred
+            for r in textops.with_lang_id(df).collect()}
+    assert rows[1] == "en" and rows[2] == "fr" and rows[3] == "de"
+    assert rows[4] == "und"
+
+
+def test_doc_fingerprint_normalizes(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "different")],
+        ["doc_id", "text"])
+    rows = {r.doc_id: (r.fp_md5, r.fp_xx64)
+            for r in textops.doc_fingerprint(df).collect()}
+    assert rows[1] == rows[2] != rows[3]
+
+
+def test_exact_duplicates(spark, docs):
+    dup = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    both = docs.select("doc_id", "text").limit(50).unionByName(
+        dup.limit(50))
+    groups = dedup.exact_duplicates(both).collect()
+    assert len(groups) == 50
+    assert all(g.n_docs == 2 and g.doc_ids[1] - g.doc_ids[0] == 100000
+               for g in groups)
+
+
+def test_ngram_jaccard_and_minhash_agree(spark):
+    base = ("spark join merge sort window filter batch stream vector "
+            "query table column agg scan the fast slow big small")
+    rows = [(1, base), (2, base + " extra"),  # near-dup of 1
+            (3, "completely different words entirely other content here "
+                "nothing shared with any of the previous documents at all"),
+            (4, base)]                        # exact dup of 1
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    exact = {(r.a, r.b) for r in dedup.ngram_jaccard_pairs(
+        df, threshold=0.5).collect()}
+    assert (1, 4) in exact and (1, 2) in exact and (2, 4) in exact
+    assert not any(3 in p for p in exact)
+    # LSH candidates + verification reproduce the exact pairs
+    lsh = {(r.a, r.b) for r in dedup.minhash_lsh_candidates(
+        df, verify_threshold=0.5).collect()}
+    assert lsh == exact
+
+
+def test_minhash_signature_properties(spark):
+    rows = [(1, "a b c d e f g h i j"), (2, "a b c d e f g h i j"),
+            (3, "z y x w v u t s r q")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = {r.doc_id: r.sig
+            for r in dedup.minhash_signatures(df, num_hashes=16).collect()}
+    assert sigs[1] == sigs[2]       # identical docs → identical signatures
+    assert sigs[1] != sigs[3]
+    assert len(sigs[1]) == 16
+
+
+def test_simhash_near_dups(spark):
+    base = " ".join(f"word{i}" for i in range(50))
+    rows = [(1, base), (2, base + " tail"), (3, " ".join(
+        f"other{i}" for i in range(50)))]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = {r.doc_id: r.simhash
+            for r in dedup.simhash_signatures(df).collect()}
+    ham12 = bin((sigs[1] ^ sigs[2]) & ((1 << 64) - 1)).count("1")
+    ham13 = bin((sigs[1] ^ sigs[3]) & ((1 << 64) - 1)).count("1")
+    assert ham12 < ham13
+    pairs = {(r.a, r.b): r.hamming for r in dedup.simhash_near_dups(
+        df, max_hamming=8).collect()}
+    assert (1, 2) in pairs and (1, 3) not in pairs
+
+
+def test_embedding_near_dups_and_bruteforce(spark, emb):
+    # self-similarity via duplicated vectors
+    dup = emb.select((F.col("vec_id") + 10000).alias("vec_id"),
+                     "embedding").limit(5)
+    both = emb.select("vec_id", "embedding").limit(20).unionByName(dup)
+    pairs = dedup.embedding_near_dups(both, threshold=0.999999).collect()
+    got = {(r.a, r.b) for r in pairs}
+    assert {(i, i + 10000) for i in range(5)} <= got
+
+
+def test_bruteforce_vs_lsh_topk(spark, emb):
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    exact = simsearch.bruteforce_topk(emb, queries, k=5)
+    by_q = {}
+    for r in exact.collect():
+        by_q.setdefault(r.q_id, []).append((r.rank, r.vec_id, r.cosine))
+    # rank 1 of each query is the query itself (cosine 1.0)
+    for q, rows in by_q.items():
+        rows.sort()
+        assert rows[0][1] == q and abs(rows[0][2] - 1.0) < 1e-5
+    # LSH with few planes: the self-match must also be found (same bucket)
+    approx = simsearch.lsh_topk(emb, queries, k=5, n_planes=4)
+    arows = {(r.q_id, r.vec_id) for r in approx.collect()}
+    for q in by_q:
+        assert (q, q) in arows
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.synthetic_media(spark, 30)
+    feats = multimodal.extract_features(media, dim=8).collect()
+    assert len(feats) == 30
+    for r in feats:
+        assert len(r.feature) == 8
+        assert abs(sum(r.feature) - 1.0) < 1e-6
+        assert r.n_bytes > 0
+    # deterministic: same media_id → same feature
+    again = {r.media_id: r.feature
+             for r in multimodal.extract_features(media, dim=8).collect()}
+    assert all(again[r.media_id] == r.feature for r in feats)
+    # decode stub is explicit
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"bytes")
+    # frame sampling plan never touches payload
+    plan = multimodal.frame_sample_plan(media, every_ms=500)
+    assert "payload" not in plan.columns and plan.count() > 0
+    stats = {r.kind: r.n for r in multimodal.media_stats(media).collect()}
+    assert set(stats) == {"image", "audio", "video"}

@@ -1,0 +1,190 @@
+"""Serializer tests: ntriples (incl. pushdown), csv template ingest,
+simpleobj, jsonld bind, mermaid, rdfs remap — assertion style mirrors the
+reference test suite (test_serial_ntriples.py, test_serial_csv.py)."""
+
+import io
+
+import pytest
+
+from versa_spark import I, VLABEL_REL, VTYPE_REL, VERSA_BASEIRI
+from versa_spark.serial import csv as vcsv
+from versa_spark.serial import jsonld, mermaid, ntriples, rdfs, simpleobj
+
+NT_DOC = """\
+<http://www.w3.org/2001/sw/RDFCore/ntriples/> <http://purl.org/dc/elements/1.1/creator> "Dave Beckett" .
+<http://www.w3.org/2001/sw/RDFCore/ntriples/> <http://purl.org/dc/elements/1.1/creator> "Art Barstow" .
+<http://www.w3.org/2001/sw/RDFCore/ntriples/> <http://purl.org/dc/elements/1.1/publisher> <http://www.w3.org/> .
+"""
+
+DC_CREATOR = "http://purl.org/dc/elements/1.1/creator"
+DC_PUBLISHER = "http://purl.org/dc/elements/1.1/publisher"
+
+
+def test_ntriples_parse_basics():
+    # reference test_serial_ntriples.py:23-38
+    quads = ntriples.parse(NT_DOC)
+    assert len(quads) == 3
+    pub = [q for q in quads if q[1] == DC_PUBLISHER]
+    assert len(pub) == 1 and isinstance(pub[0][2], I)
+    creators = [q for q in quads if q[1] == DC_CREATOR]
+    assert {q[2] for q in creators} == {"Dave Beckett", "Art Barstow"}
+    assert not isinstance(creators[0][2], I)
+
+
+def test_ntriples_pushdown_and_rdf_type():
+    nt = NT_DOC + ("<http://a> "
+                   "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type> "
+                   "<http://b> .\n")
+    only = ntriples.parse(nt, only_rel={DC_CREATOR})
+    # only_rel keeps typing (ntriples.py:54-55) + requested rel
+    assert {q[1] for q in only} == {DC_CREATOR, str(VTYPE_REL)}
+    excl = ntriples.parse(nt, exclude_rel={DC_CREATOR})
+    assert {q[1] for q in excl} == {DC_PUBLISHER, str(VTYPE_REL)}
+
+
+def test_ntriples_roundtrip_text():
+    quads = ntriples.parse(NT_DOC)
+    text = ntriples.write_string(quads)
+    again = ntriples.parse(text)
+    assert sorted(map(str, (q[2] for q in again))) == sorted(
+        map(str, (q[2] for q in quads)))
+
+
+def test_ntriples_df_roundtrip(spark):
+    df = spark.createDataFrame([(l,) for l in NT_DOC.splitlines()],
+                               "value string")
+    links = ntriples.parse_df(spark, df)
+    rows = links.collect()
+    assert len(rows) == 3
+    assert {r.target for r in rows if not r.t_iri} == {
+        "Dave Beckett", "Art Barstow"}
+    only = ntriples.parse_df(spark, df, only_rel={DC_CREATOR})
+    assert only.count() == 2
+    # round-trip through write_df
+    lines = ntriples.write_df(links).collect()
+    again = ntriples.parse("\n".join(r.value for r in lines))
+    assert len(again) == 3
+
+
+BOOKS_CSV = """\
+Title,Author,Author date,ISBN,Publisher,Pub date
+Half of a Yellow Sun,Chimamanda Ngozi Adichie,1977,9780008205249,Fourth Estate,2006
+Things Fall Apart,Chinụalụmọgụ Achebe,1930,9781841593272,William Heinemann Ltd.,1958
+"""
+
+VLIT_TEMPLATE = """\
+# @docheader
+
+* @iri:
+    * @base: https://example.org/
+    * @schema: http://example.org/vocab/
+
+# /{ISBN} [Book]
+
+* title: {Title}
+* creator: {Author}
+* published: {Pub_date}
+"""
+
+
+def test_csv_template_parse():
+    quads = vcsv.parse(BOOKS_CSV, VLIT_TEMPLATE)
+    origins = {str(q[0]) for q in quads}
+    assert origins == {"https://example.org/9780008205249",
+                       "https://example.org/9781841593272"}
+    titles = {str(q[2]) for q in quads
+              if q[1] == "http://example.org/vocab/title"}
+    assert titles == {"Half of a Yellow Sun", "Things Fall Apart"}
+    # non-ASCII value survives (UTF-8 handling)
+    assert any("Achebe" in str(q[2]) for q in quads)
+
+
+def test_csv_parse_df(spark):
+    rows = [("Half of a Yellow Sun", "Chimamanda Ngozi Adichie", "1977",
+             "9780008205249", "Fourth Estate", "2006"),
+            ("Things Fall Apart", "Chinualumogu Achebe", "1930",
+             "9781841593272", "William Heinemann Ltd.", "1958")]
+    df = spark.createDataFrame(
+        rows, ["Title", "Author", "Author_date", "ISBN", "Publisher",
+               "Pub_date"])
+    links = vcsv.parse_df(df, VLIT_TEMPLATE)
+    got = {(r.origin, r.rel, r.target) for r in links.collect()}
+    local = {(str(o), str(r), str(t))
+             for (o, r, t, _a) in vcsv.parse(BOOKS_CSV.replace(
+                 "Chinụalụmọgụ", "Chinualumogu"),
+                 VLIT_TEMPLATE)}
+    assert got == local
+
+
+def test_simpleobj_parse():
+    objs = [{"id": "x1", "name": "Alpha"}, {"id": "x2", "name": "Beta"}]
+    tmpl = ("# @docheader\n\n* @iri:\n    * @base: http://example.org/\n\n"
+            "# {id} [Thing]\n\n* name: {name}\n")
+    quads = simpleobj.parse(objs, tmpl)
+    names = {str(q[2]) for q in quads
+             if str(q[1]).endswith("name")}
+    assert names == {"Alpha", "Beta"}
+
+
+def test_jsonld_bind_nesting():
+    A, B = I("http://x.org/a"), I("http://x.org/b")
+    quads = [
+        (A, VTYPE_REL, I("http://x.org/T")),
+        (A, I("http://x.org/knows"), B),
+        (A, I("http://x.org/name"), "Alice"),
+        (B, I("http://x.org/name"), "Bob"),
+    ]
+    out = jsonld.bind(quads, context={"@vocab": "http://x.org/",
+                                      "@output": False})
+    assert len(out) == 1
+    top = out[0]
+    assert top["@id"] == "http://x.org/a" and top["@type"] == "T"
+    # B nested under A
+    assert top["knows"]["name"] == "Bob"
+
+
+def test_mermaid_write():
+    A = I("http://x.org/a")
+    quads = [(A, VTYPE_REL, I("http://x.org/Widget")),
+             (A, VLABEL_REL, "The A"),
+             (A, I("http://x.org/size"), "42")]
+    text = mermaid.write(quads)
+    assert text.startswith("graph TD")
+    assert "fa:fa-tag" in text and "42" in text
+
+
+def test_rdfs_process():
+    V = VERSA_BASEIRI
+    quads = [
+        (I("http://x.org/C"), VTYPE_REL, V("Resource")),
+        (I("http://x.org/C"), V("refines"), I("http://x.org/Base")),
+        (I("http://x.org/C"), V("properties"), I("http://x.org/p")),
+        (I("http://x.org/p"), V("value"), I("http://x.org/D")),
+        (I("http://x.org/p"), V("value"), "Literal"),
+    ]
+    triples = rdfs.process(quads)
+    trip_set = {(s, p, o) for (s, p, o, _i) in triples}
+    assert ("http://x.org/C", rdfs.RDF_NS + "type",
+            rdfs.RDFS_NS + "Class") in trip_set
+    assert ("http://x.org/C", rdfs.RDFS_NS + "subClassOf",
+            "http://x.org/Base") in trip_set
+    assert ("http://x.org/p", rdfs.RDFS_NS + "domain",
+            "http://x.org/C") in trip_set
+    assert ("http://x.org/p", rdfs.RDFS_NS + "range",
+            "http://x.org/D") in trip_set
+    assert not any(o == "Literal" for (_s, _p, o) in trip_set)
+
+
+def test_rdfs_process_df_matches_local(spark):
+    from versa_spark.model import from_quads
+    V = VERSA_BASEIRI
+    quads = [
+        (I("http://x.org/C"), VTYPE_REL, V("Resource")),
+        (I("http://x.org/C"), V("refines"), I("http://x.org/Base")),
+        (I("http://x.org/C"), V("properties"), I("http://x.org/p")),
+        (I("http://x.org/p"), V("value"), I("http://x.org/D")),
+    ]
+    df = from_quads(spark, quads)
+    got = {(r.s, r.p, r.o) for r in rdfs.process_df(df).collect()}
+    local = {(s, p, o) for (s, p, o, _i) in rdfs.process(quads)}
+    assert got == local

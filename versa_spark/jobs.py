@@ -1,0 +1,72 @@
+"""spark-submit job entrypoints.
+
+Production shape (north rule):
+
+    spark-submit --py-files versa_spark.zip -m versa_spark.jobs kg \\
+        --input  /path/to/transcripts_parquet_or_iceberg \\
+        --workdir /path/to/checkpointed_workdir \\
+        [--synthetic-turns N]  [--buckets 256]  [--salt 32]
+
+Reads the transcript table (or synthesizes one deterministically for
+capacity tests), runs the checkpointed KG job (versa_spark.kg.job), and
+prints counter metrics as one JSON line.  Re-running with the same workdir
+and --fingerprint resumes after the last completed stage.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def kg_main(argv) -> int:
+    ap = argparse.ArgumentParser(prog="versa_spark.jobs kg")
+    ap.add_argument("--input", default=None,
+                    help="transcript parquet path (conv_id, turn_idx, role,"
+                         " text, tool, ts)")
+    ap.add_argument("--synthetic-turns", type=int, default=None,
+                    help="synthesize this many turns instead of reading")
+    ap.add_argument("--workdir", required=True)
+    ap.add_argument("--fingerprint", default="v1",
+                    help="input lineage fingerprint; unchanged = resume")
+    ap.add_argument("--buckets", type=int, default=32)
+    ap.add_argument("--salt", type=int, default=16)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    spark = SparkSession.builder.appName("versa-spark-kg").getOrCreate()
+
+    from versa_spark.kg.job import KGJob
+    if args.synthetic_turns:
+        from versa_spark.kg.transcripts import synthetic_transcripts
+        tx = synthetic_transcripts(
+            spark, n_convs=max(1, args.synthetic_turns // 25),
+            turns_per_conv=25)
+    elif args.input:
+        tx = spark.read.parquet(args.input)
+    else:
+        raise SystemExit("one of --input / --synthetic-turns is required")
+
+    job = KGJob(spark, args.workdir, n_buckets=args.buckets, salt=args.salt)
+    out = job.run(tx, input_fingerprint=args.fingerprint)
+    print(json.dumps({"metrics": job.metrics,
+                      "graph_rows": out["graph"].count(),
+                      "edge_rows": out["edges"].count()},
+                     separators=(",", ":"), default=str))
+    spark.stop()
+    return 0
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv:
+        raise SystemExit("usage: versa_spark.jobs <kg> [args]")
+    cmd, rest = argv[0], argv[1:]
+    if cmd == "kg":
+        return kg_main(rest)
+    raise SystemExit(f"unknown job {cmd!r}")
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -16,15 +16,24 @@ from versa_spark.kg import canonicalize, extract, linking
 
 def build_graph(spark: SparkSession, turns: DataFrame,
                 persist: bool = True) -> dict[str, DataFrame]:
-    """ordered turns → {turns, linked, graph, edges} DataFrames."""
-    if persist:
-        turns = turns.persist()
+    """ordered turns → {turns, linked, graph, edges} DataFrames.
+
+    The fat ``text`` column is consumed exactly once (by the mention UDF)
+    and NEVER persisted — only the slim turn projection and the narrow
+    linked-mention rows are cached.  At 10^12 turns the text column IS the
+    table; caching it would evict everything else."""
     linked = linking.link_entities(extract.turn_mentions(turns),
                                    linking.canonical_dictionary(spark))
+    # None of the graph link families consume turn_rank, so dropping it
+    # here lets Catalyst prune the window sort out of the triple-build
+    # plan entirely (the ranked view stays available via ordered_turns
+    # where rank IS consumed — per-turn invariant checks, sequence ops).
+    turns_slim = turns.drop("text", "turn_rank")
     if persist:
         linked = linked.persist()
-    graph = (extract.conversation_links(turns)
+        turns_slim = turns_slim.persist()
+    graph = (extract.conversation_links(turns_slim)
              .unionByName(canonicalize.mention_links(linked))
              .unionByName(canonicalize.entity_links(linked)))
-    return {"turns": turns, "linked": linked, "graph": graph,
+    return {"turns": turns_slim, "linked": linked, "graph": graph,
             "edges": canonicalize.adjacency_edges(graph)}

@@ -313,6 +313,23 @@ def write(df, out=sys.stdout, base=None, schema=None, shorteners=None,
     """Write a model DataFrame as Versa Literate. Driver-side (collects);
     canonical=True produces a deterministic sort — the reference's
     model-equality aid (serial/literate.py:101-117)."""
+    return write_rows(df.collect(), out=out, base=base, schema=schema,
+                      shorteners=shorteners, canonical=canonical)
+
+
+def write_rows(rows, out=sys.stdout, base=None, schema=None,
+               shorteners=None, canonical=False):
+    """Same writer over plain link rows
+    (origin, rel, target, t_iri, attr-entries, link_ix)."""
+    def _row(r):
+        if isinstance(r, (tuple, list)):
+            return {"origin": r[0], "rel": r[1], "target": r[2],
+                    "t_iri": r[3],
+                    "attrs": [{"k": e[0], "v": e[1]}
+                              if isinstance(e, (tuple, list)) else e
+                              for e in (r[4] or [])]}
+        return r
+    rows = [_row(r) for r in rows]
     shorteners = shorteners or {}
     all_schema = ([schema] if schema else []) + [str(VERSA_BASEIRI)]
 
@@ -323,8 +340,6 @@ def write(df, out=sys.stdout, base=None, schema=None, shorteners=None,
     if schema:
         out.write(f"    * @schema: {schema}")
     out.write("\n\n")
-
-    rows = df.collect()
     by_origin: dict = {}
     for r in rows:
         by_origin.setdefault(r["origin"], []).append(r)

@@ -1,0 +1,120 @@
+"""Similarity search over embedding columns.
+
+* ``bruteforce_topk`` — exact cosine top-k: broadcast the (small) query
+  set, JVM higher-order-function dot products, window-ranked top-k.  The
+  baseline and the verification oracle.
+* ``random_hyperplane_signatures`` / ``lsh_topk`` — the scale path:
+  sign-of-projection LSH.  Hyperplanes derive deterministically from a
+  seed via a hash → uniform(-1,1) construction (no RNG state, stable
+  across executors/runs — the same trick the synthetic data generator
+  uses).  Buckets bound the candidate set; exact cosine re-ranks inside
+  buckets (multi-probe via several tables, not wider beams).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _norm(vec_col):
+    return F.sqrt(F.aggregate(vec_col, F.lit(0.0),
+                              lambda acc, x: acc + x * x))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def bruteforce_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    q_id_col: str = "q_id", q_vec_col: str = "q_vec",
+                    round_digits: int | None = None) -> DataFrame:
+    """Exact top-k by cosine for each query: broadcast queries × corpus,
+    rank per query. One scan of the corpus; no shuffle of the corpus.
+    ``round_digits`` rounds cosines BEFORE ranking — set it when comparing
+    rankings across engines so float ulps can't flip ranks."""
+    base = emb.select(F.col(id_col).alias("vec_id"),
+                      F.col(vec_col).alias("v"),
+                      _norm(F.col(vec_col)).alias("nv"))
+    qs = queries.select(F.col(q_id_col).alias("q_id"),
+                        F.col(q_vec_col).alias("q"),
+                        _norm(F.col(q_vec_col)).alias("nq"))
+    cos = _dot(F.col("v"), F.col("q")) / (F.col("nv") * F.col("nq"))
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
+    scored = (base.join(F.broadcast(qs)).withColumn("cosine", cos))
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "vec_id", F.round("cosine", 6).alias("cosine"),
+                    "rank"))
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42):
+    """Deterministic pseudo-random hyperplanes as a Python list of lists
+    (broadcast as literals): plane[p][d] = hash(seed, p, d) → (-1, 1)."""
+    import numpy as np
+    out = []
+    old = np.seterr(over="ignore")
+    try:
+        for p in range(n_planes):
+            # splitmix64-style mix of (seed, p, d) — stable everywhere
+            d_ix = np.arange(dim, dtype=np.uint64)
+            x = (np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15)
+                 + np.uint64(p + 1) * np.uint64(0xBF58476D1CE4E5B9)
+                 + (d_ix + np.uint64(1)) * np.uint64(0x94D049BB133111EB))
+            x ^= x >> np.uint64(30)
+            x *= np.uint64(0xBF58476D1CE4E5B9)
+            x ^= x >> np.uint64(27)
+            vals = (x.astype(np.float64) / 2**64) * 2.0 - 1.0
+            out.append([float(v) for v in vals])
+    finally:
+        np.seterr(**old)
+    return out
+
+
+def random_hyperplane_signatures(df: DataFrame, vec_col: str,
+                                 planes) -> DataFrame:
+    """Adds ``bucket``: bit b = sign(v · plane_b).  Dot products as
+    zip_with/aggregate over plane literals — JVM-side."""
+    sig = None
+    for i, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(_dot(F.col(vec_col), plane_col) >= 0,
+                     F.lit(1 << i).cast("long")).otherwise(
+                         F.lit(0).cast("long"))
+        sig = bit if sig is None else (sig + bit)
+    return df.withColumn("bucket", sig)
+
+
+def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
+             n_planes: int = 8, seed: int = 42,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             q_id_col: str = "q_id", q_vec_col: str = "q_vec",
+             dim: int | None = None) -> DataFrame:
+    """Approximate top-k: candidates share the query's hyperplane-sign
+    bucket; exact cosine re-ranks within the bucket.  2^n_planes buckets →
+    corpus/2^n candidates per query on average."""
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    base = random_hyperplane_signatures(
+        emb.select(F.col(id_col).alias("vec_id"),
+                   F.col(vec_col).alias("v"),
+                   _norm(F.col(vec_col)).alias("nv")), "v", planes)
+    qs = random_hyperplane_signatures(
+        queries.select(F.col(q_id_col).alias("q_id"),
+                       F.col(q_vec_col).alias("q"),
+                       _norm(F.col(q_vec_col)).alias("nq")), "q", planes)
+    scored = (base.join(F.broadcast(qs), "bucket")
+              .withColumn("cosine",
+                          _dot(F.col("v"), F.col("q"))
+                          / (F.col("nv") * F.col("nq"))))
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "vec_id", F.round("cosine", 6).alias("cosine"),
+                    "rank"))

@@ -1,0 +1,94 @@
+"""Structured Streaming ingestion: transcripts stream → KG graph stream.
+
+The reference is batch-only (SURVEY.md §2.11); its closest analogue is the
+generator-based incremental parse (serial/csv.py:44-106).  Here the same
+per-batch design runs on Structured Streaming:
+
+* ``stream_graph_query`` — file-source stream of transcript parquet →
+  ``foreachBatch``: each micro-batch runs the identical batch extraction +
+  linking (one code path for batch and streaming — the foreachBatch
+  pattern), appending to a graph parquet sink.  Turn ordering inside a
+  batch uses the same window rank; cross-batch ordering is by delivery
+  (streaming can't sort the unbounded future).
+* ``streaming_mention_counts`` — native streaming aggregation: watermarked
+  event-time windows over mention events (late data bounded by the
+  watermark), demonstrating watermark + windowed aggs per the engine
+  checklist.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    IntegerType, StringType, StructField, StructType, TimestampType,
+)
+
+TRANSCRIPT_SCHEMA = StructType([
+    StructField("conv_id", StringType(), False),
+    StructField("turn_idx", IntegerType(), False),
+    StructField("role", StringType(), True),
+    StructField("text", StringType(), True),
+    StructField("tool", StringType(), True),
+    StructField("ts", TimestampType(), True),
+])
+
+
+def read_transcript_stream(spark: SparkSession, input_dir: str,
+                           max_files_per_trigger: int = 16) -> DataFrame:
+    return (spark.readStream
+            .schema(TRANSCRIPT_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(input_dir))
+
+
+def stream_graph_query(spark: SparkSession, input_dir: str,
+                       output_dir: str, checkpoint_dir: str,
+                       available_now: bool = True):
+    """Start the stream: per micro-batch, run the batch KG construction
+    and append triples to ``output_dir``.  Returns the StreamingQuery."""
+    from versa_spark.kg.graph import build_graph
+    from versa_spark.kg.transcripts import ordered_turns
+
+    os.makedirs(output_dir, exist_ok=True)
+
+    def _process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        turns = ordered_turns(batch_df)
+        parts = build_graph(batch_df.sparkSession, turns)
+        (parts["graph"]
+         .withColumn("epoch", F.lit(epoch_id))
+         .write.mode("append").parquet(output_dir))
+        parts["linked"].unpersist()
+        parts["turns"].unpersist()
+
+    stream = read_transcript_stream(spark, input_dir)
+    writer = (stream.writeStream
+              .foreachBatch(_process_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def streaming_mention_counts(spark: SparkSession, input_dir: str,
+                             window: str = "10 minutes",
+                             watermark: str = "30 minutes") -> DataFrame:
+    """Native streaming plan: watermarked event-time windowed mention
+    counts per entity.  Returns the unbounded DataFrame — caller attaches
+    a sink (memory sink in tests)."""
+    from versa_spark.kg import extract, linking
+    stream = read_transcript_stream(spark, input_dir)
+    ex = extract.extract_mentions_udf()
+    mentions = (stream
+                .withWatermark("ts", watermark)
+                .withColumn("surface", F.explode(ex(F.col("text"))))
+                .join(F.broadcast(linking.canonical_dictionary(spark)),
+                      "surface"))
+    return (mentions
+            .groupBy(F.window("ts", window), F.col("entity_iri"))
+            .agg(F.count("*").alias("n_mentions"))
+            .select(F.col("window.start").alias("win_start"),
+                    "entity_iri", "n_mentions"))

@@ -1,0 +1,110 @@
+"""Text analysis for large-scale training-data pipelines.
+
+All hot paths are JVM column expressions (whole-stage codegen); only
+language-ID uses a pandas UDF (vectorized trigram profile scoring).
+Operates on the ``documents`` table shape (doc_id, text, lang, source,
+n_chars) but takes any DataFrame + text column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# A BPE-ish token regex: word pieces, numbers, or single non-space symbols
+# (the GPT-2 pre-tokenizer shape, simplified to ASCII classes).
+BPE_ISH_TOKEN = r"[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]"
+
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+             "for", "on", "with", "as", "at", "by", "this", "that")
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace and BPE-ish token counts as pure expressions."""
+    t = F.col(text_col)
+    ws = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(t), r"\s+")))
+    bpe = F.size(F.regexp_extract_all(t, F.lit(BPE_ISH_TOKEN), 0))
+    return df.withColumn("ws_tokens", ws.cast("int")) \
+             .withColumn("bpe_tokens", bpe.cast("int"))
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + a [0,1] score: length band, punctuation
+    ratio, stopword ratio, mean word length — the standard cheap filters of
+    web-scale corpus cleaning (C4/Gopher-style rules, public recipes)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    words = F.split(F.trim(t), r"\s+")
+    n_words = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(
+        F.size(words))
+    n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[^\w\s]"), 0))
+    n_stop = F.size(F.filter(words, lambda w: F.lower(w).isin(
+        list(STOPWORDS))))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0))
+    mean_wlen = F.when(n_words > 0,
+                       (n_chars - n_words + 1) / n_words).otherwise(F.lit(0.0))
+    length_ok = (n_words >= 10) & (n_words <= 100000)
+    score = (F.when(length_ok, F.lit(0.4)).otherwise(F.lit(0.0))
+             + F.when(punct_ratio < 0.2, F.lit(0.2)).otherwise(F.lit(0.0))
+             + F.when((stop_ratio > 0.01) & (stop_ratio < 0.6),
+                      F.lit(0.2)).otherwise(F.lit(0.0))
+             + F.when((mean_wlen > 2) & (mean_wlen < 12),
+                      F.lit(0.2)).otherwise(F.lit(0.0)))
+    return (df.withColumn("n_words", n_words.cast("int"))
+            .withColumn("punct_ratio", F.round(punct_ratio, 6))
+            .withColumn("stopword_ratio", F.round(stop_ratio, 6))
+            .withColumn("mean_word_len", F.round(mean_wlen, 6))
+            .withColumn("quality", F.round(score, 2)))
+
+
+# --- language ID: n-gram profile heuristic (pandas UDF) --------------------
+
+# Tiny deterministic trigram profiles (most-frequent trigrams per language,
+# from public frequency lists; enough for a heuristic tie-break).
+_LANG_PROFILES = {
+    "en": (" th", "the", "he ", " an", "and", "nd ", " of", "of ", "ing",
+           " to", "to ", "er ", " in", "ed ", "is "),
+    "fr": (" de", "de ", " le", "es ", "le ", "ent", " la", "la ", "ion",
+           "re ", " et", "et ", "que", " qu", "les"),
+    "de": ("er ", "en ", " de", "der", "ie ", " di", "die", "sch", "ein",
+           "che", "ich", "nde", " ei", "und", " un"),
+    "es": (" de", "de ", " la", "la ", "os ", "el ", " el", "que", " qu",
+           "as ", " en", "en ", "ent", "ción", " co"),
+}
+
+
+def lang_id_udf():
+    """pandas UDF: text → best-scoring language code ('und' when nothing
+    matches). Trigram containment scoring, vectorized per batch."""
+    from pyspark.sql.types import StringType
+
+    @F.pandas_udf(StringType())
+    def _lang(texts):
+        import pandas as pd
+
+        def score(s):
+            if not s:
+                return "und"
+            s = " " + s[:1000].lower() + " "
+            best, best_n = "und", 0
+            for lang, grams in _LANG_PROFILES.items():
+                n = sum(1 for g in grams if g in s)
+                if n > best_n:
+                    best, best_n = lang, n
+            return best if best_n >= 2 else "und"
+        return texts.map(score)
+    return _lang
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("lang_pred", lang_id_udf()(F.col(text_col)))
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit content fingerprint: xxhash64 of the whitespace-normalized
+    text (JVM-side; for exact-dup detection where cross-engine parity
+    doesn't matter) plus md5 (cross-engine verifiable)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return (df.withColumn("fp_xx64", F.xxhash64(norm))
+            .withColumn("fp_md5", F.md5(norm)))
