@@ -128,3 +128,30 @@ def test_unlinked_mentions_get_deterministic_ids(spark):
     expected = ENT + "unlinked/" + resource_id(
         TYPE_CONCEPT, [(ENT + "name", "zzz-novel")])
     assert linked.entity_iri == expected and not linked.linked
+
+
+def test_scored_entity_linking(spark):
+    """Candidate scoring: exact > normalized > stem; below-threshold →
+    deterministic unlinked ID."""
+    rows = [
+        ("c0", 0, "t0", "join"),        # exact hit          → 1.0
+        ("c0", 1, "t1", "JOIN"),        # normalized hit     → 0.9
+        ("c0", 2, "t2", "windowses"),   # stem 'windowse'... miss
+        ("c0", 3, "t3", "columns"),     # stem 'column'      → 0.7
+        ("c0", 4, "t4", "zzz-none"),    # miss               → unlinked
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, turn_iri string, surface string")
+    out = {r.surface: r for r in linking.link_entities_scored(
+        df, linking.canonical_dictionary(spark)).collect()}
+    assert out["join"].linked and out["join"].link_score == 1.0
+    assert out["join"].entity_iri.endswith("/entity/join")
+    assert out["JOIN"].linked and out["JOIN"].link_score == 0.9
+    assert out["columns"].linked and out["columns"].link_score == 0.7
+    assert out["columns"].entity_iri.endswith("/entity/column")
+    assert not out["zzz-none"].linked and out["zzz-none"].link_score == 0.0
+    assert "/entity/unlinked/" in out["zzz-none"].entity_iri
+    # scored linking agrees with plain linking on exact hits
+    plain = {r.surface: r.entity_iri for r in linking.link_entities(
+        df, linking.canonical_dictionary(spark)).collect()}
+    assert plain["join"] == out["join"].entity_iri

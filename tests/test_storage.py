@@ -1,0 +1,66 @@
+"""Storage layout tests: origin-bucket partition pruning + plan checks."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from versa_spark import storage
+from versa_spark.model import from_quads
+from versa_spark.iriref import I
+
+
+@pytest.fixture(scope="module")
+def stored(spark, tmp_path_factory):
+    quads = []
+    for i in range(200):
+        o = I(f"http://x.org/res/{i}")
+        quads.append((o, "http://x.org/name", f"name-{i}"))
+        quads.append((o, "http://x.org/size", str(i)))
+    path = str(tmp_path_factory.mktemp("model") / "links")
+    storage.write_model(from_quads(spark, quads), path, n_buckets=16)
+    return storage.read_model(spark, path)
+
+
+def test_roundtrip(spark, stored):
+    assert stored.count() == 400
+    assert "obucket" in stored.columns
+
+
+def test_match_stored_prunes_partitions(spark, stored):
+    hit = storage.match_stored(stored, origin="http://x.org/res/7",
+                               n_buckets=16)
+    rows = hit.collect()
+    assert {r.target for r in rows} == {"name-7", "7"}
+    # partition pruning: the scan must read only 1 of 16 obucket dirs
+    plan = hit._jdf.queryExecution().executedPlan().toString()
+    import re
+    m = re.search(r"partitions read[:=]?\s*(\d+)", plan, re.I)
+    if m:
+        assert int(m.group(1)) == 1
+    else:
+        # fall back: PartitionFilters mention obucket
+        assert "obucket" in plan
+
+
+def test_pushed_filters_reach_parquet(spark, stored):
+    q = stored.filter(F.col("rel") == "http://x.org/name").select("target")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "rel" in plan
+    # column pruning: origin not in ReadSchema
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "target" in read_schema and "origin" not in read_schema
+
+
+def test_literate_parse_df(spark):
+    doc = ("# @docheader\n\n* @iri:\n    * @base: http://example.org/\n\n"
+           "# r{i} [Thing]\n\n* name: value {i}\n")
+    from versa_spark.serial.literate import parse_df, parse_to_quads
+    df = spark.createDataFrame(
+        [(doc.replace("{i}", str(i)),) for i in range(10)], "vlit string")
+    links = parse_df(df)
+    got = {(r.origin, r.rel, r.target) for r in links.collect()}
+    local = set()
+    for i in range(10):
+        quads, _ = parse_to_quads(doc.replace("{i}", str(i)))
+        local |= {(str(o), str(r), str(t)) for (o, r, t, _a) in quads}
+    assert got == local and len(got) == 20

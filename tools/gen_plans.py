@@ -1,0 +1,79 @@
+"""Regenerate PLANS.md — physical-plan audit of the headline operators.
+Run from the repo root:  python tools/gen_plans.py
+"""
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from pyspark.sql import SparkSession
+
+def main():
+    spark = (SparkSession.builder.master("local[8]")
+             .config("spark.sql.shuffle.partitions", "16")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.ui.enabled", "false").getOrCreate())
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    out = open("PLANS.md", "w")
+    out.write("""# PLANS — physical-plan audit of the headline operators
+
+Evidence that the plans are the ones we want at 100 TB: filters reach the
+parquet scans (`PushedFilters`), projections prune columns (`ReadSchema`),
+small sides broadcast, expressions stay inside WholeStageCodegen, and the
+window sort is absent from the triple-build plan. Regenerate with
+`python tools/gen_plans.py`.
+
+""")
+
+    def section(title, df, note):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        lines = plan.splitlines()[:42]
+        out.write(f"## {title}\n\n{note}\n\n```\n"
+                  + "\n".join(lines) + "\n```\n\n")
+
+    import __spark_entry__ as e
+
+    section("match(rel=…) over derived quads",
+            e.queries()["match_rel"](spark, sf),
+            "The rel filter collapses into the explode's array "
+            "construction — only the needed source columns are read "
+            "(`ReadSchema`); one WholeStageCodegen span; no shuffle.")
+
+    df = e.queries()["follow_hops"](spark, sf); df.count()
+    section("follow (3-hop traversal)", df,
+            "Chained equi-joins; AQE converts the per-hop joins to "
+            "broadcast hash joins at these sizes (`BroadcastHashJoin`); "
+            "at scale the same plan degrades gracefully to sort-merge.")
+
+    df = e.queries()["kg_graph_triples"](spark, sf); df.count()
+    section("KG triple build (flagship)", df,
+            "No Window operator (rank pruned — not consumed by link "
+            "generation); the mention UDF appears once (ArrowEvalPython); "
+            "the entity dictionary joins as BroadcastHashJoin; the fat "
+            "text column never reaches a persist or exchange beyond the "
+            "initial scan.")
+
+    from versa_spark.kg import canonicalize, extract, linking
+    from versa_spark.kg.transcripts import (ordered_turns,
+                                            transcripts_from_documents)
+    turns = ordered_turns(transcripts_from_documents(spark, sf))
+    linked = linking.link_entities(extract.turn_mentions(turns),
+                                   linking.canonical_dictionary(spark))
+    stats = canonicalize.entity_mention_counts(linked, salted=True)
+    stats.count()
+    section("salted canonicalization", stats,
+            "Two HashAggregate pairs (partial/final) around the salted "
+            "key — the hot 'spark' entity spreads over `salt` reducers in "
+            "phase 1; phase 2 sees at most `salt` rows per entity.")
+
+    from versa_spark import dedup
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    sig = dedup.minhash_signatures(docs.select("doc_id", "text"),
+                                   num_hashes=16)
+    sig.count()
+    section("MinHash signatures", sig,
+            "min() aggregates after one explode — all JVM whole-stage "
+            "codegen, no Python in the signature path.")
+    out.close()
+    print("PLANS.md written")
+    spark.stop()
+
+if __name__ == "__main__":
+    main()

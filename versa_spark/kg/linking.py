@@ -66,6 +66,78 @@ def resource_id_udf():
     return _rid
 
 
+def link_entities_scored(mentions: DataFrame, dictionary: DataFrame,
+                         broadcast: bool = True,
+                         min_score: float = 0.5) -> DataFrame:
+    """Candidate-scoring entity linking (the north star's 'scores
+    candidates against a broadcast canonical-ID dictionary').
+
+    Candidate generation = three broadcast joins on progressively looser
+    keys; each candidate carries a match score:
+
+        exact surface            → 1.0
+        case/space-normalized    → 0.9
+        plural/inflection stem   → 0.7
+
+    The best candidate per mention wins (window rank over the mention id,
+    score desc, canonical asc for determinism); mentions scoring below
+    *min_score* fall back to deterministic fingerprint IDs.  All joins are
+    map-side (dictionary broadcast); the only shuffle is the per-mention
+    window, partitioned by the mention key (no hot keys — mention ids are
+    unique)."""
+    from pyspark.sql import Window
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col("surface"))), r"\s+", " ")
+    stem = F.regexp_replace(norm, r"(es|s)$", "")
+    m = (mentions
+         .withColumn("_mid", F.monotonically_increasing_id())
+         .withColumn("_norm", norm)
+         .withColumn("_stem", stem))
+
+    d = dictionary
+    d_norm = F.regexp_replace(F.lower(F.trim(F.col("surface"))),
+                              r"\s+", " ")
+    d_stem = F.regexp_replace(d_norm, r"(es|s)$", "")
+    dict_keys = d.select(
+        F.col("surface").alias("_k_exact"),
+        d_norm.alias("_k_norm"), d_stem.alias("_k_stem"),
+        "canonical", "entity_iri")
+    if broadcast:
+        dict_keys = F.broadcast(dict_keys)
+
+    def _cand(key_col, dict_key, score):
+        return (m.join(dict_keys, F.col(key_col) == F.col(dict_key))
+                .select("_mid", "canonical", "entity_iri",
+                        F.lit(score).alias("score")))
+
+    cands = (_cand("surface", "_k_exact", 1.0)
+             .unionByName(_cand("_norm", "_k_norm", 0.9))
+             .unionByName(_cand("_stem", "_k_stem", 0.7))
+             .filter(F.col("score") >= min_score))
+    w = Window.partitionBy("_mid").orderBy(
+        F.col("score").desc(), F.col("canonical"), F.col("entity_iri"))
+    best = (cands.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("_mid", F.col("canonical").alias("_c"),
+                    F.col("entity_iri").alias("_e"), "score"))
+
+    out = m.join(best, "_mid", "left")
+    plaintext = F.when(
+        F.col("_e").isNull(),
+        fingerprint_plaintext_col(TYPE_CONCEPT, ENT + "name",
+                                  F.col("surface")))
+    rid = resource_id_udf()
+    return out.select(
+        *mentions.columns,
+        F.col("_e").isNotNull().alias("linked"),
+        F.coalesce(F.col("score"), F.lit(0.0)).alias("link_score"),
+        F.coalesce(F.col("_c"), F.col("surface")).alias("canonical"),
+        F.coalesce(
+            F.col("_e"),
+            F.concat(F.lit(ENT + "unlinked/"), rid(plaintext))
+        ).alias("entity_iri"))
+
+
 def link_entities(mentions: DataFrame, dictionary: DataFrame,
                   broadcast: bool = True) -> DataFrame:
     """mentions (…, surface) ⋈ dictionary → adds ``entity_iri``,

@@ -263,6 +263,35 @@ def _process_docheader(props, quads, doc):
             doc.interp.update(_setup_interpretations({fullprop: prop.value}))
 
 
+def parse_df(docs_df, text_col: str = "vlit"):
+    """Bulk Literate parsing: DataFrame with one Literate document per row
+    → link DataFrame, parsed per Arrow batch inside mapInPandas (each
+    document is an independent subgraph — same fan-out shape as the KG
+    job's per-conversation rule application)."""
+    from versa_spark.model import LINK_SCHEMA
+    from versa_spark.shipping import ensure_shipped
+    ensure_shipped(docs_df.sparkSession)
+
+    def _batches(pdf_iter):
+        import pandas as pd
+        from versa_spark.model import quads_to_rows
+        for pdf in pdf_iter:
+            all_quads = []
+            for text in pdf[text_col]:
+                if not text:
+                    continue
+                quads, _ = parse_to_quads(str(text))
+                all_quads.extend(quads)
+            rows = quads_to_rows(all_quads)
+            yield pd.DataFrame(
+                [(o, r, t, ti, [{"k": k, "v": v} for (k, v) in a], None)
+                 for (o, r, t, ti, a, _ix) in rows],
+                columns=["origin", "rel", "target", "t_iri", "attrs",
+                         "link_ix"])
+
+    return docs_df.mapInPandas(_batches, LINK_SCHEMA)
+
+
 def parse(vlit: str, spark=None, config: dict | None = None):
     """Parse Literate text → Spark model DataFrame (or quads when no
     SparkSession given). Returns (model, doc_iri) — the reference returns

@@ -1,0 +1,58 @@
+"""Model storage: partitioned Parquet link tables.
+
+Replaces the reference's six storage drivers (SURVEY.md §1.4) with one
+layout: links partitioned by ``obucket = pmod(xxhash64(origin), N)`` and
+sorted within files by (origin, rel).  This restores, on Spark, the two
+physical properties the reference engines relied on:
+
+* origin point-lookups prune to one partition (the lmdb prefix-seek,
+  driver/lmdb.py:117-168) — ``match(origin=…)`` touches 1/N of the data;
+* (origin, rel) locality within row groups gives Parquet min/max row-group
+  skipping (the sqlite ``(subj,pred)`` index, driver/sqlite.py:231).
+
+IRI-prefix compression (lmdb.py:283-313) falls out of Parquet dictionary
+encoding for free.  At Iceberg scale the same layout is
+``PARTITIONED BY (bucket(N, origin))`` with a sort order of (origin, rel).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from versa_spark.model import LINK_COLS
+
+
+def write_model(df: DataFrame, path: str, n_buckets: int = 64,
+                mode: str = "overwrite") -> None:
+    """Write a link DataFrame as an origin-bucketed Parquet model table."""
+    out = (df.select(*[c for c in LINK_COLS if c in df.columns])
+           .withColumn("obucket",
+                       F.pmod(F.xxhash64("origin"), F.lit(n_buckets)))
+           .sortWithinPartitions("origin", "rel"))
+    out.write.mode(mode).partitionBy("obucket").parquet(path)
+
+
+def read_model(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def match_stored(model: DataFrame, origin=None, rel=None, target=None,
+                 attrs=None, n_buckets: int = 64) -> DataFrame:
+    """match() over a stored model: when *origin* is given, add the
+    equivalent obucket predicate so Catalyst prunes to one partition
+    (partition pruning needs the literal bucket value — computed
+    driver-side with the same hash)."""
+    from versa_spark import ops
+    out = model
+    if origin is not None and "obucket" in model.columns:
+        bucket = _bucket_of(model.sparkSession, str(origin), n_buckets)
+        out = out.filter(F.col("obucket") == bucket)
+    return ops.match(out, origin=origin, rel=rel, target=target,
+                     attrs=attrs)
+
+
+def _bucket_of(spark: SparkSession, origin: str, n_buckets: int) -> int:
+    """xxhash64 is a JVM function; evaluate it once on a literal row."""
+    return spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit(origin)), F.lit(n_buckets)).alias("b")
+    ).first()["b"]
