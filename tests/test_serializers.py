@@ -188,3 +188,53 @@ def test_rdfs_process_df_matches_local(spark):
     got = {(r.s, r.p, r.o) for r in rdfs.process_df(df).collect()}
     local = {(s, p, o) for (s, p, o, _i) in rdfs.process(quads)}
     assert got == local
+
+
+RDFA_DOC = """\
+<html><body vocab="http://schema.org/">
+  <div resource="http://example.org/book1" typeof="Book">
+    <span property="name">The Catcher in the Rye</span>
+    <a property="url" href="http://example.org/b1.html">link</a>
+    <meta property="isbn" content="0316769487">
+    <div property="author" typeof="Person">
+      <span property="name">J. D. Salinger</span>
+    </div>
+  </div>
+  <p prefix="dc: http://purl.org/dc/terms/">
+    <span about="x" property="dc:subject"
+          resource="http://example.org/book1">x</span>
+  </p>
+</body></html>
+"""
+
+
+def test_rdfalite_parse():
+    from versa_spark.serial import rdfalite
+    triples = rdfalite.parse(RDFA_DOC, "http://example.org/doc")
+    trip = {(str(s), str(p), str(o)) for (s, p, o) in triples}
+    B = "http://example.org/book1"
+    RDF_TYPE = rdfalite.RDF_NS + "type"
+    assert (B, RDF_TYPE, "http://schema.org/Book") in trip
+    assert (B, "http://schema.org/name", "The Catcher in the Rye") in trip
+    assert (B, "http://schema.org/url", "http://example.org/b1.html") in trip
+    assert (B, "http://schema.org/isbn", "0316769487") in trip
+    # nested typeof without resource → blank node, typed Person, named
+    bnodes = {s for (s, p, o) in triples
+              if str(s).startswith("__VERSABLANKNODE__")}
+    assert len(bnodes) == 1
+    bn = str(next(iter(bnodes)))
+    assert (B, "http://schema.org/author", bn) in trip
+    assert (bn, RDF_TYPE, "http://schema.org/Person") in trip
+    assert (bn, "http://schema.org/name", "J. D. Salinger") in trip
+    # prefixed property via prefix= declaration
+    assert any(p == "http://purl.org/dc/terms/subject"
+               for (_s, p, _o) in triples)
+
+
+def test_rdfalite_df(spark):
+    from versa_spark.serial import rdfalite
+    df = spark.createDataFrame([(RDFA_DOC,)], "html string")
+    links = rdfalite.parse_html_df(df)
+    rows = links.collect()
+    local = rdfalite.parse(RDFA_DOC, "http://example.org/doc/0")
+    assert len(rows) == len(local) > 5

@@ -63,3 +63,41 @@ def test_streaming_windowed_mention_counts(spark, input_dir):
          for r in batch.collect()}
     s = {(str(r.win_start), r.entity_iri, r.n_mentions) for r in rows}
     assert s == b
+
+
+def test_stateful_conversation_sessions(spark, tmp_path):
+    """applyInPandasWithState accumulates per-conversation state across
+    micro-batches; the final emitted totals equal the batch groupBy."""
+    d = str(tmp_path / "in2")
+    tx = synthetic_transcripts(spark, n_convs=20, turns_per_conv=8)
+    # two file chunks → at least two micro-batches (maxFilesPerTrigger=1)
+    tx.filter(F.col("turn_idx") < 4).coalesce(1).write.mode(
+        "overwrite").parquet(d)
+    tx.filter(F.col("turn_idx") >= 4).coalesce(1).write.mode(
+        "append").parquet(d)
+
+    from versa_spark.streaming import streaming_conversation_state
+    out = streaming_conversation_state(spark, d, max_files_per_trigger=1)
+    q = (out.writeStream.outputMode("update")
+         .format("memory").queryName("conv_state")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    rows = spark.sql("SELECT * FROM conv_state").collect()
+    # last emission per conversation = totals
+    final = {}
+    for r in rows:
+        cur = final.get(r.conv_id)
+        if cur is None or r.n_turns >= cur.n_turns:
+            final[r.conv_id] = r
+    assert len(final) == 20
+    assert all(r.n_turns == 8 and r.last_turn_idx == 7
+               for r in final.values())
+
+    import re
+    from versa_spark.kg.extract import _MENTION_PAT
+    pat = re.compile(_MENTION_PAT)
+    expect = {}
+    for r in tx.collect():
+        expect[r.conv_id] = expect.get(r.conv_id, 0) + len(
+            pat.findall(r.text or ""))
+    assert {k: v.n_mentions for k, v in final.items()} == expect

@@ -73,6 +73,55 @@ def stream_graph_query(spark: SparkSession, input_dir: str,
     return writer.start()
 
 
+CONV_STATE_SCHEMA = "n_turns LONG, n_mentions LONG, last_turn_idx INT"
+CONV_OUT_SCHEMA = StructType([
+    StructField("conv_id", StringType(), False),
+    StructField("n_turns", IntegerType(), False),
+    StructField("n_mentions", IntegerType(), False),
+    StructField("last_turn_idx", IntegerType(), False),
+])
+
+
+def streaming_conversation_state(spark: SparkSession, input_dir: str,
+                                 max_files_per_trigger: int = 1) -> DataFrame:
+    """Custom stateful operator: ``applyInPandasWithState`` keyed by
+    conv_id, accumulating running turn/mention counts across micro-batches
+    (the engine-checklist item the reference has no analogue for — its
+    closest is the coroutine sink, serial/util.py:23-49).
+
+    Emits the running per-conversation totals each time a batch touches
+    the conversation.  State is (n_turns, n_mentions, last_turn_idx)."""
+    import re as _re
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from versa_spark.kg.extract import _MENTION_PAT
+
+    pat = _re.compile(_MENTION_PAT)
+
+    def _update(key, pdfs, state):
+        import pandas as pd
+        conv_id = key[0]
+        n_turns, n_mentions, last_ix = (
+            state.get if state.exists else (0, 0, -1))
+        for pdf in pdfs:
+            n_turns += len(pdf)
+            n_mentions += int(sum(len(pat.findall(t or ""))
+                                  for t in pdf["text"]))
+            if len(pdf):
+                last_ix = max(last_ix, int(pdf["turn_idx"].max()))
+        state.update((n_turns, n_mentions, last_ix))
+        yield pd.DataFrame({"conv_id": [conv_id],
+                            "n_turns": [n_turns],
+                            "n_mentions": [n_mentions],
+                            "last_turn_idx": [last_ix]})
+
+    stream = read_transcript_stream(spark, input_dir,
+                                    max_files_per_trigger)
+    return (stream.groupBy("conv_id")
+            .applyInPandasWithState(
+                _update, CONV_OUT_SCHEMA, CONV_STATE_SCHEMA,
+                "update", GroupStateTimeout.NoTimeout))
+
+
 def streaming_mention_counts(spark: SparkSession, input_dir: str,
                              window: str = "10 minutes",
                              watermark: str = "30 minutes") -> DataFrame:
