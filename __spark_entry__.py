@@ -160,6 +160,54 @@ def _q_kg_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.select("src", "rel", "dst").distinct()
 
 
+def _q_pipeline_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fingerprint→transform→labelize pipeline fanned out per record
+    via applyInPandas (pipeline.spark_run), projected to a rel histogram
+    (resource IDs are mmh3 hashes — counts are the SQL-checkable view;
+    exact-ID parity is covered by the golden-ID tests)."""
+    from versa_spark.iriref import I
+    from versa_spark.pipeline.spark_run import GROUPED_LINK_SCHEMA
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").orderBy(
+        "p_partkey").limit(300)
+    B = I("http://example.org/vocab/")
+    SCH = I("https://schema.org/")
+    p_iri = F.concat(F.lit("http://example.org/part/"), F.col("p_partkey"))
+    rows = part.select(F.explode(F.array(
+        F.struct(p_iri.alias("origin"),
+                 F.lit(str(TYPE_REL)).alias("rel"),
+                 F.lit(str(B("Book"))).alias("target"),
+                 F.lit(True).alias("t_iri")),
+        F.struct(p_iri.alias("origin"), F.lit(str(B("title"))).alias("rel"),
+                 F.col("p_name").cast("string").alias("target"),
+                 F.lit(False).alias("t_iri")),
+        F.struct(p_iri.alias("origin"),
+                 F.lit(str(B("identifier"))).alias("rel"),
+                 F.col("p_partkey").cast("string").alias("target"),
+                 F.lit(False).alias("t_iri")),
+    )).alias("l")).select(
+        F.col("l.origin").alias("group_key"), "l.origin", "l.rel",
+        "l.target", "l.t_iri",
+        F.array().cast("array<struct<k:string,v:string>>").alias("attrs"),
+        F.lit(None).cast("long").alias("link_ix"))
+    links = spark.createDataFrame(rows.collect(), GROUPED_LINK_SCHEMA)
+
+    def make_pipeline():
+        from versa_spark.pipeline import (follow, generic_pipeline, link,
+                                          materialize)
+        return generic_pipeline(
+            {B("Book"): materialize(
+                SCH("Book"),
+                fprint=[(SCH("isbn"), follow(B("identifier")))])},
+            {B("title"): link(rel=SCH("name"))},
+            {SCH("Book"): follow(SCH("name"))})
+
+    from versa_spark.pipeline.spark_run import run_pipeline_grouped
+    out = run_pipeline_grouped(links, make_pipeline, keep_group_col=False)
+    return (out.groupBy("rel").agg(F.count("*").alias("n"))
+            .select("rel", F.col("n").cast("long").alias("n")))
+
+
 def _q_zoom_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zoom_in(model, focus=customer/1, depth=2): BFS subgraph extraction
     (reference util.py:226-253) — bounded iterative self-join."""
@@ -310,6 +358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_stats": _q_kg_entity_stats,
         "kg_graph_triples": _q_kg_graph_triples,
         "kg_adjacency": _q_kg_adjacency,
+        "pipeline_histogram": _q_pipeline_histogram,
         "zoom_in": _q_zoom_in,
         "replace_values": _q_replace_values,
         "labels": _q_labels,
@@ -431,6 +480,15 @@ def oracle_sql() -> dict[str, str]:
         for g in grams)
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
     ops_sql = {
+        "pipeline_histogram": """
+            WITH p AS (SELECT * FROM part ORDER BY p_partkey LIMIT 300),
+            n(x) AS (SELECT COUNT(*) FROM p)
+            SELECT 'http://bibfra.me/purl/versa/type' AS rel, x AS n FROM n
+            UNION ALL
+            SELECT 'https://schema.org/name', x FROM n
+            UNION ALL
+            SELECT 'http://bibfra.me/purl/versa/label', x FROM n
+        """,
         "zoom_in": f"""
             WITH c AS (SELECT * FROM customer WHERE c_custkey = 1),
             n AS (SELECT nation.* FROM nation

@@ -176,3 +176,50 @@ def test_json_roundtrip(spark, rels1):
     m2 = jsonload(spark, buf)
     assert models_equal(m.select(*[c for c in m.columns]), m2) or \
         canonical_quads(m) == canonical_quads(m2)
+
+
+def test_remaining_util_ops(spark, rels1):
+    """column / labels / lookup_byvalue / replace_values /
+    duplicate_statements / remove_links / uniquify (reference
+    util.py:78-223 family)."""
+    from pyspark.sql import functions as F
+    from versa_spark import VLABEL_REL
+    from versa_spark.model import from_quads, size
+    df = from_quads(spark, rels1)
+
+    # column: distinct values of one position (util.py:78-88)
+    rels = {r.rel for r in ops.column(df, "rel").collect()}
+    assert rels == {"http://purl.org/dc/elements/1.1/creator",
+                    "http://purl.org/dc/elements/1.1/title"}
+
+    # labels (util.py:99-104): relabel title links
+    labeled = df.withColumn(
+        "rel", F.when(F.col("rel").endswith("title"),
+                      F.lit(str(VLABEL_REL))).otherwise(F.col("rel")))
+    labs = {(r.origin, r.label) for r in ops.labels(labeled).collect()}
+    assert ("http://copia.ogbuji.net", "Copia") in labs and len(labs) == 3
+
+    # lookup_byvalue (util.py:40-42)
+    origins = {r.origin for r in ops.lookup_byvalue(
+        df, "http://purl.org/dc/elements/1.1/creator",
+        "Uche Ogbuji").collect()}
+    assert origins == {"http://copia.ogbuji.net", "http://uche.ogbuji.net"}
+
+    # replace_values: bulk origin remap (util.py:162-172)
+    mapped = ops.replace_values(
+        df, {"http://copia.ogbuji.net": "http://copia.example/new"})
+    assert mapped.filter(
+        F.col("origin") == "http://copia.example/new").count() == 2
+    assert mapped.count() == size(df)
+
+    # duplicate_statements (util.py:194-206)
+    dup = ops.duplicate_statements(df, "http://copia.ogbuji.net",
+                                   "http://copia.example/copy")
+    assert size(dup) == size(df) + 2
+
+    # remove_links + uniquify
+    removed = ops.remove_links(
+        df, F.col("origin") == "http://copia.ogbuji.net")
+    assert size(removed) == size(df) - 2
+    doubled = df.unionByName(df)
+    assert size(ops.uniquify(doubled)) == size(df)
