@@ -53,17 +53,21 @@ class LocalModel:
 
     # -- mutation ----------------------------------------------------------
 
-    def add(self, origin, rel, target, attrs=None) -> bool:
-        """Append a link; silently refuse exact duplicates
-        (memory.py:179-181). Returns True when added."""
+    def add(self, origin, rel, target, attrs=None, index=None):
+        """Append (or insert at *index*) a link; silently refuse exact
+        duplicates (memory.py:179-188). Returns the statement id of the
+        added link, or None when refused — the reference's contract."""
         attrs = dict(attrs) if attrs else {}
         key = (str(origin), str(rel), str(target) if target is not None else None,
                isinstance(target, I), _canon_attrs(attrs))
         if key in self._keys:
-            return False
+            return None
         self._keys.add(key)
-        self._links.append((origin, rel, target, attrs))
-        return True
+        if index is None:
+            self._links.append((origin, rel, target, attrs))
+            return len(self._links) - 1
+        self._links.insert(index, (origin, rel, target, attrs))
+        return index
 
     def add_many(self, quads) -> None:
         for quad in quads:
