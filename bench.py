@@ -42,7 +42,8 @@ def main() -> None:
 
     queries = entrymod.queries()
     headline = ["kg_graph_triples", "kg_mentions", "kg_entity_stats",
-                "follow_hops", "match_rel"]
+                "follow_hops", "match_rel", "minhash_lsh", "ann_topk",
+                "token_quality"]
     # Warmup lap at the smallest SF: JVM codegen + Python UDF worker spawn
     # are session costs, not query costs — bench reports steady state.
     for name in headline:

@@ -155,3 +155,42 @@ def test_scored_entity_linking(spark):
     plain = {r.surface: r.entity_iri for r in linking.link_entities(
         df, linking.canonical_dictionary(spark)).collect()}
     assert plain["join"] == out["join"].entity_iri
+
+
+def test_triple_parity_at_sf01(spark):
+    """Same P/R check at 10x the corpus (sf0.1: 5000 docs): precision and
+    recall vs the reference-semantics rule path stay 1.0."""
+    tx10 = transcripts_from_documents(spark, "/root/testdata/sf0.1")
+    from versa_spark.kg.graph import build_graph
+    graph = build_graph(spark, ordered_turns(tx10))["graph"]
+    spark_triples = {(r.origin, r.rel, r.target)
+                     for r in graph.select("origin", "rel",
+                                           "target").collect()}
+    rows = [(r.conv_id, r.turn_idx, r.role, r.text, r.tool)
+            for r in tx10.collect()]
+    ref_triples = reference_triples(rows)
+    inter = spark_triples & ref_triples
+    assert len(inter) == len(spark_triples) == len(ref_triples)
+    assert len(ref_triples) > 50000  # sf0.1: ~79k triples
+
+
+def test_kg_output_literate_roundtrip(spark, tx):
+    """KG graph sample → Versa Literate text → parse → identical triples
+    (serializer interop with the KG artifacts)."""
+    from versa_spark.kg.graph import build_graph
+    from versa_spark.local import LocalModel
+    from versa_spark.serial.literate import parse_to_quads, write_rows
+    import io
+
+    graph = build_graph(spark, ordered_turns(tx))["graph"]
+    sample = (graph.filter(F.col("origin").startswith(
+        "http://example.org/transcript/conv-1/"))
+        .select("origin", "rel", "target", "t_iri")
+        .collect())
+    rows = [(r.origin, r.rel, r.target, r.t_iri, [], None) for r in sample]
+    buf = io.StringIO()
+    write_rows(rows, out=buf, canonical=True)
+    quads, _ = parse_to_quads(buf.getvalue())
+    back = {(str(o), str(r), str(t)) for (o, r, t, _a) in quads}
+    orig = {(r.origin, r.rel, r.target) for r in sample}
+    assert back == orig and len(orig) > 20

@@ -238,3 +238,19 @@ def test_rdfalite_df(spark):
     rows = links.collect()
     local = rdfalite.parse(RDFA_DOC, "http://example.org/doc/0")
     assert len(rows) == len(local) > 5
+
+
+def test_jsonld_bind_df(spark):
+    from versa_spark.model import from_quads
+    A, B = I("http://x.org/a"), I("http://x.org/b")
+    quads = [
+        (A, VTYPE_REL, I("http://x.org/T")),
+        (A, I("http://x.org/name"), "Alice"),
+        (B, I("http://x.org/name"), "Bob"),
+    ]
+    docs = jsonld.bind_df(from_quads(spark, quads)).collect()
+    import json
+    by_id = {r["@id"]: json.loads(r.doc) for r in docs}
+    assert set(by_id) == {str(A), str(B)}
+    a_rels = {l["rel"]: l["target"] for l in by_id[str(A)]["links"]}
+    assert a_rels["http://x.org/name"] == "Alice"
