@@ -332,6 +332,25 @@ def _q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("a", "b", F.round("cosine", 2).alias("cos2"))
 
 
+def _q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: near-dup pairs → connected components
+    (iterative min-label propagation, dedup.connected_components).  The
+    pair graph chains shifted copies plus every-10th neighbor link, so
+    components span multiple hops; the oracle is recursive SQL."""
+    from versa_spark import dedup
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id").orderBy("doc_id").limit(100))
+    pairs = (docs.select(F.col("doc_id").alias("a"),
+                         (F.col("doc_id") + 1000000).alias("b"))
+             .unionByName(docs.select(
+                 (F.col("doc_id") + 1000000).alias("a"),
+                 (F.col("doc_id") + 2000000).alias("b")))
+             .unionByName(docs.filter(F.col("doc_id") % 10 == 0)
+                          .select(F.col("doc_id").alias("a"),
+                                  (F.col("doc_id") + 1).alias("b"))))
+    return dedup.connected_components(pairs).select("doc_id", "component")
+
+
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for 10 query vectors (simsearch.py).
     Cosines are rounded before ranking in BOTH engines so float ulps
@@ -370,6 +389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dups": _q_simhash_dups,    # rows-only (xxhash64 sigs)
         "emb_near_dups": _q_emb_near_dups,
         "ann_topk": _q_ann_topk,
+        "dup_components": _q_dup_components,
     }
 
 
@@ -679,6 +699,27 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_dot_product(x.v, y.v)
                   / (sqrt(list_dot_product(x.v, x.v))
                      * sqrt(list_dot_product(y.v, y.v))) >= 0.99
+        """,
+        "dup_components": """
+            WITH d AS (SELECT doc_id FROM documents
+                       ORDER BY doc_id LIMIT 100),
+            pairs AS (
+                SELECT doc_id AS a, doc_id + 1000000 AS b FROM d
+                UNION ALL
+                SELECT doc_id + 1000000, doc_id + 2000000 FROM d
+                UNION ALL
+                SELECT doc_id, doc_id + 1 FROM d WHERE doc_id % 10 = 0),
+            edges AS (SELECT a AS x, b AS y FROM pairs
+                      UNION SELECT b, a FROM pairs),
+            nodes AS (SELECT DISTINCT x AS node FROM edges),
+            reach AS (
+                WITH RECURSIVE r(node, comp) AS (
+                    SELECT node, node FROM nodes
+                    UNION
+                    SELECT e.y, r.comp FROM r JOIN edges e ON e.x = r.node)
+                SELECT * FROM r)
+            SELECT node AS doc_id, MIN(comp) AS component
+            FROM reach GROUP BY node
         """,
         "ann_topk": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -168,3 +168,39 @@ def test_multimodal_plumbing(spark):
     assert "payload" not in plan.columns and plan.count() > 0
     stats = {r.kind: r.n for r in multimodal.media_stats(media).collect()}
     assert set(stats) == {"image", "audio", "video"}
+
+
+def test_connected_components_and_merge(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "a long, b long")
+    cc = {r.doc_id: r.component
+          for r in dedup.connected_components(pairs).collect()}
+    assert cc[1] == cc[2] == cc[3] == 1
+    assert cc[10] == cc[11] == 10
+    assert cc[20] == cc[21] == cc[22] == cc[23] == 20
+    # merge: link rewrite collapses members to representatives
+    links = spark.createDataFrame(
+        [("3", "cites", "22"), ("11", "cites", "5"), ("7", "cites", "7")],
+        "origin string, rel string, target string")
+    merged = {(r.origin, r.rel, r.target)
+              for r in dedup.merge_duplicates(links, pairs).collect()}
+    assert merged == {("1", "cites", "20"), ("10", "cites", "5"),
+                      ("7", "cites", "7")}
+
+
+def test_ivf_topk_finds_self_matches(spark, emb):
+    queries = emb.orderBy("vec_id").limit(4).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    out = simsearch.ivf_topk(emb, queries, k=5, n_cells=8, nprobe=2)
+    rows = {(r.q_id, r.vec_id): r for r in out.collect()}
+    # the query's own vector is in its probed cell → rank 1, cosine 1
+    for q in [r.q_id for r in queries.collect()]:
+        assert (q, q) in rows
+        assert rows[(q, q)].rank == 1
+    # IVF results are a subset of brute-force candidates re-ranked exactly:
+    # every returned cosine matches the brute-force cosine for that pair
+    bf = {(r.q_id, r.vec_id): r.cosine
+          for r in simsearch.bruteforce_topk(emb, queries, k=500).collect()}
+    for key, r in rows.items():
+        assert abs(bf[key] - r.cosine) < 1e-9

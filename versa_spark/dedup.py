@@ -175,6 +175,72 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
             .select("a", "b", "hamming"))
 
 
+def connected_components(pairs: DataFrame, a_col: str = "a",
+                         b_col: str = "b",
+                         max_iters: int = 50) -> DataFrame:
+    """Duplicate-pair graph → (doc_id, component) via iterative min-label
+    propagation (alternating large-star/small-star style; converges in
+    O(log n) rounds for near-dup graphs, whose components are tiny).
+
+    This is the cluster step between near-dup *pairs* (minhash/simhash/
+    cosine) and the resource-merge rewrite (ops.replace_values semantics,
+    reference util.py:162-191): every member maps to the component's
+    minimum id."""
+    edges = (pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+             .unionByName(pairs.select(F.col(b_col).alias("x"),
+                                       F.col(a_col).alias("y")))
+             .distinct())
+    labels = (edges.select(F.col("x").alias("node"))
+              .distinct()
+              .withColumn("component", F.col("node")))
+    edges = edges.persist()
+    for _ in range(max_iters):
+        # neighbor-min: candidate label = min(own, min over neighbors)
+        nbr = (edges.join(labels.withColumnRenamed("node", "y"), "y")
+               .groupBy("x").agg(F.min("component").alias("nbr_min"))
+               .withColumnRenamed("x", "node"))
+        new_labels = (labels.join(nbr, "node", "left")
+                      .select("node",
+                              F.least(F.col("component"),
+                                      F.coalesce(F.col("nbr_min"),
+                                                 F.col("component")))
+                              .alias("component"))
+                      .persist())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.component") != F.col("o.component"))
+                   .limit(1).count())
+        labels.unpersist() if hasattr(labels, "unpersist") else None
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), "component")
+
+
+def merge_duplicates(links: DataFrame, pairs: DataFrame,
+                     a_col: str = "a", b_col: str = "b") -> DataFrame:
+    """Resource merge: rewrite origins/targets of *links* so every member
+    of a duplicate cluster collapses to the cluster representative (the
+    minimum id) — the bulk form of the reference's
+    ``replace_entity_resource`` (util.py:175-191) fed by near-dup pairs."""
+    cc = connected_components(pairs, a_col, b_col)
+    mapping = (cc.filter(F.col("doc_id") != F.col("component"))
+               .select(F.col("doc_id").cast("string").alias("_from"),
+                       F.col("component").cast("string").alias("_to")))
+    m_o = F.broadcast(mapping.select(F.col("_from").alias("_from_o"),
+                                     F.col("_to").alias("_to_o")))
+    m_t = F.broadcast(mapping.select(F.col("_from").alias("_from_t"),
+                                     F.col("_to").alias("_to_t")))
+    out = (links
+           .join(m_o, links["origin"] == m_o["_from_o"], "left")
+           .join(m_t, links["target"] == m_t["_from_t"], "left"))
+    keep = [c for c in links.columns if c not in ("origin", "target")]
+    return out.select(
+        F.coalesce("_to_o", "origin").alias("origin"),
+        F.coalesce("_to_t", "target").alias("target"), *keep)
+
+
 def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         threshold: float = 0.95) -> DataFrame:

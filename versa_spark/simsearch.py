@@ -89,6 +89,76 @@ def random_hyperplane_signatures(df: DataFrame, vec_col: str,
     return df.withColumn("bucket", sig)
 
 
+def ivf_assign(emb: DataFrame, centroids, vec_col: str = "v") -> DataFrame:
+    """Adds ``cell``: index of the nearest centroid by cosine (centroid
+    list broadcast as literals; argmax over per-centroid dot products)."""
+    best_ix = None
+    best_score = None
+    for i, c in enumerate(centroids):
+        c_col = F.array(*[F.lit(float(x)) for x in c])
+        score = _dot(F.col(vec_col), c_col) / _norm(F.col(vec_col))
+        if best_ix is None:
+            best_ix, best_score = F.lit(i), score
+        else:
+            cond = score > best_score
+            best_ix = F.when(cond, F.lit(i)).otherwise(best_ix)
+            best_score = F.when(cond, score).otherwise(best_score)
+    return df_with(emb, "cell", best_ix)
+
+
+def df_with(df, name, col):
+    return df.withColumn(name, col)
+
+
+def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
+             n_cells: int = 16, nprobe: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             q_id_col: str = "q_id", q_vec_col: str = "q_vec") -> DataFrame:
+    """IVF (inverted-file) approximate top-k: vectors are assigned to the
+    nearest of ``n_cells`` centroids; each query probes its ``nprobe``
+    nearest cells and exact cosine re-ranks inside them.
+
+    Centroids are the first ``n_cells`` corpus vectors by id —
+    deterministic and good enough for a flat quantizer over synthetic
+    data; a production build would run a few k-means|| rounds (the
+    assignment/probing plan is identical).  Candidate volume per query ≈
+    corpus × nprobe / n_cells."""
+    cents = [list(r[1]) for r in
+             emb.select(id_col, vec_col).orderBy(id_col)
+             .limit(n_cells).collect()]
+    base = ivf_assign(
+        emb.select(F.col(id_col).alias("vec_id"),
+                   F.col(vec_col).alias("v"),
+                   _norm(F.col(vec_col)).alias("nv")), cents, "v")
+    # query probes: rank cells per query, keep nprobe
+    q = queries.select(F.col(q_id_col).alias("q_id"),
+                       F.col(q_vec_col).alias("q"),
+                       _norm(F.col(q_vec_col)).alias("nq"))
+    probe_rows = []
+    for i, c in enumerate(cents):
+        c_col = F.array(*[F.lit(float(x)) for x in c])
+        probe_rows.append(
+            q.select("q_id", F.lit(i).alias("cell"),
+                     (_dot(F.col("q"), c_col) / F.col("nq")).alias("_s")))
+    probes = probe_rows[0]
+    for p in probe_rows[1:]:
+        probes = probes.unionByName(p)
+    w_p = Window.partitionBy("q_id").orderBy(F.col("_s").desc(), "cell")
+    probes = (probes.withColumn("_r", F.row_number().over(w_p))
+              .filter(F.col("_r") <= nprobe).select("q_id", "cell"))
+    scored = (base.join(F.broadcast(probes), "cell")
+              .join(F.broadcast(q), "q_id")
+              .withColumn("cosine",
+                          _dot(F.col("v"), F.col("q"))
+                          / (F.col("nv") * F.col("nq"))))
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "vec_id", F.round("cosine", 6).alias("cosine"),
+                    "rank"))
+
+
 def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
              n_planes: int = 8, seed: int = 42,
              id_col: str = "vec_id", vec_col: str = "embedding",
