@@ -130,6 +130,26 @@ def test_unlinked_mentions_get_deterministic_ids(spark):
     assert linked.entity_iri == expected and not linked.linked
 
 
+def test_unlinked_non_ascii_ids_match_python_path(spark):
+    """Non-ASCII / control-char / quote surfaces route through the UDF's
+    json.dumps path, so \\uXXXX escaping matches ids.resource_id exactly
+    (the round-1 advisory: IDs must converge across paths for every
+    surface)."""
+    from versa_spark.ids import resource_id
+    from versa_spark.kg.extract import ENT, TYPE_CONCEPT
+    surfaces = ["café", "naïve- burrito", 'quo"te', "back\\slash",
+                "tab\there", "日本語", "émigré nbsp"]
+    df = spark.createDataFrame(
+        [("c0", i, f"t{i}", s) for i, s in enumerate(surfaces)],
+        "conv_id string, turn_idx int, turn_iri string, surface string")
+    got = {r.surface: r.entity_iri for r in linking.link_entities(
+        df, linking.canonical_dictionary(spark)).collect()}
+    for s in surfaces:
+        expected = ENT + "unlinked/" + resource_id(
+            TYPE_CONCEPT, [(ENT + "name", s)])
+        assert got[s] == expected, f"ID diverged for {s!r}"
+
+
 def test_scored_entity_linking(spark):
     """Candidate scoring: exact > normalized > stem; below-threshold →
     deterministic unlinked ID."""

@@ -75,3 +75,27 @@ def test_parse_errors():
     for bad in ["?($a", "?($a, x)", "banana", "?($a, H5 'title', *) xor"]:
         with pytest.raises(ValueError):
             parse(bad)
+
+
+def test_and_not_subtracts(model):
+    # negation (reference miniast.py:87-92): see-also origins that do NOT
+    # also carry a title link → NOT IN semantics per shared variable
+    result = execute(
+        model, "?($a, H5L 'see-also', *) and not ?($a, H5 'title', *)",
+        VARIABLES)
+    assert result == {"a": {"http://uche.ogbuji.net/"}}
+
+
+def test_and_not_no_match_is_noop(model):
+    result = execute(
+        model,
+        "?($a, H5 'title', *) and not ?($a, H5L 'author', 'nonexistent')",
+        VARIABLES)
+    assert result == {"a": {"http://uche.ogbuji.net/ndewo/"}}
+
+
+def test_negation_parse_errors():
+    for bad in ["not ?($a, H5 'title', *)",
+                "?($a, H5 'title', *) or not ?($a, H5L 'see-also', *)"]:
+        with pytest.raises(ValueError):
+            parse(bad)

@@ -254,3 +254,111 @@ def test_jsonld_bind_df(spark):
     assert set(by_id) == {str(A), str(B)}
     a_rels = {l["rel"]: l["target"] for l in by_id[str(A)]["links"]}
     assert a_rels["http://x.org/name"] == "Alice"
+
+
+# ---------------------------------------------------------------------------
+# Legacy markdown_parse config surface (reference serial/markdown_parse.py,
+# tested by test/py/test_parsemd.py:44-83)
+# ---------------------------------------------------------------------------
+
+REF_RES = "/root/reference/test/resource"
+H5 = "http://www.w3.org/TR/html5/"
+
+
+def _parsemd_config():
+    VB = str(VERSA_BASEIRI)
+    return {
+        "autotype-h1": "http://example.org/r1",
+        "autotype-h2": "http://example.org/r2",
+        "interpretations": {
+            VB + "refines": VB + "resourceset",
+            VB + "properties": VB + "resourceset",
+            VB + "synonyms": VB + "resourceset",
+        },
+    }
+
+
+@pytest.mark.parametrize("fixture", ["doc1.md", "doc1.abbr.md"])
+def test_parsemd_doc1_parity(fixture):
+    """Reproduces the reference's test_versa_syntax1 exact assertions: both
+    the explicit and the @docheader-abbreviated form of doc1 yield the
+    same 6 links."""
+    from versa_spark.serial import literate
+    text = open(f"{REF_RES}/{fixture}").read()
+    quads, _ = literate.parse_to_quads(text, config=_parsemd_config())
+    results = [(str(o), str(r), str(t), dict(a)) for (o, r, t, a) in quads]
+    assert len(results) == 6
+    ndewo = "http://uche.ogbuji.net/ndewo/"
+    uche = "http://uche.ogbuji.net/"
+    assert (ndewo, str(VTYPE_REL), H5 + "#Document", {}) in results
+    assert (ndewo, H5 + "title", "Ndewo, Colorado", {}) in results
+    assert (ndewo, H5 + "link-type/author", uche,
+            {H5 + "link/description": "Uche Ogbuji"}) in results
+    assert (ndewo, H5 + "link-type/see-also",
+            "http://www.goodreads.com/book/show/18714145-ndewo-colorado",
+            {H5 + "link/label": "Goodreads"}) in results
+    assert (uche, str(VTYPE_REL), H5 + "#Document", {}) in results
+    assert (uche, H5 + "link-type/see-also", ndewo, {}) in results
+
+
+def test_autotype_headers_assign_types():
+    """autotype-h1/h2/h3: header level assigns a default resource type when
+    the section has no explicit [Type] (markdown_parse.py:330-334)."""
+    from versa_spark.serial import literate
+    doc = """# @docheader
+
+* @iri:
+    * @base: http://example.org/
+    * @schema: http://example.org/v/
+
+# res1
+
+* name: "One"
+
+## res2 [SpecialType]
+
+* name: "Two"
+
+### res3
+
+* name: "Three"
+"""
+    quads, _ = literate.parse_to_quads(doc, config={
+        "autotype-h1": "http://example.org/T1",
+        "autotype-h2": "http://example.org/T2",
+        "autotype-h3": "http://example.org/T3"})
+    types = {str(o): str(t) for (o, r, t, a) in quads
+             if str(r) == str(VTYPE_REL)}
+    assert types["http://example.org/res1"] == "http://example.org/T1"
+    # explicit [Type] wins over the level autotype
+    assert types["http://example.org/res2"] == "http://example.org/v/SpecialType"
+    assert types["http://example.org/res3"] == "http://example.org/T3"
+
+
+def test_flattener(spark):
+    """Schematic attribute flattening (reference serial/flattener.py's
+    documented intent): attributed links → attr-free links + derived
+    statements per pattern."""
+    from versa_spark.model import from_quads
+    from versa_spark.serial import flattener
+    quads = [
+        ("http://a", "http://v/author", I("http://p1"),
+         {"http://v/role": "editor", "http://v/order": "1"}),
+        ("http://a", "http://v/author", I("http://p2"),
+         {"http://v/role": "writer"}),
+        ("http://a", "http://v/title", "A Book", {"@lang": "en"}),
+    ]
+    links = from_quads(spark, quads)
+    out = flattener.flatten(links, [
+        ("http://v/author", "http://v/role", "http://v/hasRole"),
+        ("http://v/author", "http://v/order", "http://v/authorOrder",
+         "origin"),
+    ])
+    rows = {(r.origin, r.rel, r.target) for r in out.collect()}
+    assert ("http://p1", "http://v/hasRole", "editor") in rows
+    assert ("http://p2", "http://v/hasRole", "writer") in rows
+    assert ("http://a", "http://v/authorOrder", "1") in rows
+    # base links survive, attribute-free; unmatched attrs (@lang) dropped
+    assert ("http://a", "http://v/title", "A Book") in rows
+    assert all(len(r.attrs) == 0 for r in out.collect())
+    assert out.count() == 6

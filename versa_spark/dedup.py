@@ -51,20 +51,8 @@ def shingles(df: DataFrame, id_col: str = "doc_id",
                       .alias("shingle")))
 
 
-def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
-                        text_col: str = "text", k: int = 3,
-                        threshold: float = 0.8) -> DataFrame:
-    """Exact Jaccard over word k-shingles for all co-shingling pairs.
-    (a, b, jaccard) with a < b and jaccard ≥ threshold.  Quadratic in
-    shingle-sharing docs — the verification kernel, not the discovery
-    path (use minhash_lsh_candidates for discovery at scale)."""
-    sh = shingles(df, id_col, text_col, k)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("b"), "shingle")
-    inter = (a.join(b, "shingle")
-             .filter(F.col("a") < F.col("b"))
-             .groupBy("a", "b").agg(F.count("*").alias("n_inter")))
+def _jaccard_finish(inter: DataFrame, sizes: DataFrame,
+                    threshold: float) -> DataFrame:
     sa = sizes.select(F.col("doc_id").alias("a"),
                       F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("b"),
@@ -77,14 +65,66 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
             .select("a", "b", F.round("jaccard", 6).alias("jaccard")))
 
 
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 3,
+                        threshold: float = 0.8,
+                        candidates: DataFrame | None = None) -> DataFrame:
+    """Exact Jaccard over word k-shingles.  (a, b, jaccard) with a < b and
+    jaccard ≥ threshold.
+
+    With ``candidates`` (an (a, b) pair DataFrame, a < b) the computation
+    is *scoped*: only docs appearing in a candidate pair get shingled into
+    the join, and intersections are counted per candidate pair (candidates
+    ⋈ shingles-of-a ⋈ shingles-of-b) — cost is O(candidate pairs ×
+    shingles/doc), never all-pairs.  Without it, all co-shingling pairs
+    are scored — quadratic in shingle-sharing docs; the verification
+    kernel, not the discovery path (use minhash_lsh_candidates for
+    discovery at scale)."""
+    sh = shingles(df, id_col, text_col, k)
+    if candidates is not None:
+        cands = candidates.select("a", "b")
+        cand_ids = (cands.select(F.col("a").alias("doc_id"))
+                    .unionByName(cands.select(F.col("b").alias("doc_id")))
+                    .distinct())
+        sh = sh.join(cand_ids, "doc_id", "left_semi")
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+        a_sh = sh.select(F.col("doc_id").alias("a"), "shingle")
+        b_sh = sh.select(F.col("doc_id").alias("b"), "shingle")
+        inter = (cands.join(a_sh, "a")
+                 .join(b_sh, ["b", "shingle"])
+                 .groupBy("a", "b").agg(F.count("*").alias("n_inter")))
+        return _jaccard_finish(inter, sizes, threshold)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (a.join(b, "shingle")
+             .filter(F.col("a") < F.col("b"))
+             .groupBy("a", "b").agg(F.count("*").alias("n_inter")))
+    return _jaccard_finish(inter, sizes, threshold)
+
+
+def _shingle_hash(i: int, hash_family: str):
+    """Per-seed shingle hash column.  'xxhash64' (default) is the fast
+    JVM path; 'md5' is the cross-engine-reproducible family (DuckDB can
+    compute the identical signature, so the driver oracle is a full
+    value check, not rows-only) — min is taken lexicographically over the
+    hex digest."""
+    if hash_family == "xxhash64":
+        return F.xxhash64(F.col("shingle"), F.lit(i))
+    if hash_family == "md5":
+        return F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))
+    raise ValueError(f"unknown hash_family {hash_family!r}")
+
+
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", k: int = 3,
-                       num_hashes: int = 64) -> DataFrame:
-    """(doc_id, sig array<long>): sig[i] = min over shingles of
-    xxhash64(shingle, seed=i).  Pure JVM aggregation — num_hashes
+                       num_hashes: int = 64,
+                       hash_family: str = "xxhash64") -> DataFrame:
+    """(doc_id, sig array): sig[i] = min over shingles of
+    hash(shingle, seed=i).  Pure JVM aggregation — num_hashes
     min() aggregates after one explode; no Python."""
     sh = shingles(df, id_col, text_col, k)
-    aggs = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+    aggs = [F.min(_shingle_hash(i, hash_family)).alias(f"h{i}")
             for i in range(num_hashes)]
     sig = sh.groupBy("doc_id").agg(*aggs)
     return sig.select("doc_id", F.array(
@@ -94,20 +134,28 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
 def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text", k: int = 3,
                            num_hashes: int = 64, bands: int = 16,
-                           verify_threshold: float | None = 0.8
-                           ) -> DataFrame:
+                           verify_threshold: float | None = 0.8,
+                           hash_family: str = "xxhash64") -> DataFrame:
     """Banded-LSH candidate pairs, optionally verified with exact Jaccard.
 
     bands × rows-per-band = num_hashes; docs agreeing on any full band
     bucket together; the pair join happens only within buckets (bucket id
-    = hash of the band slice) — never all-pairs."""
+    = hash of the band slice) — never all-pairs.  Verification is scoped
+    to the candidate pairs (``ngram_jaccard_pairs(candidates=…)``): the
+    shingle table is semi-joined down to candidate docs and intersections
+    are counted per candidate pair, so the verify stage costs
+    O(candidates), never the full-corpus all-pairs join it exists to
+    avoid."""
     rows_per = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    sig = minhash_signatures(df, id_col, text_col, k, num_hashes,
+                             hash_family)
+    bucket_of = (lambda expr: F.xxhash64(expr)) \
+        if hash_family == "xxhash64" else F.md5
     banded = sig.select(
         "doc_id",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
-                     F.xxhash64(F.concat_ws(
+                     bucket_of(F.concat_ws(
                          ",", *[F.col("sig")[b * rows_per + r].cast("string")
                                 for r in range(rows_per)])).alias("bucket"))
             for b in range(bands)])).alias("bb")
@@ -119,49 +167,83 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
              .select("a", "b").distinct())
     if verify_threshold is None:
         return cands
-    verified = ngram_jaccard_pairs(df, id_col, text_col, k,
-                                   threshold=verify_threshold)
-    return cands.join(verified, ["a", "b"], "inner")
+    return ngram_jaccard_pairs(df, id_col, text_col, k,
+                               threshold=verify_threshold,
+                               candidates=cands)
 
 
 def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per doc: per-token xxhash64 → per-bit weighted vote →
+                       text_col: str = "text",
+                       hash_family: str = "xxhash64") -> DataFrame:
+    """64-bit SimHash per doc: per-token hash → per-bit weighted vote →
     sign.  All JVM: explode tokens, then 64 sum() aggregates over bit
-    tests."""
+    tests.
+
+    hash_family='xxhash64' (default) packs the signature into a long
+    ``simhash``; 'md5' derives the 64 bits from the first 16 hex chars of
+    md5(token) and emits ``simhash`` as a 64-char '0'/'1' string — every
+    step is reproducible in DuckDB SQL, so the driver oracle is a full
+    value check.  Bit i lives at hex digit i//4, position i%4 within the
+    digit."""
     words = F.split(normalized_text(text_col), " ")
-    tok = (df.select(F.col(id_col).alias("doc_id"),
-                     F.explode(words).alias("w"))
-           .withColumn("h", F.xxhash64("w")))
-    votes = [F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))
-                          == 1, 1).otherwise(-1)).alias(f"b{i}")
-             for i in range(64)]
-    agg = tok.groupBy("doc_id").agg(*votes)
-    sig = None
+    tok = df.select(F.col(id_col).alias("doc_id"),
+                    F.explode(words).alias("w"))
+    if hash_family == "xxhash64":
+        tok = tok.withColumn("h", F.xxhash64("w"))
+        votes = [F.sum(F.when(F.shiftright(F.col("h"), i)
+                              .bitwiseAND(F.lit(1)) == 1, 1)
+                       .otherwise(-1)).alias(f"b{i}")
+                 for i in range(64)]
+        agg = tok.groupBy("doc_id").agg(*votes)
+        sig = None
+        for i in range(64):
+            bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")) \
+                   .otherwise(F.lit(0).cast("long"))
+            term = bit * F.lit(1 << i).cast("long") if i < 63 else \
+                F.when(F.col(f"b{i}") > 0,
+                       F.lit(-(1 << 63)).cast("long")).otherwise(
+                           F.lit(0).cast("long"))
+            sig = term if sig is None else (sig + term)
+        return agg.select("doc_id", sig.alias("simhash"))
+    if hash_family != "md5":
+        raise ValueError(f"unknown hash_family {hash_family!r}")
+    tok = tok.withColumn("h16", F.substring(F.md5("w"), 1, 16))
+    votes = []
     for i in range(64):
-        bit = F.when(F.col(f"b{i}") > 0,
-                     F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = bit * F.lit(1 << i).cast("long") if i < 63 else \
-            F.when(F.col(f"b{i}") > 0,
-                   F.lit(-(1 << 63)).cast("long")).otherwise(
-                       F.lit(0).cast("long"))
-        sig = term if sig is None else (sig + term)
+        digit_val = F.conv(F.substring("h16", i // 4 + 1, 1), 16, 10) \
+                     .cast("int")
+        bit = F.shiftright(digit_val, i % 4).bitwiseAND(F.lit(1))
+        votes.append(F.sum(F.when(bit == 1, 1).otherwise(-1))
+                     .alias(f"b{i}"))
+    agg = tok.groupBy("doc_id").agg(*votes)
+    sig = F.concat(*[F.when(F.col(f"b{i}") > 0, F.lit("1"))
+                     .otherwise(F.lit("0")) for i in range(64)])
     return agg.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text",
-                      max_hamming: int = 3) -> DataFrame:
+                      max_hamming: int = 3,
+                      hash_family: str = "xxhash64") -> DataFrame:
     """Near-dup pairs by SimHash: candidates bucket on 16-bit bands (any
     identical band → candidate; Hamming ≤ 3 over 4 bands guarantees one
     matching band by pigeonhole), then exact Hamming filter."""
-    sig = simhash_signatures(df, id_col, text_col)
-    banded = sig.select("doc_id", "simhash", F.explode(F.array(*[
-        F.struct(F.lit(b).alias("band"),
-                 F.shiftrightunsigned(F.col("simhash"), b * 16)
-                 .bitwiseAND(F.lit(0xFFFF)).alias("bucket"))
-        for b in range(4)])).alias("bb")).select(
-            "doc_id", "simhash", "bb.band", "bb.bucket")
+    sig = simhash_signatures(df, id_col, text_col, hash_family)
+    if hash_family == "xxhash64":
+        band_cols = [
+            F.struct(F.lit(b).alias("band"),
+                     F.shiftrightunsigned(F.col("simhash"), b * 16)
+                     .bitwiseAND(F.lit(0xFFFF)).cast("string")
+                     .alias("bucket"))
+            for b in range(4)]
+    else:
+        band_cols = [
+            F.struct(F.lit(b).alias("band"),
+                     F.substring("simhash", b * 16 + 1, 16).alias("bucket"))
+            for b in range(4)]
+    banded = sig.select("doc_id", "simhash",
+                        F.explode(F.array(*band_cols)).alias("bb")) \
+                .select("doc_id", "simhash", "bb.band", "bb.bucket")
     left = banded.select(F.col("doc_id").alias("a"),
                          F.col("simhash").alias("sig_a"), "band", "bucket")
     right = banded.select(F.col("doc_id").alias("b"),
@@ -169,69 +251,129 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
     pairs = (left.join(right, ["band", "bucket"])
              .filter(F.col("a") < F.col("b"))
              .select("a", "b", "sig_a", "sig_b").distinct())
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (pairs.withColumn("hamming", hamming)
+    if hash_family == "xxhash64":
+        hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    else:
+        hamming = F.aggregate(
+            F.sequence(F.lit(1), F.lit(64)), F.lit(0),
+            lambda acc, i: acc + F.when(
+                F.col("sig_a").substr(i, F.lit(1))
+                != F.col("sig_b").substr(i, F.lit(1)), 1).otherwise(0))
+    return (pairs.withColumn("hamming", hamming.cast("int"))
             .filter(F.col("hamming") <= max_hamming)
             .select("a", "b", "hamming"))
 
 
 def connected_components(pairs: DataFrame, a_col: str = "a",
                          b_col: str = "b",
-                         max_iters: int = 50) -> DataFrame:
-    """Duplicate-pair graph → (doc_id, component) via iterative min-label
-    propagation (alternating large-star/small-star style; converges in
-    O(log n) rounds for near-dup graphs, whose components are tiny).
+                         max_iters: int = 25,
+                         checkpoint_every: int = 1,
+                         with_rounds: bool = False):
+    """Duplicate-pair graph → (doc_id, component): alternating
+    neighbor-min hooking + pointer-doubling shortcut (the Shiloach-Vishkin
+    / large-star-small-star family, Kiveris et al. 2014) — converges in
+    O(log n) rounds even on long chains, unlike plain neighbor-min
+    propagation which needs O(diameter) rounds.
+
+    Each round runs two joins over the label table:
+      1. hook:     comp ← min(comp, min over neighbors' comp)
+      2. shortcut: comp ← comp(comp)     (pointer doubling)
+    The round's plan references the previous label table FOUR times
+    (hook twice, shortcut twice), so without truncation the logical plan
+    grows 4^rounds and OOMs the *driver* during analysis — the label
+    table is therefore localCheckpoint-ed (eagerly, truncating lineage to
+    a LogicalRDD) every ``checkpoint_every`` rounds, default every round,
+    exactly GraphFrames' checkpoint-interval strategy (a production
+    cluster build would use a reliable checkpoint dir, same call shape).
+    Raises RuntimeError if ``max_iters`` rounds don't converge — never
+    exits silently with split components.
 
     This is the cluster step between near-dup *pairs* (minhash/simhash/
     cosine) and the resource-merge rewrite (ops.replace_values semantics,
     reference util.py:162-191): every member maps to the component's
-    minimum id."""
+    minimum id.  ``with_rounds=True`` returns (labels, rounds) so tests
+    can assert logarithmic convergence."""
     edges = (pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
              .unionByName(pairs.select(F.col(b_col).alias("x"),
                                        F.col(a_col).alias("y")))
-             .distinct())
+             .distinct()
+             .persist())
     labels = (edges.select(F.col("x").alias("node"))
               .distinct()
               .withColumn("component", F.col("node")))
-    edges = edges.persist()
-    for _ in range(max_iters):
-        # neighbor-min: candidate label = min(own, min over neighbors)
+    rounds = 0
+    converged = False
+    for i in range(max_iters):
+        rounds += 1
+        # 1. hook: candidate label = min(own, min over neighbors' labels)
         nbr = (edges.join(labels.withColumnRenamed("node", "y"), "y")
                .groupBy("x").agg(F.min("component").alias("nbr_min"))
                .withColumnRenamed("x", "node"))
-        new_labels = (labels.join(nbr, "node", "left")
-                      .select("node",
-                              F.least(F.col("component"),
-                                      F.coalesce(F.col("nbr_min"),
-                                                 F.col("component")))
-                              .alias("component"))
-                      .persist())
+        hooked = (labels.join(nbr, "node", "left")
+                  .select("node",
+                          F.least(F.col("component"),
+                                  F.coalesce(F.col("nbr_min"),
+                                             F.col("component")))
+                          .alias("component")))
+        # 2. shortcut (pointer doubling): comp ← comp(comp).  Every comp
+        # value is itself a node id, so the self-join resolves one more
+        # pointer level — path lengths halve each round.
+        parent = hooked.select(F.col("node").alias("_p"),
+                               F.col("component").alias("_pc"))
+        doubled = (hooked.join(parent,
+                               hooked["component"] == parent["_p"], "left")
+                   .select("node",
+                           F.coalesce("_pc", "component").alias("component")))
+        if (i + 1) % checkpoint_every == 0:
+            new_labels = doubled.localCheckpoint(eager=True)
+        else:
+            new_labels = doubled.persist()
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "node")
                    .filter(F.col("n.component") != F.col("o.component"))
                    .limit(1).count())
-        labels.unpersist() if hasattr(labels, "unpersist") else None
+        if hasattr(labels, "unpersist"):
+            labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
-    return labels.select(F.col("node").alias("doc_id"), "component")
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            f"(pointer-doubling needs ~log2(n); raise max_iters)")
+    out = labels.select(F.col("node").alias("doc_id"), "component")
+    return (out, rounds) if with_rounds else out
 
 
 def merge_duplicates(links: DataFrame, pairs: DataFrame,
-                     a_col: str = "a", b_col: str = "b") -> DataFrame:
+                     a_col: str = "a", b_col: str = "b",
+                     broadcast: bool | str = "auto",
+                     broadcast_max_rows: int = 2_000_000) -> DataFrame:
     """Resource merge: rewrite origins/targets of *links* so every member
     of a duplicate cluster collapses to the cluster representative (the
     minimum id) — the bulk form of the reference's
-    ``replace_entity_resource`` (util.py:175-191) fed by near-dup pairs."""
+    ``replace_entity_resource`` (util.py:175-191) fed by near-dup pairs.
+
+    The mapping is O(#duplicates): on a 100-TB corpus at a 20-50% dup
+    rate it is billions of rows, so broadcast is size-guarded.
+    ``broadcast='auto'`` counts the mapping (the label table is already
+    materialized by connected_components, so the count is cheap) and
+    broadcasts only below ``broadcast_max_rows``; above it the rewrite
+    degrades to plain shuffled left joins, which AQE plans normally —
+    same degrade convention as kg.linking.link_entities(broadcast=)."""
     cc = connected_components(pairs, a_col, b_col)
     mapping = (cc.filter(F.col("doc_id") != F.col("component"))
                .select(F.col("doc_id").cast("string").alias("_from"),
                        F.col("component").cast("string").alias("_to")))
-    m_o = F.broadcast(mapping.select(F.col("_from").alias("_from_o"),
-                                     F.col("_to").alias("_to_o")))
-    m_t = F.broadcast(mapping.select(F.col("_from").alias("_from_t"),
-                                     F.col("_to").alias("_to_t")))
+    if broadcast == "auto":
+        broadcast = mapping.count() <= broadcast_max_rows
+    hint = F.broadcast if broadcast else (lambda d: d)
+    m_o = hint(mapping.select(F.col("_from").alias("_from_o"),
+                              F.col("_to").alias("_to_o")))
+    m_t = hint(mapping.select(F.col("_from").alias("_from_t"),
+                              F.col("_to").alias("_to_t")))
     out = (links
            .join(m_o, links["origin"] == m_o["_from_o"], "left")
            .join(m_t, links["target"] == m_t["_from_t"], "left"))

@@ -140,14 +140,20 @@ def _expand(term: str, vocabbase) -> str:
 
 def fingerprint_plaintext(etype: str, fprint, vocabbase=None) -> str:
     """Canonical JSON plaintext hashed to form a resource ID
-    (reference: pipeline/main.py:117-127)."""
+    (reference: pipeline/main.py:117-127).
+
+    Values are JSON-encoded RAW, exactly like the reference (its
+    json.dumps of the pair list): ints render unquoted, lists as arrays —
+    no str() pre-coercion, so IDs stay byte-for-byte parity for
+    non-string fingerprint values too.  The sort is over the raw pairs
+    (mixed-type values that Python can't order raise TypeError, same as
+    the reference)."""
     pairs = []
     for k, v in fprint or []:
         pairs.append((_expand(k, vocabbase), v))
     etype = _expand(etype, vocabbase)
     if (VTYPE_REL, etype) not in pairs:
         pairs.append((str(VTYPE_REL), etype))
-    pairs = [(str(k), str(v)) for k, v in pairs]
     pairs.sort()
     return json.dumps(pairs, separators=(",", ":"))
 

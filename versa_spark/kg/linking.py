@@ -37,11 +37,16 @@ def fingerprint_plaintext_col(etype, name_rel, name_col):
     plaintext of the Versa hash convention (main.py:117-127):
     sorted [[k, v]…] pairs incl. the type pair, compact separators.
 
-    JVM-side string ops; JSON escaping covers backslash + quote (control
-    characters don't appear in lexicon-derived names; full escaping would
-    move to the pandas UDF)."""
+    JVM-side string ops; JSON escaping covers backslash + quote.  This
+    column is only used for printable-ASCII surfaces — link_entities
+    detects non-ASCII/control characters (where Python's json.dumps would
+    \\uXXXX-escape) and routes those rows through the pandas UDF, which
+    builds the plaintext with json.dumps itself, so IDs converge with the
+    LocalModel/reference path for every surface."""
+    # NB Java replacement semantics: '\\\\' → one literal backslash, so the
+    # quote replacement needs \\\\ + " to produce the two chars \"
     esc = F.regexp_replace(
-        F.regexp_replace(name_col, r"\\", r"\\\\"), '"', r'\"')
+        F.regexp_replace(name_col, r"\\", r"\\\\"), '"', r'\\"')
     type_pair = f'["{VTYPE_REL}","{etype}"]'
     name_pair = F.concat(F.lit(f'["{name_rel}","'), esc, F.lit('"]'))
     # canonical order = lexicographic sort of the two pairs
@@ -62,6 +67,37 @@ def resource_id_udf():
     @F.pandas_udf(StringType())
     def _rid(plaintexts):
         from versa_spark.kg.ids_vec import resource_id_series
+        return resource_id_series(plaintexts)
+    return _rid
+
+
+# printable ASCII only — anything else needs json.dumps' \uXXXX escaping,
+# which the JVM column expression does not reproduce
+_ASCII_SAFE = r"^[\x20-\x7e]*$"
+
+
+def resource_id_fallback_udf(etype: str, name_rel: str):
+    """pandas UDF over (plaintext, surface): where plaintext is null but a
+    surface is present, the canonical-JSON plaintext is built Python-side
+    (json.dumps, ensure_ascii — identical to ids.fingerprint_plaintext /
+    the reference pipeline/main.py:117-127), then everything is hashed by
+    the vectorized mmh3 kernel.  Used for surfaces containing non-ASCII or
+    control characters."""
+    from pyspark.sql.types import StringType
+    type_rel = str(VTYPE_REL)
+    etype, name_rel = str(etype), str(name_rel)
+
+    @F.pandas_udf(StringType())
+    def _rid(plaintexts, surfaces):
+        import json
+        from versa_spark.kg.ids_vec import resource_id_series
+        need = plaintexts.isna() & surfaces.notna()
+        if need.any():
+            plaintexts = plaintexts.copy()
+            plaintexts[need] = [
+                json.dumps(sorted([[name_rel, s], [type_rel, etype]]),
+                           separators=(",", ":"))
+                for s in surfaces[need]]
         return resource_id_series(plaintexts)
     return _rid
 
@@ -122,11 +158,14 @@ def link_entities_scored(mentions: DataFrame, dictionary: DataFrame,
                     F.col("entity_iri").alias("_e"), "score"))
 
     out = m.join(best, "_mid", "left")
+    ascii_safe = F.col("surface").rlike(_ASCII_SAFE)
+    miss = F.col("_e").isNull()
     plaintext = F.when(
-        F.col("_e").isNull(),
+        miss & ascii_safe,
         fingerprint_plaintext_col(TYPE_CONCEPT, ENT + "name",
                                   F.col("surface")))
-    rid = resource_id_udf()
+    raw_surface = F.when(miss & ~ascii_safe, F.col("surface"))
+    rid = resource_id_fallback_udf(TYPE_CONCEPT, ENT + "name")
     return out.select(
         *mentions.columns,
         F.col("_e").isNotNull().alias("linked"),
@@ -134,7 +173,7 @@ def link_entities_scored(mentions: DataFrame, dictionary: DataFrame,
         F.coalesce(F.col("_c"), F.col("surface")).alias("canonical"),
         F.coalesce(
             F.col("_e"),
-            F.concat(F.lit(ENT + "unlinked/"), rid(plaintext))
+            F.concat(F.lit(ENT + "unlinked/"), rid(plaintext, raw_surface))
         ).alias("entity_iri"))
 
 
@@ -146,17 +185,22 @@ def link_entities(mentions: DataFrame, dictionary: DataFrame,
     dict_df = F.broadcast(dictionary) if broadcast else dictionary
     out = mentions.join(dict_df, "surface", "left")
     # Only misses pay the hash UDF: hits get a NULL plaintext the kernel
-    # skips (vectorized branch, not a per-row conditional)
+    # skips (vectorized branch, not a per-row conditional).  Non-ASCII
+    # surfaces route through the UDF's json.dumps path so the \uXXXX
+    # escaping matches the Python/reference plaintext byte-for-byte.
+    ascii_safe = F.col("surface").rlike(_ASCII_SAFE)
+    miss = F.col("entity_iri").isNull()
     plaintext = F.when(
-        F.col("entity_iri").isNull(),
+        miss & ascii_safe,
         fingerprint_plaintext_col(TYPE_CONCEPT, ENT + "name",
                                   F.col("surface")))
-    rid = resource_id_udf()
+    raw_surface = F.when(miss & ~ascii_safe, F.col("surface"))
+    rid = resource_id_fallback_udf(TYPE_CONCEPT, ENT + "name")
     return out.select(
         *mentions.columns,
         F.col("entity_iri").isNotNull().alias("linked"),
         F.coalesce(F.col("canonical"), F.col("surface")).alias("canonical"),
         F.coalesce(
             F.col("entity_iri"),
-            F.concat(F.lit(ENT + "unlinked/"), rid(plaintext))
+            F.concat(F.lit(ENT + "unlinked/"), rid(plaintext, raw_surface))
         ).alias("entity_iri"))

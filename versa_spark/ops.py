@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from typing import Iterable, Mapping
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from versa_spark import VLABEL_REL, VTYPE_REL
 from versa_spark.iri import matches_uri_ref_syntax
@@ -198,10 +198,12 @@ def zoom_in(df: DataFrame, focus, depth: int = 1,
             break
         depth -= 1
     if max_rels:
-        w = Window.orderBy(F.col("link_ix").asc_nulls_last(),
-                           "origin", "rel", "target")
-        out = (out.withColumn("_rn", F.row_number().over(w))
-               .filter(F.col("_rn") <= max_rels).drop("_rn"))
+        # deterministic budget via sort+limit: Spark plans this as
+        # TakeOrderedAndProject (per-partition top-N + driver merge of N
+        # rows), never a partition-less global Window funneling the whole
+        # subgraph through one task (round-1 scale defect on hub origins)
+        out = out.orderBy(F.col("link_ix").asc_nulls_last(),
+                          "origin", "rel", "target").limit(max_rels)
     return out
 
 

@@ -17,6 +17,12 @@ the full parser.py/ast.py pair is abandoned/broken — SURVEY.md §2.10):
   reference's intersection is a no-op bug — `.intersection` result
   discarded — the documented intent is implemented here);
 * ``or`` unions binding sets per variable (miniast.py:21-27);
+* ``and not`` subtracts the negated clause's bindings per shared variable
+  (the reference's negation node, miniast.py:87-92 — its PLY grammar has
+  the ``not`` token stubbed out (miniparser.py:15-17), so the surface
+  syntax here follows the documented intent: ``… and not ?(o, r, t)`` ≡
+  NOT IN over each variable both sides bind; standalone or ``or not``
+  negation has no set to subtract from and raises);
 * ``NAME 'string'`` concatenates a constant from the variables dict with
   a literal (IRI building, miniparser.py:167-172).
 
@@ -71,6 +77,14 @@ class BoolOp:
         self.op = op
         self.left = left
         self.right = right
+
+
+class Negation:
+    """Negated clause (reference miniast.py:87-92); only meaningful as the
+    right side of ``and`` (set difference per shared variable)."""
+
+    def __init__(self, clause):
+        self.clause = clause
 
 
 def tokenize(q: str):
@@ -138,9 +152,20 @@ def parse(q: str):
 
     def parse_query():
         nonlocal ix
+        if peek() == ("name", "not"):
+            raise ValueError("negation needs a positive clause on its "
+                             "left ('… and not ?(…)')")
         node = parse_clause()
         while peek() == ("name", "and") or peek() == ("name", "or"):
             op = take("name")
+            if peek() == ("name", "not"):
+                take("name")
+                if op != "and":
+                    raise ValueError(
+                        "'or not' has no set to subtract from; negation "
+                        "is only supported as 'and not'")
+                node = BoolOp("and", node, Negation(parse_clause()))
+                continue
             node = BoolOp(op, node, parse_clause())
         return node
 
@@ -191,6 +216,18 @@ def _eval(df: DataFrame, node, variables,
         return _eval_clause(df, node, variables, bindings)
     if isinstance(node, BoolOp):
         left = _eval(df, node.left, variables, bindings)
+        if node.op == "and" and isinstance(node.right, Negation):
+            # negation: subtract the negated clause's bindings per shared
+            # variable (NOT IN).  Threading left's bindings into the
+            # negated match is safe — only values present on the left can
+            # be subtracted — and keeps the negated match narrow.
+            right = _eval(df, node.right.clause, variables,
+                          {**bindings, **left})
+            out = dict(left)
+            for k, v in right.items():
+                if k in out:
+                    out[k] = out[k].subtract(v)
+            return out
         if node.op == "and":
             # thread left's bindings into the right clause (miniast.py:39)
             right = _eval(df, node.right, variables, {**bindings, **left})

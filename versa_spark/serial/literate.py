@@ -118,7 +118,8 @@ def _tokenize(vlit: str):
                 rtype = tm.group(1)
                 rest = rest[: tm.start()].strip()
             rid = rest or None
-            current = {"rid": rid, "rtype": rtype, "props": []}
+            current = {"rid": rid, "rtype": rtype, "props": [],
+                       "level": len(h.group(1))}
             blocks.append(current)
             continue
         p = _PROP_PAT.match(line)
@@ -160,17 +161,28 @@ PREP_METHODS = {
 
 
 def parse_to_quads(vlit: str, config: dict | None = None):
-    """Parse Versa Literate text → (quads list, doc base IRI)."""
+    """Parse Versa Literate text → (quads list, doc base IRI).
+
+    ``config`` carries the legacy markdown_parse surface (reference
+    serial/markdown_parse.py:119-127, tested by test/py/test_parsemd.py):
+    ``autotype-h1``/``autotype-h2``/``autotype-h3`` assign a default
+    resource type by header level when a section header carries no
+    explicit ``[Type]``, and ``interpretations`` maps property IRIs to
+    value-prep methods (@text / @resource / @resourceset)."""
     config = config or {}
     doc = _DocInfo(interp=_setup_interpretations(
         config.get("interpretations", {})))
+    syntaxtypemap = {
+        level: config[key] for level, key in
+        ((1, "autotype-h1"), (2, "autotype-h2"), (3, "autotype-h3"))
+        if config.get(key)}
     quads: list = []
 
     for block in _tokenize(vlit):
         if block["rid"] == "@docheader":
             _process_docheader(block["props"], quads, doc)
         else:
-            _process_resblock(block, quads, doc)
+            _process_resblock(block, quads, doc, syntaxtypemap)
     return quads, doc.iri
 
 
@@ -180,11 +192,17 @@ def _apply_interp(doc, fullprop, value, rid, quads):
               _sink=quads)
 
 
-def _process_resblock(block, quads, doc):
+def _process_resblock(block, quads, doc, syntaxtypemap=None):
     rid = expand_iri(block["rid"], doc.resbase)
+    # explicit [Type] wins; else the header level's autotype (reference
+    # markdown_parse.py:330-334: "Resource type might be set by syntax
+    # config" — the syntaxtypemap value is used as-is, not re-expanded)
     if block["rtype"]:
         quads.append((rid, VTYPE_REL,
                       expand_iri(block["rtype"], doc.schemabase), {}))
+    elif syntaxtypemap and block.get("level") in syntaxtypemap:
+        quads.append((rid, VTYPE_REL,
+                      I(syntaxtypemap[block["level"]]), {}))
 
     outer_indent = -1
     current = None

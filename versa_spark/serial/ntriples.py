@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import re
 
-from versa_spark import VTYPE_REL
+from versa_spark import VERSA_BASEIRI, VTYPE_REL
 from versa_spark.iriref import I
 
 RDF_TYPE_REL = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
@@ -99,8 +99,16 @@ def parse_df(spark, path_or_df, only_rel=None, exclude_rel=None):
     return out.dropDuplicates(["origin", "rel", "target", "t_iri"])
 
 
-# vocabulary remap on write (reference ntriples.py:16-21)
-RESOURCE_MAPPING = {}
+# vocabulary remap on write (reference ntriples.py:16-21): versa vocab →
+# standard RDF(S) terms, applied to both predicate and object positions
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+RDFS_NS = "http://www.w3.org/2000/01/rdf-schema#"
+RESOURCE_MAPPING = {
+    VERSA_BASEIRI("Resource"): I(RDFS_NS + "Class"),
+    VERSA_BASEIRI("Property"): I(RDF_NS + "Property"),
+    VERSA_BASEIRI("description"): I(RDFS_NS + "comment"),
+    VERSA_BASEIRI("label"): I(RDFS_NS + "label"),
+}
 
 
 def _strconv(item) -> str:
@@ -125,12 +133,21 @@ def write_string(quads, base=None) -> str:
 
 def write_df(links_df):
     """Link DataFrame → DataFrame of NT lines (``.write.text``-ready):
-    format_string stays in whole-stage codegen."""
+    format_string + the RESOURCE_MAPPING when/otherwise chain stay in
+    whole-stage codegen (reference applies the map at ntriples.py:124-125
+    before the v:type→rdf:type rewrite)."""
     from pyspark.sql import functions as F
-    rel = F.when(F.col("rel") == str(VTYPE_REL),
-                 F.lit(RDF_TYPE_REL)).otherwise(F.col("rel"))
-    obj = F.when(F.col("t_iri"),
-                 F.format_string("<%s>", F.col("target"))) \
-           .otherwise(F.format_string('"%s"', F.col("target")))
+
+    def _remap(col):
+        out = col
+        for src, dst in RESOURCE_MAPPING.items():
+            out = F.when(col == str(src), F.lit(str(dst))).otherwise(out)
+        return out
+
+    rel = _remap(F.col("rel"))
+    rel = F.when(rel == str(VTYPE_REL), F.lit(RDF_TYPE_REL)).otherwise(rel)
+    tgt = _remap(F.col("target"))
+    obj = F.when(F.col("t_iri"), F.format_string("<%s>", tgt)) \
+           .otherwise(F.format_string('"%s"', tgt))
     return links_df.select(F.format_string(
         "<%s> <%s> %s .", F.col("origin"), rel, obj).alias("value"))
