@@ -293,9 +293,11 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidates, Jaccard-verified (dedup.py) — xxhash64
-    signatures are Spark-specific, so this is a rows-only check; the
-    equivalence with exact Jaccard is asserted in tests/test_dataops.py."""
+    """MinHash+LSH candidates, Jaccard-verified (dedup.py), using the md5
+    hash family — every step (signature minima, band buckets, scoped
+    verify) is reproduced in the DuckDB oracle, so this is a full value
+    check.  The xxhash64 fast path is exercised by bench.py and the
+    family-equivalence test in tests/test_dataops.py."""
     from versa_spark import dedup
     docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
             .orderBy("doc_id").limit(200))
@@ -303,12 +305,14 @@ def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" appended")).alias("text"))
     both = docs.select("doc_id", "text").unionByName(planted)
-    return dedup.minhash_lsh_candidates(both, verify_threshold=0.8).select(
+    return dedup.minhash_lsh_candidates(
+        both, verify_threshold=0.8, hash_family="md5").select(
         "a", "b", F.round("jaccard", 4).alias("jaccard"))
 
 
 def _q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only check; xxhash64-based)."""
+    """SimHash near-dup pairs via the md5 bit family (64-char bit-string
+    signatures) — fully reproduced in the DuckDB oracle."""
     from versa_spark import dedup
     docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
             .orderBy("doc_id").limit(200))
@@ -316,7 +320,7 @@ def _q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zz")).alias("text"))
     both = docs.select("doc_id", "text").unionByName(planted)
-    return dedup.simhash_near_dups(both, max_hamming=3)
+    return dedup.simhash_near_dups(both, max_hamming=3, hash_family="md5")
 
 
 def _q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -349,6 +353,61 @@ def _q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                           .select(F.col("doc_id").alias("a"),
                                   (F.col("doc_id") + 1).alias("b"))))
     return dedup.connected_components(pairs).select("doc_id", "component")
+
+
+def _q_dup_chain_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components on a 500-hop chain: evidences the O(log n)
+    hooking + pointer-doubling convergence — plain neighbor-min
+    propagation would need 499 rounds and blow the max_iters=25 budget,
+    so passing at all proves the logarithmic path."""
+    from pyspark.sql import Window
+    from versa_spark import dedup
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id").orderBy("doc_id").limit(500))
+    w = Window.orderBy("doc_id")  # 500-row fixture construction
+    chain = (docs.select(F.col("doc_id").alias("a"),
+                         F.lead("doc_id").over(w).alias("b"))
+             .filter(F.col("b").isNotNull()))
+    return dedup.connected_components(chain).select("doc_id", "component")
+
+
+def _q_query_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mini query 'and not' (negation node, reference miniast.py:87-92):
+    named origins that are NOT in region/0 — NOT IN oracle."""
+    from versa_spark import query as vq
+    from versa_spark.testdata import nation_links, with_quad_defaults
+    links = with_quad_defaults(nation_links(spark, sf_dir))
+    res = vq.execute_df(
+        links,
+        "?($n, B 'hasName', *) and not ?($n, B 'inRegion', B 'region/0')",
+        {"B": BASE})
+    return res["n"].select(F.col("value").alias("origin"))
+
+
+def _q_flattened(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schematic attribute flattening (serial/flattener.py): attributed
+    hasName links → attr-free links + derived provenance statements."""
+    from versa_spark.serial import flattener
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    n_iri = F.concat(F.lit(BASE + "nation/"), F.col("n_nationkey"))
+    links = nation.select(
+        n_iri.alias("origin"),
+        F.lit(BASE + "hasName").alias("rel"),
+        F.col("n_name").cast("string").alias("target"),
+        F.lit(False).alias("t_iri"),
+        F.array(
+            F.struct(F.lit(BASE + "source").alias("k"),
+                     F.lit("tpch").alias("v")),
+            F.struct(F.lit(BASE + "sourceKey").alias("k"),
+                     F.col("n_nationkey").cast("string").alias("v")),
+        ).alias("attrs"),
+        F.lit(None).cast("long").alias("link_ix"))
+    out = flattener.flatten(links, [
+        (BASE + "hasName", BASE + "source", BASE + "importedFrom", "origin"),
+        (BASE + "hasName", BASE + "sourceKey", BASE + "sourceKeyOf",
+         "target"),
+    ])
+    return out.select("origin", "rel", "target")
 
 
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -385,11 +444,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_quality": _q_token_quality,
         "langid": _q_langid,
         "ngram_jaccard": _q_ngram_jaccard,
-        "minhash_lsh": _q_minhash_lsh,      # rows-only (xxhash64 sigs)
-        "simhash_dups": _q_simhash_dups,    # rows-only (xxhash64 sigs)
+        "minhash_lsh": _q_minhash_lsh,
+        "simhash_dups": _q_simhash_dups,
         "emb_near_dups": _q_emb_near_dups,
         "ann_topk": _q_ann_topk,
         "dup_components": _q_dup_components,
+        "dup_chain_components": _q_dup_chain_components,
+        "query_negation": _q_query_negation,
+        "flattened": _q_flattened,
     }
 
 
@@ -564,6 +626,22 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT '{B}region/' || r_regionkey, r_name FROM region
         """,
+        "query_negation": f"""
+            SELECT '{B}nation/' || n_nationkey AS origin
+            FROM nation WHERE n_regionkey != 0
+            UNION
+            SELECT '{B}region/' || r_regionkey FROM region
+        """,
+        "flattened": f"""
+            SELECT '{B}nation/' || n_nationkey AS origin,
+                   '{B}hasName' AS rel, n_name AS target FROM nation
+            UNION ALL
+            SELECT '{B}nation/' || n_nationkey, '{B}importedFrom', 'tpch'
+            FROM nation
+            UNION ALL
+            SELECT n_name, '{B}sourceKeyOf', CAST(n_nationkey AS VARCHAR)
+            FROM nation
+        """,
     }
     dataops_sql = {
         "exact_dedup": """
@@ -699,6 +777,127 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_dot_product(x.v, y.v)
                   / (sqrt(list_dot_product(x.v, x.v))
                      * sqrt(list_dot_product(y.v, y.v))) >= 0.99
+        """,
+        "minhash_lsh": """
+            WITH both_docs AS (
+                SELECT doc_id, text FROM
+                  (SELECT * FROM documents ORDER BY doc_id LIMIT 200)
+                UNION ALL
+                SELECT doc_id + 1000000, text || ' appended' FROM
+                  (SELECT * FROM documents ORDER BY doc_id LIMIT 200)),
+            norm AS (
+                SELECT doc_id,
+                       regexp_split_to_array(
+                           regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                          'g'), ' ') AS words
+                FROM both_docs),
+            sh AS (
+                SELECT DISTINCT doc_id, shingle FROM (
+                    SELECT doc_id,
+                           unnest([array_to_string(words[i:i+2], ' ')
+                                   for i in range(1, len(words) - 1)])
+                               AS shingle
+                    FROM norm WHERE len(words) >= 3
+                    UNION ALL
+                    SELECT doc_id, array_to_string(words, ' ')
+                    FROM norm WHERE len(words) < 3)),
+            hs AS (
+                SELECT doc_id, i,
+                       MIN(md5(i::VARCHAR || ':' || shingle)) AS h
+                FROM sh CROSS JOIN range(64) t(i)
+                GROUP BY doc_id, i),
+            bands AS (
+                SELECT doc_id, CAST(i // 4 AS INT) AS band,
+                       md5(string_agg(h, ',' ORDER BY i)) AS bucket
+                FROM hs GROUP BY doc_id, i // 4),
+            cands AS (
+                SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                FROM bands x JOIN bands y USING (band, bucket)
+                WHERE x.doc_id < y.doc_id),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh
+                      GROUP BY doc_id),
+            inter AS (
+                SELECT c.a, c.b, COUNT(*) AS n_inter
+                FROM cands c
+                JOIN sh sa ON sa.doc_id = c.a
+                JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+                GROUP BY c.a, c.b)
+            SELECT a, b,
+                   round(CAST(n_inter AS DOUBLE)
+                         / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE CAST(n_inter AS DOUBLE)
+                  / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
+        """,
+        "simhash_dups": """
+            WITH both_docs AS (
+                SELECT doc_id, text FROM
+                  (SELECT * FROM documents ORDER BY doc_id LIMIT 200)
+                UNION ALL
+                SELECT doc_id + 1000000, text || ' zz' FROM
+                  (SELECT * FROM documents ORDER BY doc_id LIMIT 200)),
+            tok AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(
+                           regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                          'g'), ' ')) AS w
+                FROM both_docs),
+            th AS (SELECT doc_id, substr(md5(w), 1, 16) AS h16 FROM tok),
+            bits AS (
+                SELECT doc_id, i,
+                       ((strpos('0123456789abcdef',
+                                substr(h16, CAST(i // 4 AS INT) + 1, 1)) - 1)
+                        >> CAST(i % 4 AS INT)) & 1 AS bit
+                FROM th CROSS JOIN range(64) t(i)),
+            votes AS (
+                SELECT doc_id, i,
+                       SUM(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS v
+                FROM bits GROUP BY doc_id, i),
+            sig AS (
+                SELECT doc_id,
+                       string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END,
+                                  '' ORDER BY i) AS s
+                FROM votes GROUP BY doc_id),
+            bands AS (
+                SELECT doc_id, s, b,
+                       substr(s, CAST(b * 16 AS INT) + 1, 16) AS bucket
+                FROM sig CROSS JOIN range(4) t(b)),
+            pairs AS (
+                SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                       x.s AS sa, y.s AS sb
+                FROM bands x JOIN bands y
+                  ON x.b = y.b AND x.bucket = y.bucket
+                     AND x.doc_id < y.doc_id),
+            ham AS (
+                SELECT a, b,
+                       len(list_filter(range(0, 64),
+                           i -> substr(sa, CAST(i AS INT) + 1, 1)
+                                != substr(sb, CAST(i AS INT) + 1, 1)))
+                           AS hamming
+                FROM pairs)
+            SELECT a, b, CAST(hamming AS INT) AS hamming
+            FROM ham WHERE hamming <= 3
+        """,
+        "dup_chain_components": """
+            WITH d AS (SELECT doc_id FROM documents
+                       ORDER BY doc_id LIMIT 500),
+            chain AS (SELECT doc_id AS a,
+                             LEAD(doc_id) OVER (ORDER BY doc_id) AS b
+                      FROM d),
+            pairs AS (SELECT a, b FROM chain WHERE b IS NOT NULL),
+            edges AS (SELECT a AS x, b AS y FROM pairs
+                      UNION SELECT b, a FROM pairs),
+            nodes AS (SELECT DISTINCT x AS node FROM edges),
+            reach AS (
+                WITH RECURSIVE r(node, comp) AS (
+                    SELECT node, node FROM nodes
+                    UNION
+                    SELECT e.y, r.comp FROM r JOIN edges e ON e.x = r.node)
+                SELECT * FROM r)
+            SELECT node AS doc_id, MIN(comp) AS component
+            FROM reach GROUP BY node
         """,
         "dup_components": """
             WITH d AS (SELECT doc_id FROM documents
