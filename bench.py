@@ -50,12 +50,19 @@ def main() -> None:
         queries[name](spark, "/root/testdata/sf0.001").count()
     spark.catalog.clearCache()
 
+    # Two measured laps at the target SF: lap 1 still pays residual JIT /
+    # shuffle-service warmup on the big plans; lap 2 (cache cleared, so
+    # data is re-read — warm JVM, cold data) is the steady state recorded
+    # as the headline.  Both laps land in the artifact for comparability.
+    timings_cold: dict[str, float] = {}
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
-    for name in headline:
-        t0 = time.time()
-        counts[name] = queries[name](spark, SF_DIR).count()
-        timings[name] = round(time.time() - t0, 3)
+    for lap_timings in (timings_cold, timings):
+        spark.catalog.clearCache()
+        for name in headline:
+            t0 = time.time()
+            counts[name] = queries[name](spark, SF_DIR).count()
+            lap_timings[name] = round(time.time() - t0, 3)
 
     # Bench-scale synthetic KG construction: triples/sec at volume
     from versa_spark.kg.graph import build_graph
@@ -75,6 +82,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_cold": timings_cold,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "rows": counts,
         "synthetic_turns": n_convs * 25,

@@ -294,3 +294,24 @@ def test_ivf_topk_finds_self_matches(spark, emb):
           for r in simsearch.bruteforce_topk(emb, queries, k=500).collect()}
     for key, r in rows.items():
         assert abs(bf[key] - r.cosine) < 1e-9
+
+
+def test_high_dim_lsh_and_ivf_use_udf_path(spark):
+    """dim × planes above the literal budget routes through the matmul
+    pandas UDF; results keep the LSH/IVF invariants (self-match found,
+    exact re-rank cosines)."""
+    import numpy as np
+    dim, n = 600, 24   # 600*8 planes = 4800 > _LITERAL_BUDGET
+    rng = [(i, [float(((i * 31 + j * 17) % 97) - 48) / 48.0
+                for j in range(dim)]) for i in range(n)]
+    emb2 = spark.createDataFrame(rng, "vec_id long, embedding array<double>")
+    queries = emb2.limit(3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    approx = simsearch.lsh_topk(emb2, queries, k=3, n_planes=8, dim=dim)
+    arows = {(r.q_id, r.vec_id): r.cosine for r in approx.collect()}
+    for q in (0, 1, 2):
+        assert (q, q) in arows and abs(arows[(q, q)] - 1.0) < 1e-6
+    out = simsearch.ivf_topk(emb2, queries, k=3, n_cells=8, nprobe=2)
+    rows = {(r.q_id, r.vec_id): r for r in out.collect()}
+    for q in (0, 1, 2):
+        assert (q, q) in rows and rows[(q, q)].rank == 1

@@ -70,14 +70,25 @@ def entity_links(linked_mentions: DataFrame) -> DataFrame:
 
 
 def mention_links(linked_mentions: DataFrame) -> DataFrame:
-    """(turn_iri, v:mentions, entity_iri) edges."""
+    """(turn_iri, v:mentions, entity_iri) edges.
+
+    This dedup is the triple-build's dominant shuffle, so it runs over the
+    NARROW natural key (conv_id, turn_idx, entity_iri) — the ~42-byte turn
+    IRI and the constant rel are reconstructed map-side AFTER the
+    exchange (turn_iri is a pure function of conv_id/turn_idx, see
+    transcripts.ordered_turns), cutting shuffle bytes roughly in half.
+    Identical output to deduping the built strings."""
     from versa_spark.kg.extract import REL_MENTIONS
-    return (linked_mentions
-            .select(F.col("turn_iri").alias("origin"),
-                    F.lit(REL_MENTIONS).alias("rel"),
-                    F.col("entity_iri").alias("target"),
-                    F.lit(True).alias("t_iri"))
-            .dropDuplicates(["origin", "rel", "target"]))
+    from versa_spark.kg.transcripts import TURN_IRI_PREFIX
+    uniq = (linked_mentions
+            .select("conv_id", "turn_idx", "entity_iri")
+            .dropDuplicates(["conv_id", "turn_idx", "entity_iri"]))
+    return uniq.select(
+        F.concat(F.lit(TURN_IRI_PREFIX), F.col("conv_id"), F.lit("/"),
+                 F.col("turn_idx").cast("string")).alias("origin"),
+        F.lit(REL_MENTIONS).alias("rel"),
+        F.col("entity_iri").alias("target"),
+        F.lit(True).alias("t_iri"))
 
 
 def adjacency_edges(links: DataFrame) -> DataFrame:

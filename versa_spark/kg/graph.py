@@ -24,6 +24,9 @@ def build_graph(spark: SparkSession, turns: DataFrame,
     table; caching it would evict everything else."""
     linked = linking.link_entities(extract.turn_mentions(turns),
                                    linking.canonical_dictionary(spark))
+    # turn_iri is a pure function of (conv_id, turn_idx); the link families
+    # reconstruct it map-side, so the cached mention rows stay narrow
+    linked = linked.drop("turn_iri")
     # None of the graph link families consume turn_rank, so dropping it
     # here lets Catalyst prune the window sort out of the triple-build
     # plan entirely (the ranked view stays available via ordered_turns

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 ROLES = ("user", "assistant", "system", "tool")
 TOOLS = ("search", "calculator", "browser", "interpreter")
+TURN_IRI_PREFIX = "http://example.org/transcript/"
 
 
 def transcripts_from_documents(spark: SparkSession, sf_dir: str,
@@ -105,6 +106,6 @@ def ordered_turns(transcripts: DataFrame) -> DataFrame:
     return (transcripts
             .withColumn("turn_rank", F.row_number().over(w) - 1)
             .withColumn("turn_iri",
-                        F.concat(F.lit("http://example.org/transcript/"),
+                        F.concat(F.lit(TURN_IRI_PREFIX),
                                  F.col("conv_id"), F.lit("/"),
                                  F.col("turn_idx"))))

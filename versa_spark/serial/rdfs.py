@@ -31,6 +31,51 @@ RESOURCE_MAPPING = {
     I(VERSA_BASEIRI + "label"): I(RDFS_NS + "label"),
 }
 
+# --- blank-node faking for RDF interop (reference serial/rdf.py:25-31) ---
+# The reference represents RDF blank nodes as IRIs under this prefix; its
+# mock_bnode derives the id from hash(now()) — non-deterministic and
+# partition-order-hostile, so here the caller supplies the id seed
+# (provenance key, row key, …), same convention as ids.resource_id's
+# fallback_key.  Matches both spellings the reference checks for
+# (rdf.py:49: with and without the leading underscores).
+
+BNODE_PREFIX = "__VERSABLANKNODE__"
+
+
+class mock_bnode(I):
+    """A blank node faked as an IRI (reference rdf.py:25-31), seeded
+    deterministically."""
+
+    def __new__(cls, seed):
+        return super().__new__(cls, BNODE_PREFIX + str(seed))
+
+
+def is_bnode(r) -> bool:
+    return isinstance(r, mock_bnode) or str(r).startswith(
+        (BNODE_PREFIX, "VERSABLANKNODE_"))
+
+
+def prep(s, p, o):
+    """Prepare a triple for rdflib (reference rdf.py:44-54 — the
+    bnode-aware variant; upstream accidentally shadows it with a second
+    bnode-less def at rdf.py:57-67, an evident copy-paste bug, so the
+    documented intent is implemented).  Returns rdflib terms when rdflib
+    is importable, else (term, kind) tuples with kind ∈ {bnode, iri,
+    literal} so the serialization decision is preserved without the
+    dependency."""
+    try:
+        from rdflib import BNode, Literal, URIRef
+        s2 = BNode(str(s)[len(BNODE_PREFIX):]) if is_bnode(s) else URIRef(s)
+        o2 = BNode(str(o)[len(BNODE_PREFIX):]) if is_bnode(o) else (
+            URIRef(o) if isinstance(o, I) else Literal(o))
+        return s2, URIRef(p), o2
+    except ImportError:
+        def kind(r, iri_ok=True):
+            if is_bnode(r):
+                return "bnode"
+            return "iri" if (iri_ok and isinstance(r, I)) else "literal"
+        return ((str(s), kind(s)), (str(p), "iri"), (str(o), kind(o)))
+
 
 def process(quads, rdfsonly=False, base=None):
     """Quads → list of (s, p, o, o_is_iri) RDF triples."""

@@ -75,35 +75,82 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42):
     return out
 
 
+# Above this many plane/centroid literals the Catalyst expression tree
+# (dim × planes F.lit nodes) dominates planning time and memory — switch
+# to an Arrow-batched pandas UDF carrying the matrix in the closure.
+_LITERAL_BUDGET = 4096
+
+
 def random_hyperplane_signatures(df: DataFrame, vec_col: str,
                                  planes) -> DataFrame:
-    """Adds ``bucket``: bit b = sign(v · plane_b).  Dot products as
-    zip_with/aggregate over plane literals — JVM-side."""
-    sig = None
-    for i, plane in enumerate(planes):
-        plane_col = F.array(*[F.lit(float(x)) for x in plane])
-        bit = F.when(_dot(F.col(vec_col), plane_col) >= 0,
-                     F.lit(1 << i).cast("long")).otherwise(
-                         F.lit(0).cast("long"))
-        sig = bit if sig is None else (sig + bit)
-    return df.withColumn("bucket", sig)
+    """Adds ``bucket``: bit b = sign(v · plane_b).
+
+    Small plane matrices (dim × n_planes ≤ 4096 elements) inline as
+    literal arrays — dot products via zip_with/aggregate stay JVM-side.
+    Larger matrices (real embedding dims, e.g. 1024 × 16) would build a
+    Catalyst tree of dim × planes literal nodes, so they route through a
+    vectorized pandas UDF instead: one matmul per Arrow batch
+    (sign(V @ P.T) packed to an int bucket), the matrix shipped once in
+    the task closure, never in the plan."""
+    import numpy as np
+    n_elems = len(planes) * (len(planes[0]) if planes else 0)
+    if n_elems <= _LITERAL_BUDGET:
+        sig = None
+        for i, plane in enumerate(planes):
+            plane_col = F.array(*[F.lit(float(x)) for x in plane])
+            bit = F.when(_dot(F.col(vec_col), plane_col) >= 0,
+                         F.lit(1 << i).cast("long")).otherwise(
+                             F.lit(0).cast("long"))
+            sig = bit if sig is None else (sig + bit)
+        return df.withColumn("bucket", sig)
+
+    from pyspark.sql.types import LongType
+    p_t = np.asarray(planes, dtype=np.float64).T          # dim × planes
+    weights = (1 << np.arange(len(planes), dtype=np.int64))
+
+    @F.pandas_udf(LongType())
+    def _bucket(vecs):
+        import pandas as pd
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs]) \
+            if len(vecs) else np.zeros((0, p_t.shape[0]))
+        bits = (mat @ p_t) >= 0.0
+        return pd.Series((bits @ weights).astype(np.int64))
+    return df.withColumn("bucket", _bucket(F.col(vec_col)))
 
 
 def ivf_assign(emb: DataFrame, centroids, vec_col: str = "v") -> DataFrame:
-    """Adds ``cell``: index of the nearest centroid by cosine (centroid
-    list broadcast as literals; argmax over per-centroid dot products)."""
-    best_ix = None
-    best_score = None
-    for i, c in enumerate(centroids):
-        c_col = F.array(*[F.lit(float(x)) for x in c])
-        score = _dot(F.col(vec_col), c_col) / _norm(F.col(vec_col))
-        if best_ix is None:
-            best_ix, best_score = F.lit(i), score
-        else:
-            cond = score > best_score
-            best_ix = F.when(cond, F.lit(i)).otherwise(best_ix)
-            best_score = F.when(cond, score).otherwise(best_score)
-    return df_with(emb, "cell", best_ix)
+    """Adds ``cell``: index of the nearest centroid by cosine.  Small
+    centroid sets inline as literals (argmax over per-centroid dot
+    products, JVM-side); large dim × cells matrices route through a
+    vectorized pandas UDF (argmax of one matmul per Arrow batch) so the
+    Catalyst tree stays constant-size."""
+    import numpy as np
+    n_elems = len(centroids) * (len(centroids[0]) if centroids else 0)
+    if n_elems <= _LITERAL_BUDGET:
+        best_ix = None
+        best_score = None
+        for i, c in enumerate(centroids):
+            c_col = F.array(*[F.lit(float(x)) for x in c])
+            score = _dot(F.col(vec_col), c_col) / _norm(F.col(vec_col))
+            if best_ix is None:
+                best_ix, best_score = F.lit(i), score
+            else:
+                cond = score > best_score
+                best_ix = F.when(cond, F.lit(i)).otherwise(best_ix)
+                best_score = F.when(cond, score).otherwise(best_score)
+        return df_with(emb, "cell", best_ix)
+
+    from pyspark.sql.types import IntegerType
+    c_t = np.asarray(centroids, dtype=np.float64).T       # dim × cells
+
+    @F.pandas_udf(IntegerType())
+    def _cell(vecs):
+        import pandas as pd
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs]) \
+            if len(vecs) else np.zeros((0, c_t.shape[0]))
+        # argmax of dot/|v| ≡ argmax of dot (|v| constant per row)
+        return pd.Series(np.argmax(mat @ c_t, axis=1).astype(np.int32))
+    return df_with(emb, "cell", _cell(F.col(vec_col)))
 
 
 def df_with(df, name, col):
@@ -166,7 +213,11 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
              dim: int | None = None) -> DataFrame:
     """Approximate top-k: candidates share the query's hyperplane-sign
     bucket; exact cosine re-ranks within the bucket.  2^n_planes buckets →
-    corpus/2^n candidates per query on average."""
+    corpus/2^n candidates per query on average.
+
+    Pass ``dim`` explicitly at call sites — the fallback inference reads
+    one corpus row on the driver (a planning-path round trip, fine in a
+    notebook, wasteful inside a job)."""
     if dim is None:
         dim = len(emb.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_planes, seed)
