@@ -801,14 +801,21 @@ def oracle_sql() -> dict[str, str]:
                     UNION ALL
                     SELECT doc_id, array_to_string(words, ' ')
                     FROM norm WHERE len(words) < 3)),
+            hv AS (
+                SELECT doc_id,
+                       CAST(concat('0x', substr(md5(shingle), 1, 12))
+                            AS BIGINT) AS ha,
+                       CAST(concat('0x', substr(md5('b:' || shingle), 1, 12))
+                            AS BIGINT) AS hb
+                FROM sh),
             hs AS (
                 SELECT doc_id, i,
-                       MIN(md5(i::VARCHAR || ':' || shingle)) AS h
-                FROM sh CROSS JOIN range(64) t(i)
+                       MIN((ha + i * hb) & ((1::BIGINT << 48) - 1)) AS h
+                FROM hv CROSS JOIN range(64) t(i)
                 GROUP BY doc_id, i),
             bands AS (
                 SELECT doc_id, CAST(i // 4 AS INT) AS band,
-                       md5(string_agg(h, ',' ORDER BY i)) AS bucket
+                       md5(string_agg(h::VARCHAR, ',' ORDER BY i)) AS bucket
                 FROM hs GROUP BY doc_id, i // 4),
             cands AS (
                 SELECT DISTINCT x.doc_id AS a, y.doc_id AS b

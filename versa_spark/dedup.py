@@ -103,29 +103,44 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     return _jaccard_finish(inter, sizes, threshold)
 
 
-def _shingle_hash(i: int, hash_family: str):
-    """Per-seed shingle hash column.  'xxhash64' (default) is the fast
-    JVM path; 'md5' is the cross-engine-reproducible family (DuckDB can
-    compute the identical signature, so the driver oracle is a full
-    value check, not rows-only) — min is taken lexicographically over the
-    hex digest."""
-    if hash_family == "xxhash64":
-        return F.xxhash64(F.col("shingle"), F.lit(i))
-    if hash_family == "md5":
-        return F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))
-    raise ValueError(f"unknown hash_family {hash_family!r}")
+# 48-bit mask for the md5 hash family: values fit a long with headroom
+# for a + i*b (i < num_hashes), so the arithmetic is overflow-free and
+# bit-identical across engines.
+_MD5_MASK = (1 << 48) - 1
 
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", k: int = 3,
                        num_hashes: int = 64,
                        hash_family: str = "xxhash64") -> DataFrame:
-    """(doc_id, sig array): sig[i] = min over shingles of
-    hash(shingle, seed=i).  Pure JVM aggregation — num_hashes
-    min() aggregates after one explode; no Python."""
+    """(doc_id, sig array<long>): sig[i] = min over shingles of
+    hash_i(shingle).  Pure JVM aggregation — num_hashes min() aggregates
+    after one explode; no Python.
+
+    hash families:
+    * 'xxhash64' (default): hash_i = xxhash64(shingle, seed=i) — the fast
+      JVM path;
+    * 'md5': Carter-Wegman universal hashing, hash_i = (a + i·b) mod 2^48
+      with a, b = 48-bit ints from md5(shingle) / md5('b:'+shingle) —
+      only TWO digest calls per shingle, and every step is reproducible
+      in standard SQL (DuckDB computes the identical signature, so the
+      driver oracle is a full value check, not rows-only)."""
     sh = shingles(df, id_col, text_col, k)
-    aggs = [F.min(_shingle_hash(i, hash_family)).alias(f"h{i}")
-            for i in range(num_hashes)]
+    if hash_family == "xxhash64":
+        aggs = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+                for i in range(num_hashes)]
+    elif hash_family == "md5":
+        a = F.conv(F.substring(F.md5(F.col("shingle")), 1, 12), 16, 10) \
+             .cast("long")
+        b = F.conv(F.substring(
+            F.md5(F.concat(F.lit("b:"), F.col("shingle"))), 1, 12), 16, 10) \
+             .cast("long")
+        sh = sh.select("doc_id", a.alias("_ha"), b.alias("_hb"))
+        aggs = [F.min((F.col("_ha") + i * F.col("_hb"))
+                      .bitwiseAND(F.lit(_MD5_MASK))).alias(f"h{i}")
+                for i in range(num_hashes)]
+    else:
+        raise ValueError(f"unknown hash_family {hash_family!r}")
     sig = sh.groupBy("doc_id").agg(*aggs)
     return sig.select("doc_id", F.array(
         *[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
@@ -167,9 +182,12 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
              .select("a", "b").distinct())
     if verify_threshold is None:
         return cands
+    # the candidate list feeds the verify join twice (pair join + doc-id
+    # semi-join); persist it so the signature/banding DAG runs once —
+    # it is tiny (near-dup pairs), the whole point of LSH
     return ngram_jaccard_pairs(df, id_col, text_col, k,
                                threshold=verify_threshold,
-                               candidates=cands)
+                               candidates=cands.persist())
 
 
 def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
