@@ -315,3 +315,24 @@ def test_high_dim_lsh_and_ivf_use_udf_path(spark):
     rows = {(r.q_id, r.vec_id): r for r in out.collect()}
     for q in (0, 1, 2):
         assert (q, q) in rows and rows[(q, q)].rank == 1
+
+
+def test_ivf_kmeans_refinement_keeps_invariants(spark, emb):
+    """Lloyd-refined IVF: same invariants (self-match rank 1, exact
+    re-rank cosines), deterministic across invocations."""
+    queries = emb.orderBy("vec_id").limit(3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    out1 = simsearch.ivf_topk(emb, queries, k=5, n_cells=8, nprobe=2,
+                              refine_iters=2)
+    rows = {(r.q_id, r.vec_id): r for r in out1.collect()}
+    for q in [r.q_id for r in queries.collect()]:
+        assert (q, q) in rows and rows[(q, q)].rank == 1
+    out2 = {(r.q_id, r.vec_id, r.rank)
+            for r in simsearch.ivf_topk(emb, queries, k=5, n_cells=8,
+                                        nprobe=2, refine_iters=2).collect()}
+    assert out2 == {(r.q_id, r.vec_id, r.rank) for r in rows.values()}
+    # refined centroids differ from the raw seed (the refinement ran)
+    seed = [list(r.embedding) for r in
+            emb.orderBy("vec_id").limit(8).collect()]
+    refined = simsearch.kmeans_centroids(emb, n_cells=8, iters=1)
+    assert refined != seed

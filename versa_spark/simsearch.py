@@ -157,22 +157,59 @@ def df_with(df, name, col):
     return df.withColumn(name, col)
 
 
+def kmeans_centroids(emb: DataFrame, n_cells: int = 16, iters: int = 2,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> list:
+    """Deterministic Lloyd refinement for the IVF quantizer: seed with the
+    first ``n_cells`` vectors by id (stable), then ``iters`` rounds of
+    assign (ivf_assign — JVM or matmul-UDF path) + element-wise mean per
+    cell (posexplode → groupBy(cell, pos) avg — one shuffle of
+    rows × dim scalars with map-side partial agg).  Only the centroid
+    matrix (n_cells × dim) ever reaches the driver.  Empty cells keep
+    their previous centroid."""
+    base = emb.select(F.col(id_col).alias("vec_id"),
+                      F.col(vec_col).alias("v"))
+    cents = [list(r.v) for r in
+             base.orderBy("vec_id").limit(n_cells).collect()]
+    dim = len(cents[0]) if cents else 0
+    for _ in range(iters):
+        assigned = ivf_assign(base, cents, "v")
+        means = (assigned
+                 .select("cell", F.posexplode("v").alias("pos", "x"))
+                 .groupBy("cell", "pos").agg(F.avg("x").alias("m"))
+                 .collect())
+        new = [list(c) for c in cents]
+        by_cell: dict = {}
+        for r in means:
+            by_cell.setdefault(r.cell, {})[r.pos] = r.m
+        for cell, poses in by_cell.items():
+            if len(poses) == dim:
+                new[cell] = [poses[p] for p in range(dim)]
+        cents = new
+    return cents
+
+
 def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
              n_cells: int = 16, nprobe: int = 2,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             q_id_col: str = "q_id", q_vec_col: str = "q_vec") -> DataFrame:
+             q_id_col: str = "q_id", q_vec_col: str = "q_vec",
+             refine_iters: int = 0) -> DataFrame:
     """IVF (inverted-file) approximate top-k: vectors are assigned to the
     nearest of ``n_cells`` centroids; each query probes its ``nprobe``
     nearest cells and exact cosine re-ranks inside them.
 
-    Centroids are the first ``n_cells`` corpus vectors by id —
-    deterministic and good enough for a flat quantizer over synthetic
-    data; a production build would run a few k-means|| rounds (the
-    assignment/probing plan is identical).  Candidate volume per query ≈
+    The flat quantizer seeds from the first ``n_cells`` corpus vectors by
+    id (deterministic); ``refine_iters`` > 0 runs that many Lloyd rounds
+    (kmeans_centroids) to balance the cells — the assignment/probing plan
+    is identical either way.  Candidate volume per query ≈
     corpus × nprobe / n_cells."""
-    cents = [list(r[1]) for r in
-             emb.select(id_col, vec_col).orderBy(id_col)
-             .limit(n_cells).collect()]
+    if refine_iters > 0:
+        cents = kmeans_centroids(emb, n_cells, refine_iters, id_col,
+                                 vec_col)
+    else:
+        cents = [list(r[1]) for r in
+                 emb.select(id_col, vec_col).orderBy(id_col)
+                 .limit(n_cells).collect()]
     base = ivf_assign(
         emb.select(F.col(id_col).alias("vec_id"),
                    F.col(vec_col).alias("v"),
