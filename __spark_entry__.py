@@ -271,6 +271,16 @@ def _q_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "stopword_ratio", "quality")
 
 
+def _q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (rolling-hash selection, Schleimer
+    et al. 2003) with the md5 hash family — full DuckDB value oracle."""
+    from versa_spark import textops
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .orderBy("doc_id").limit(100))
+    return textops.winnow_fingerprints(docs, k=5, window=4,
+                                       hash_family="md5")
+
+
 def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram language-ID heuristic (pandas UDF, textops.py)."""
     from versa_spark import textops
@@ -443,6 +453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "token_quality": _q_token_quality,
         "langid": _q_langid,
+        "winnow_fp": _q_winnow_fp,
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_lsh": _q_minhash_lsh,
         "simhash_dups": _q_simhash_dups,
@@ -777,6 +788,31 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_dot_product(x.v, y.v)
                   / (sqrt(list_dot_product(x.v, x.v))
                      * sqrt(list_dot_product(y.v, y.v))) >= 0.99
+        """,
+        "winnow_fp": """
+            WITH d AS (
+                SELECT doc_id,
+                       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+                           AS norm
+                FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 100)),
+            dn AS (SELECT doc_id, norm FROM d WHERE length(norm) >= 5),
+            g AS (
+                SELECT doc_id, length(norm) - 4 AS n_grams,
+                       CAST(x.i AS INT) AS pos,
+                       substr(norm, CAST(x.i AS INT) + 1, 5) AS gram
+                FROM dn, unnest(range(0, length(norm) - 4)) AS x(i)),
+            h AS (
+                SELECT doc_id, n_grams, pos,
+                       CAST(concat('0x', substr(md5(gram), 1, 12))
+                            AS BIGINT) AS h
+                FROM g),
+            w AS (
+                SELECT doc_id, pos, n_grams,
+                       MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN CURRENT ROW
+                                    AND 3 FOLLOWING) AS fp
+                FROM h)
+            SELECT DISTINCT doc_id, fp FROM w WHERE pos <= n_grams - 4
         """,
         "minhash_lsh": """
             WITH both_docs AS (

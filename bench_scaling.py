@@ -61,7 +61,43 @@ def run_level(cpus: int) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def sweep() -> None:
+    """Per-core-throughput sweep across parallelism levels — the
+    bus-saturation demonstration: if tps/core is ~flat at low levels and
+    falls at high ones, the efficiency loss is the shared memory bus of
+    local mode (one JVM, one bus), not the plan.  Writes
+    BENCH_SCALING_SWEEP.json."""
+    levels = [int(x) for x in
+              os.environ.get("SCALING_SWEEP", "1,2,4,8,16,32").split(",")]
+    trials = int(os.environ.get("SCALING_SWEEP_TRIALS", "3"))
+    # Interleave trials across levels and keep the BEST per level: the
+    # sandbox host carries time-varying external load (identical runs
+    # differ >2x), so per-level capability — not a load-polluted average —
+    # is what the saturation profile needs.
+    best: dict = {}
+    all_runs = []
+    for _ in range(trials):
+        for cpus in levels:
+            r = run_level(cpus)
+            r["tps_per_core"] = round(r["triples_per_sec"] / cpus, 1)
+            all_runs.append(r)
+            print(json.dumps(r, separators=(",", ":")))
+            if (cpus not in best
+                    or r["triples_per_sec"] > best[cpus]["triples_per_sec"]):
+                best[cpus] = r
+    rows = [best[c] for c in levels]
+    out = {"metric": "tps_per_core_sweep", "turns": TURNS,
+           "statistic": f"best_of_{trials}_interleaved",
+           "levels": rows, "all_trials": all_runs}
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_SCALING_SWEEP.json"), "w") as f:
+        f.write(json.dumps(out, separators=(",", ":")) + "\n")
+
+
 def main() -> None:
+    if os.environ.get("SCALING_SWEEP"):
+        sweep()
+        return
     low_cpus = int(os.environ.get("SCALING_LOW", "2"))
     high_cpus = int(os.environ.get("SCALING_HIGH", "8"))
     trials = int(os.environ.get("SCALING_TRIALS", "5"))

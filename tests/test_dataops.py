@@ -142,7 +142,7 @@ def test_bruteforce_vs_lsh_topk(spark, emb):
         rows.sort()
         assert rows[0][1] == q and abs(rows[0][2] - 1.0) < 1e-5
     # LSH with few planes: the self-match must also be found (same bucket)
-    approx = simsearch.lsh_topk(emb, queries, k=5, n_planes=4)
+    approx = simsearch.lsh_topk(emb, queries, k=5, n_planes=4, dim=64)
     arows = {(r.q_id, r.vec_id) for r in approx.collect()}
     for q in by_q:
         assert (q, q) in arows
@@ -336,3 +336,29 @@ def test_ivf_kmeans_refinement_keeps_invariants(spark, emb):
             emb.orderBy("vec_id").limit(8).collect()]
     refined = simsearch.kmeans_centroids(emb, n_cells=8, iters=1)
     assert refined != seed
+
+
+def test_winnow_fingerprints(spark):
+    """Winnowing guarantee: docs sharing a substring of length >=
+    k + window - 1 share a fingerprint; identical docs share ALL."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(1, base), (2, base), (3, "prefix junk " + base + " tail bits"),
+            (4, "completely unrelated content with zero overlap here")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = {}
+    for r in textops.winnow_fingerprints(df, k=5, window=4).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[1] == fps[2]                      # identical docs
+    assert fps[1] & fps[3]                       # long shared substring
+    assert not (fps[1] & fps[4])                 # disjoint content
+    # md5 family produces the same *structure* (48-bit ints) and obeys
+    # the same guarantees
+    fps_md5 = {}
+    for r in textops.winnow_fingerprints(df, k=5, window=4,
+                                         hash_family="md5").collect():
+        fps_md5.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps_md5[1] == fps_md5[2] and fps_md5[1] & fps_md5[3]
+    assert all(0 <= f < (1 << 48) for f in fps_md5[1])
+    # sub-k-length docs yield no fingerprints
+    tiny = spark.createDataFrame([(9, "abc")], ["doc_id", "text"])
+    assert textops.winnow_fingerprints(tiny, k=5, window=4).count() == 0

@@ -64,3 +64,25 @@ def test_literate_parse_df(spark):
         quads, _ = parse_to_quads(doc.replace("{i}", str(i)))
         local |= {(str(o), str(r), str(t)) for (o, r, t, _a) in quads}
     assert got == local and len(got) == 20
+
+
+def test_write_graph_tables(spark, tmp_path):
+    from versa_spark.kg.graph import build_graph
+    from versa_spark.kg.transcripts import ordered_turns, synthetic_transcripts
+    turns = ordered_turns(synthetic_transcripts(spark, n_convs=20,
+                                                turns_per_conv=5))
+    parts = build_graph(spark, turns)
+    base = str(tmp_path / "kg")
+    paths = storage.write_graph_tables(parts["graph"], parts["edges"], base,
+                                       n_buckets=8)
+    g = spark.read.parquet(paths["graph"])
+    e = spark.read.parquet(paths["edges"])
+    assert g.count() == parts["graph"].count() > 100
+    assert e.count() == parts["edges"].count() > 100
+    assert "obucket" in g.columns and "sbucket" in e.columns
+    # both tables bucket with the same hash → co-partitioned traversal
+    assert g.select("obucket").distinct().count() <= 8
+    assert e.select("sbucket").distinct().count() <= 8
+    with pytest.raises(NotImplementedError):
+        storage.write_graph_tables(parts["graph"], parts["edges"], base,
+                                   fmt="iceberg")

@@ -101,3 +101,20 @@ def test_stateful_conversation_sessions(spark, tmp_path):
         expect[r.conv_id] = expect.get(r.conv_id, 0) + len(
             pat.findall(r.text or ""))
     assert {k: v.n_mentions for k, v in final.items()} == expect
+
+
+def test_streaming_dedup_turns(spark, tmp_path):
+    """dropDuplicatesWithinWatermark removes replayed rows inside the
+    watermark (at-least-once upstream delivery made safe)."""
+    d = str(tmp_path / "dup_in")
+    tx = synthetic_transcripts(spark, n_convs=10, turns_per_conv=5)
+    tx.write.mode("overwrite").parquet(d)
+    tx.write.mode("append").parquet(d)       # replay: every row twice
+    assert spark.read.parquet(d).count() == 100
+    deduped = streaming.streaming_dedup_turns(spark, d)
+    q = (deduped.writeStream.format("memory").queryName("dedup_turns")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = spark.sql("SELECT conv_id, turn_idx FROM dedup_turns")
+    assert got.count() == 50
+    assert got.distinct().count() == 50

@@ -91,13 +91,75 @@ def extract_mentions_udf():
     return _extract
 
 
+# deterministic index space for the compact mention encoding
+_SURFACES = sorted(LEXICON)
+_SURFACE_IX = {s: i for i, s in enumerate(_SURFACES)}
+
+
+def extract_mention_ids_udf():
+    """Compact variant of extract_mentions_udf: returns arrays of
+    lexicon-surface INDICES (tinyint) instead of the surface strings —
+    the Arrow return column shrinks from ~6 bytes/mention of string data
+    to 1 byte/mention, which matters because the extraction stage is
+    memory-traffic-bound once several workers share one bus.  The
+    strings are reconstituted JVM-side by element_at over a 17-element
+    literal array (turn_mentions)."""
+    import re as _re
+    pat = _re.compile(_MENTION_PAT)
+    ix = dict(_SURFACE_IX)
+    from pyspark.sql.types import ByteType
+
+    @F.pandas_udf(ArrayType(ByteType()))
+    def _extract(texts):
+        import numpy as np
+        import pandas as pd
+
+        vals = texts.fillna("").tolist()
+        n = len(vals)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        blob = "\x00".join(vals)
+        lens = np.fromiter((len(v) for v in vals), dtype=np.int64, count=n)
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1] + 1, out=starts[1:])
+        matches = []
+        positions = []
+        for m in pat.finditer(blob):
+            matches.append(ix[m.group()])
+            positions.append(m.start())
+        rows = np.searchsorted(
+            starts, np.asarray(positions, dtype=np.int64),
+            side="right") - 1
+        out = [[] for _ in range(n)]
+        seen = [None] * n
+        for row, w in zip(rows.tolist(), matches):
+            s = seen[row]
+            if s is None:
+                s = seen[row] = set()
+            if w not in s:
+                s.add(w)
+                out[row].append(w)
+        return pd.Series(out)
+    return _extract
+
+
 def turn_mentions(turns: DataFrame) -> DataFrame:
-    """ordered turns → (conv_id, turn_idx, turn_iri, surface) mention rows."""
-    extract = extract_mentions_udf()
+    """ordered turns → (conv_id, turn_idx, turn_iri, surface) mention rows.
+
+    Python returns surface indices (1 byte each over Arrow); the surface
+    string is reconstituted by a JVM element_at lookup — identical output
+    to exploding the string-returning UDF, with a fraction of the
+    serialization traffic."""
+    extract = extract_mention_ids_udf()
+    surface_arr = F.array(*[F.lit(s) for s in _SURFACES])
     return (turns
-            .withColumn("surfaces", extract(F.col("text")))
+            .withColumn("mids", extract(F.col("text")))
             .select("conv_id", "turn_idx", "turn_iri",
-                    F.explode("surfaces").alias("surface")))
+                    F.explode("mids").alias("_mid"))
+            .select("conv_id", "turn_idx", "turn_iri",
+                    F.element_at(surface_arr,
+                                 F.col("_mid").cast("int") + 1)
+                    .alias("surface")))
 
 
 def conversation_links(turns: DataFrame) -> DataFrame:

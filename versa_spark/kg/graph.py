@@ -24,9 +24,12 @@ def build_graph(spark: SparkSession, turns: DataFrame,
     table; caching it would evict everything else."""
     linked = linking.link_entities(extract.turn_mentions(turns),
                                    linking.canonical_dictionary(spark))
-    # turn_iri is a pure function of (conv_id, turn_idx); the link families
-    # reconstruct it map-side, so the cached mention rows stay narrow
-    linked = linked.drop("turn_iri")
+    # The graph link families consume only these four columns; turn_iri is
+    # a pure function of (conv_id, turn_idx) reconstructed map-side, and
+    # surface/linked/score exist for callers that ask for them (kg.job
+    # checkpoints the full frame) — keeping the cached rows narrow is what
+    # lets the persist fit at bench scale without evicting anything.
+    linked = linked.select("conv_id", "turn_idx", "canonical", "entity_iri")
     # None of the graph link families consume turn_rank, so dropping it
     # here lets Catalyst prune the window sort out of the triple-build
     # plan entirely (the ranked view stays available via ordered_turns

@@ -36,6 +36,37 @@ def read_model(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def write_graph_tables(graph: DataFrame, edges: DataFrame, base_path: str,
+                       n_buckets: int = 64, mode: str = "overwrite",
+                       fmt: str = "parquet") -> dict:
+    """The north rule's materialize step: the graph link table plus the
+    adjacency edge list, as two partitioned tables under *base_path*.
+
+    * ``graph`` partitions by bucket(origin) — point lookups and
+      origin-colocated joins prune to 1/N;
+    * ``edges`` (src, rel, dst) partitions by bucket(src) — adjacency
+      scans of a node prune the same way, and src-keyed traversal joins
+      are co-partitioned with the graph table (same hash, same N).
+
+    ``fmt='iceberg'`` is the production spelling (identical layout:
+    ``PARTITIONED BY (bucket(N, origin))`` + sort order); this container
+    ships no Iceberg catalog jars, so the tested path is Parquet with the
+    same physical properties.  Returns the written paths."""
+    if fmt == "iceberg":
+        raise NotImplementedError(
+            "no Iceberg catalog in this environment; production spelling: "
+            "df.writeTo(tbl).partitionedBy(bucket(N, 'origin'))"
+            ".using('iceberg').createOrReplace()")
+    paths = {"graph": f"{base_path}/graph", "edges": f"{base_path}/edges"}
+    write_model(graph, paths["graph"], n_buckets=n_buckets, mode=mode)
+    e = (edges
+         .withColumn("sbucket", F.pmod(F.xxhash64("src"),
+                                       F.lit(n_buckets)))
+         .sortWithinPartitions("src", "rel"))
+    e.write.mode(mode).partitionBy("sbucket").parquet(paths["edges"])
+    return paths
+
+
 def match_stored(model: DataFrame, origin=None, rel=None, target=None,
                  attrs=None, n_buckets: int = 64) -> DataFrame:
     """match() over a stored model: when *origin* is given, add the

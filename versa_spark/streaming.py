@@ -122,6 +122,19 @@ def streaming_conversation_state(spark: SparkSession, input_dir: str,
                 "update", GroupStateTimeout.NoTimeout))
 
 
+def streaming_dedup_turns(spark: SparkSession, input_dir: str,
+                          watermark: str = "30 minutes") -> DataFrame:
+    """Streaming ingest dedup: ``dropDuplicatesWithinWatermark`` on the
+    turn natural key (conv_id, turn_idx) — the operator that makes
+    at-least-once upstream delivery (Kafka replays, file re-drops) safe.
+    Dedup state is bounded by the event-time watermark instead of growing
+    forever, which is what lets it run against an unbounded 100-TB/day
+    feed; the batch analogue is dedup.exact_duplicates."""
+    stream = read_transcript_stream(spark, input_dir)
+    return (stream.withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["conv_id", "turn_idx"]))
+
+
 def streaming_mention_counts(spark: SparkSession, input_dir: str,
                              window: str = "10 minutes",
                              watermark: str = "30 minutes") -> DataFrame:

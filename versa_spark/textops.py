@@ -108,3 +108,49 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return (df.withColumn("fp_xx64", F.xxhash64(norm))
             .withColumn("fp_md5", F.md5(norm)))
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 5,
+                        window: int = 4,
+                        hash_family: str = "xxhash64") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003, public): hash every character k-gram of the normalized
+    text, then select the MINIMUM hash of each sliding window of
+    ``window`` consecutive grams — any shared substring of length
+    ≥ k + window - 1 between two documents is guaranteed to share a
+    selected fingerprint.
+
+    The classic algorithm's "rolling" hash is an incremental-computation
+    trick for single-threaded scans; on Spark the per-gram hash is one
+    JVM expression over a posexploded gram table and the window minimum
+    is a BOUNDED rows-window partitioned by doc_id (never a global sort),
+    so the whole plan is linear in total text size and embarrassingly
+    parallel across documents.
+
+    hash_family 'md5' derives a 48-bit integer from the digest
+    (CAST('0x'||substr(md5(gram),1,12))) so DuckDB reproduces the exact
+    fingerprint set.  Returns distinct (doc_id, fp) rows; documents
+    shorter than k characters yield no fingerprints."""
+    from pyspark.sql import Window
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    g = (df.select(F.col(id_col).alias("doc_id"), norm.alias("_norm"))
+         .filter(F.length("_norm") >= k)
+         .select("doc_id",
+                 (F.length("_norm") - k + 1).alias("_n_grams"),
+                 F.posexplode(F.transform(
+                     F.sequence(F.lit(0), F.length("_norm") - k),
+                     lambda i: F.col("_norm").substr(i + 1, F.lit(k))))
+                 .alias("pos", "gram")))
+    if hash_family == "xxhash64":
+        h = F.xxhash64("gram")
+    elif hash_family == "md5":
+        h = F.conv(F.substring(F.md5("gram"), 1, 12), 16, 10).cast("long")
+    else:
+        raise ValueError(f"unknown hash_family {hash_family!r}")
+    g = g.select("doc_id", "_n_grams", "pos", h.alias("h"))
+    w = (Window.partitionBy("doc_id").orderBy("pos")
+         .rowsBetween(Window.currentRow, window - 1))
+    full = (g.withColumn("fp", F.min("h").over(w))
+            .filter(F.col("pos") <= F.col("_n_grams") - window))
+    return full.select("doc_id", "fp").distinct()
