@@ -420,6 +420,17 @@ def _q_flattened(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("origin", "rel", "target")
 
 
+def _q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization + per-session rollup over the events
+    table (events.py): stacked windows on one exchange, JSON prop
+    extraction JVM-side."""
+    from versa_spark import events as ev
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = ev.session_stats(e, gap_minutes=30)
+    return out.select("user_id", "session_id", "n_events", "span_s",
+                      "value_sum", "n_types", "max_k")
+
+
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for 10 query vectors (simsearch.py).
     Cosines are rounded before ranking in BOTH engines so float ulps
@@ -463,6 +474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_chain_components": _q_dup_chain_components,
         "query_negation": _q_query_negation,
         "flattened": _q_flattened,
+        "event_sessions": _q_event_sessions,
     }
 
 
@@ -788,6 +800,31 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_dot_product(x.v, y.v)
                   / (sqrt(list_dot_product(x.v, x.v))
                      * sqrt(list_dot_product(y.v, y.v))) >= 0.99
+        """,
+        "event_sessions": """
+            WITH s AS (
+                SELECT user_id, ts, value, event_type, props,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                    > 30 * 60 * 1000000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            sid AS (
+                SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id
+                          ORDER BY ts ROWS UNBOUNDED PRECEDING) - 1
+                          AS BIGINT) AS session_id
+                FROM s)
+            SELECT user_id, session_id,
+                   COUNT(*) AS n_events,
+                   CAST((MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 1000000
+                        AS BIGINT) AS span_s,
+                   CAST(round(SUM(CAST(value AS DECIMAL(18,6))), 2)
+                        AS DOUBLE) AS value_sum,
+                   COUNT(DISTINCT event_type) AS n_types,
+                   MAX(CAST(json_extract_string(props, '$.k') AS INT))
+                       AS max_k
+            FROM sid GROUP BY user_id, session_id
         """,
         "winnow_fp": """
             WITH d AS (

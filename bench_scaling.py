@@ -53,11 +53,19 @@ spark.stop()
 
 
 def run_level(cpus: int) -> dict:
+    """One fresh-JVM run at local[cpus], PINNED to exactly `cpus` host
+    cores (taskset).  Without pinning, local[N] caps only TASK SLOTS —
+    the Python UDF workers, shuffle and GC threads run on extra cores, so
+    a 'local[1]' job really consumes ~2 cores and the N→4N ratio is
+    deflated.  On a real cluster an executor's Python workers live inside
+    the executor's own cgroup, which is exactly what the pin reproduces."""
     repo = os.path.dirname(os.path.abspath(__file__))
     code = _WORKER.replace("__REPO__", repo)
-    out = subprocess.run(
-        [sys.executable, "-c", code, str(cpus), str(TURNS)],
-        capture_output=True, text=True, timeout=1800, check=True)
+    cmd = [sys.executable, "-c", code, str(cpus), str(TURNS)]
+    if os.environ.get("SCALING_PIN", "1") != "0":
+        cmd = ["taskset", "-c", f"0-{cpus - 1}" if cpus > 1 else "0"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True,
+                         timeout=1800, check=True)
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 

@@ -362,3 +362,27 @@ def test_winnow_fingerprints(spark):
     # sub-k-length docs yield no fingerprints
     tiny = spark.createDataFrame([(9, "abc")], ["doc_id", "text"])
     assert textops.winnow_fingerprints(tiny, k=5, window=4).count() == 0
+
+
+def test_event_sessionization(spark):
+    """Gap sessionization: boundaries at > gap, stacked windows share one
+    exchange (single Exchange for both lag and running sum)."""
+    from datetime import datetime as dt
+    from versa_spark import events as ev
+    rows = [
+        (1, "u1", dt(2024, 1, 1, 0, 0, 0), "view", 1.0, '{"k": 5}'),
+        (2, "u1", dt(2024, 1, 1, 0, 10, 0), "click", 2.0, '{"k": 9}'),
+        (3, "u1", dt(2024, 1, 1, 1, 0, 0), "view", 3.0, '{"k": 2}'),   # gap
+        (4, "u2", dt(2024, 1, 1, 0, 0, 0), "error", 4.0, '{"k": 1}'),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, ts timestamp, "
+              "event_type string, value double, props string")
+    out = {(r.user_id, r.session_id): r
+           for r in ev.session_stats(df, gap_minutes=30).collect()}
+    assert out[("u1", 0)].n_events == 2 and out[("u1", 0)].span_s == 600
+    assert out[("u1", 0)].value_sum == 3.0 and out[("u1", 0)].max_k == 9
+    assert out[("u1", 1)].n_events == 1
+    assert out[("u2", 0)].n_events == 1 and out[("u2", 0)].n_types == 1
+    plan = ev.sessionize(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, "stacked windows must share one exchange"
