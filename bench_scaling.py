@@ -52,6 +52,32 @@ spark.stop()
 """
 
 
+def run_paired(low_cpus: int, high_cpus: int) -> tuple:
+    """One PAIRED trial: the low- and high-parallelism jobs run
+    SIMULTANEOUSLY on disjoint pinned core sets, so both see the same
+    instantaneous host load and external noise cancels in the ratio —
+    the shared-sandbox analogue of running N and 4N clusters side by
+    side.  Core sets are disjoint (low: 0..low-1, high: low..low+high-1);
+    the memory bus is still shared, which only UNDER-states efficiency."""
+    repo = os.path.dirname(os.path.abspath(__file__))
+    code = _WORKER.replace("__REPO__", repo)
+    low_pin = f"0-{low_cpus - 1}" if low_cpus > 1 else "0"
+    high_pin = f"{low_cpus}-{low_cpus + high_cpus - 1}"
+    procs = []
+    for pin, cpus in ((low_pin, low_cpus), (high_pin, high_cpus)):
+        procs.append(subprocess.Popen(
+            ["taskset", "-c", pin, sys.executable, "-c", code,
+             str(cpus), str(TURNS)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=1800)
+        if p.returncode:
+            raise RuntimeError(f"paired worker failed rc={p.returncode}")
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+    return outs[0], outs[1]
+
+
 def run_level(cpus: int) -> dict:
     """One fresh-JVM run at local[cpus], PINNED to exactly `cpus` host
     cores (taskset).  Without pinning, local[N] caps only TASK SLOTS —
@@ -109,10 +135,18 @@ def main() -> None:
     low_cpus = int(os.environ.get("SCALING_LOW", "2"))
     high_cpus = int(os.environ.get("SCALING_HIGH", "8"))
     trials = int(os.environ.get("SCALING_TRIALS", "5"))
+    paired = os.environ.get("SCALING_PAIRED", "0") == "1"
     # Interleave levels across separate JVMs: the sandbox shares hardware,
-    # so adjacent trials see comparable external load.
+    # so adjacent trials see comparable external load.  SCALING_PAIRED=1
+    # goes further: both levels run simultaneously on disjoint pinned
+    # cores, cancelling time-varying host noise in the ratio.
     lows, highs = [], []
     for _ in range(trials):
+        if paired:
+            lo, hi = run_paired(low_cpus, high_cpus)
+            lows.append(lo)
+            highs.append(hi)
+            continue
         lows.append(run_level(low_cpus))
         highs.append(run_level(high_cpus))
     low_tps = statistics.median(r["triples_per_sec"] for r in lows)
@@ -126,7 +160,8 @@ def main() -> None:
         "metric": f"scaling_efficiency_{low_cpus}_to_{high_cpus}",
         "value": round(efficiency, 3),
         "unit": "ratio",
-        "statistic": f"median_of_{trials}",
+        "statistic": f"median_of_{trials}"
+                     + ("_paired_simultaneous" if paired else ""),
         "turns": TURNS,
         "low_tps_trials": [r["triples_per_sec"] for r in lows],
         "high_tps_trials": [r["triples_per_sec"] for r in highs],

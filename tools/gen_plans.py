@@ -71,6 +71,38 @@ window sort is absent from the triple-build plan. Regenerate with
     section("MinHash signatures", sig,
             "min() aggregates after one explode — all JVM whole-stage "
             "codegen, no Python in the signature path.")
+
+    ml = canonicalize.mention_links(linked)
+    ml.count()
+    section("mention-link dedup (narrow shuffle)", ml,
+            "The triple-build's dominant exchange hashes only "
+            "(conv_id, turn_idx, entity_iri) — the 42-byte turn IRI and "
+            "the constant rel are rebuilt by Project AFTER the exchange, "
+            "roughly halving shuffle bytes; no `turn_iri` appears in any "
+            "Exchange.")
+
+    from pyspark.sql import functions as F
+    cap = (docs.orderBy("doc_id").limit(200)
+           .select("doc_id", "text"))
+    both = cap.unionByName(cap.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat("text", F.lit(" appended")).alias("text")))
+    ver = dedup.minhash_lsh_candidates(both, verify_threshold=0.8)
+    ver.count()
+    section("MinHash-LSH verify (candidate-scoped)", ver,
+            "Jaccard is computed ONLY for candidate pairs: the shingle "
+            "table is left-semi-joined to candidate doc ids before any "
+            "pair join — no all-pairs shingle self-join exists in the "
+            "plan (the round-1 scale defect).")
+
+    from versa_spark import events as ev
+    es = ev.session_stats(spark.read.parquet(f"{sf}/events.parquet"))
+    es.count()
+    section("event sessionization", es,
+            "Both windows (lag + running sum) share ONE Exchange on "
+            "user_id; the rollup is a partial/final HashAggregate pair; "
+            "JSON prop extraction (get_json_object) stays inside "
+            "WholeStageCodegen.")
     out.close()
     print("PLANS.md written")
     spark.stop()
