@@ -386,3 +386,65 @@ def test_event_sessionization(spark):
     assert out[("u2", 0)].n_events == 1 and out[("u2", 0)].n_types == 1
     plan = ev.sessionize(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, "stacked windows must share one exchange"
+
+
+def test_connected_components_random_graphs_vs_union_find(spark):
+    """Randomized cross-check: CC labels equal a pure-Python union-find
+    on seeded random graphs (mix of chains, stars, and random edges)."""
+    import random
+
+    def union_find(edges, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # min-id representative per component
+        comp = {}
+        for n in nodes:
+            r = find(n)
+            comp.setdefault(r, []).append(n)
+        return {n: min(members) for r, members in comp.items()
+                for n in members}
+
+    for seed in (7, 42, 1234):
+        rng = random.Random(seed)
+        n = 120
+        edges = set()
+        for i in range(0, 40):                      # chain segment
+            edges.add((i, i + 1))
+        hub = 60
+        for i in range(61, 80):                     # star
+            edges.add((hub, i))
+        while len(edges) < 90:                      # random edges
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        nodes = {x for e in edges for x in e}
+        pairs = spark.createDataFrame(sorted(edges), "a long, b long")
+        got = {r.doc_id: r.component
+               for r in dedup.connected_components(pairs).collect()}
+        assert got == union_find(edges, nodes), f"seed {seed}"
+
+
+def test_dedup_corpus_end_to_end(spark):
+    """The one-call dedup pipeline keeps exactly one representative per
+    near-dup cluster and leaves uniques untouched."""
+    base = ("spark join merge sort window filter batch stream vector "
+            "query table column agg scan the fast slow big small")
+    other = ("completely different unrelated words entirely other "
+             "content here nothing shared with any previous documents")
+    rows = [(1, base), (2, base + " extra"), (3, base),      # cluster {1,2,3}
+            (10, other), (11, other + " tail"),              # cluster {10,11}
+            (20, "a lonely unique document all by itself today")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept = {r.doc_id for r in dedup.dedup_corpus(
+        df, threshold=0.5).collect()}
+    assert kept == {1, 10, 20}

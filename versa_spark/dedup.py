@@ -422,3 +422,28 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
             .withColumn("cosine", dot / (F.col("na") * F.col("nb")))
             .filter(F.col("cosine") >= threshold)
             .select("a", "b", F.round("cosine", 6).alias("cosine")))
+
+
+def dedup_corpus(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", k: int = 3,
+                 threshold: float = 0.8, num_hashes: int = 64,
+                 bands: int = 16,
+                 hash_family: str = "xxhash64") -> DataFrame:
+    """One-call near-dup removal — the composition a training-data
+    pipeline actually runs:
+
+        MinHash+LSH candidates  (bucketed discovery, never all-pairs)
+        → candidate-scoped exact-Jaccard verify (≥ threshold)
+        → connected components  (hooking + pointer doubling)
+        → keep one representative per cluster (minimum id)
+
+    Returns the input rows minus non-representative duplicates.  Exact
+    duplicates are near-dups at any threshold, so they collapse too.
+    Every stage is the scale path documented on its own function."""
+    pairs = minhash_lsh_candidates(df, id_col, text_col, k, num_hashes,
+                                   bands, verify_threshold=threshold,
+                                   hash_family=hash_family)
+    cc = connected_components(pairs.select("a", "b"))
+    drop = (cc.filter(F.col("doc_id") != F.col("component"))
+            .select(F.col("doc_id").alias(id_col)))
+    return df.join(drop, id_col, "left_anti")

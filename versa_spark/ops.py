@@ -219,14 +219,23 @@ def transitive_closure(df: DataFrame, orig, rel,
     seen = (edges.filter(F.col("src") == str(orig))
             .select(F.col("dst").alias("n")).distinct().cache())
     total = seen.count()
-    for _ in range(max_iters):
+    converged = False
+    for i in range(max_iters):
         nxt = (seen.join(edges, F.col("n") == F.col("src"))
                .select(F.col("dst").alias("n")).distinct())
-        seen = seen.unionByName(nxt).distinct().cache()
+        seen = seen.unionByName(nxt).distinct()
+        # truncate lineage each round (frontier plans otherwise nest one
+        # join per hop and bloat driver-side analysis on deep graphs)
+        seen = seen.localCheckpoint(eager=True)
         new_total = seen.count()
         if new_total == total:
+            converged = True
             break
         total = new_total
+    if not converged:
+        raise RuntimeError(
+            f"transitive_closure did not converge in {max_iters} hops "
+            f"(graph deeper than max_iters; raise it)")
     return seen.withColumnRenamed("n", "target")
 
 
