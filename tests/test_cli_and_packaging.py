@@ -118,3 +118,30 @@ def test_spark_submit_py_files(tmp_path):
     assert "GRAPH_TRIPLES=" in out.stdout
     n = int(out.stdout.split("GRAPH_TRIPLES=")[1].split()[0])
     assert n > 100
+
+
+def test_cli_dedup_and_sessionize(tmp_path, spark):
+    """The data-op subcommands run end-to-end: parquet in → op → parquet
+    out (same-process main(), not a subprocess, to reuse the session)."""
+    from pyspark.sql import functions as F
+    from versa_spark import cli
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .limit(30).select("doc_id", "text"))
+    both = docs.unionByName(docs.select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat("text", F.lit(" y")).alias("text")))
+    src = str(tmp_path / "docs_in"); both.write.parquet(src)
+    out = str(tmp_path / "docs_out")
+    rc = cli.main(["dedup", src, out, "--threshold", "0.7",
+                   "--cpus", "4"])
+    assert rc == 0
+    kept = spark.read.parquet(out)
+    assert 0 < kept.count() < 60 and set(kept.columns) == {"doc_id", "text"}
+
+    ev_src = "/root/testdata/sf0.001/events.parquet"
+    ev_out = str(tmp_path / "sessions_out")
+    rc = cli.main(["sessionize", ev_src, ev_out, "--gap-minutes", "30",
+                   "--cpus", "4"])
+    assert rc == 0
+    sess = spark.read.parquet(ev_out)
+    assert sess.count() > 0 and "session_id" in sess.columns

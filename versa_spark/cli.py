@@ -98,6 +98,36 @@ def load_rulespec(path: str):
     return entry
 
 
+def _spark_dataop(args) -> int:
+    """Spark-backed data ops (dedup / sessionize): read parquet, run the
+    library op, write parquet.  Same session shape as the KG job."""
+    from pyspark.sql import SparkSession
+    from versa_spark.shipping import ensure_shipped
+    existing = SparkSession.getActiveSession()
+    spark = existing or (SparkSession.builder
+                         .master(f"local[{args.cpus}]")
+                         .appName(f"versa-spark-{args.cmd}")
+                         .config("spark.sql.shuffle.partitions",
+                                 str(int(args.cpus) * 2))
+                         .config("spark.sql.adaptive.enabled", "true")
+                         .config("spark.ui.enabled", "false")
+                         .getOrCreate())
+    ensure_shipped(spark)
+    df = spark.read.parquet(args.source)
+    if args.cmd == "dedup":
+        from versa_spark.dedup import dedup_corpus
+        out = dedup_corpus(df, threshold=args.threshold)
+    else:
+        from versa_spark.events import session_stats
+        out = session_stats(df, gap_minutes=args.gap_minutes)
+    out.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(f"{args.cmd}: wrote {n} rows to {args.out}")
+    if existing is None:          # don't stop a caller-owned session
+        spark.stop()
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="versa_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -112,7 +142,24 @@ def main(argv=None) -> int:
     p_tx.add_argument("--in-fmt", default=None)
     p_tx.add_argument("--out", default="-")
     p_tx.add_argument("--out-fmt", default="md")
+    p_dd = sub.add_parser(
+        "dedup", help="near-dup removal over a parquet corpus "
+                      "(LSH -> scoped verify -> components -> keep reps)")
+    p_dd.add_argument("source", help="parquet with (doc_id, text)")
+    p_dd.add_argument("out", help="output parquet path")
+    p_dd.add_argument("--threshold", type=float, default=0.8)
+    p_dd.add_argument("--cpus", default="4")
+    p_ss = sub.add_parser(
+        "sessionize", help="gap sessionization rollup over an events "
+                           "parquet (user_id, ts, ...)")
+    p_ss.add_argument("source")
+    p_ss.add_argument("out")
+    p_ss.add_argument("--gap-minutes", type=int, default=30)
+    p_ss.add_argument("--cpus", default="4")
     args = ap.parse_args(argv)
+
+    if args.cmd in ("dedup", "sessionize"):
+        return _spark_dataop(args)
 
     with open(args.source) as f:
         text = f.read()
