@@ -26,16 +26,20 @@ import sys
 TURNS = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
 
 _WORKER = r"""
-import json, sys, time
+import json, os, sys, time
 sys.path.insert(0, "__REPO__")
 from pyspark.sql import SparkSession
 cpus = int(sys.argv[1]); turns = int(sys.argv[2])
-spark = (SparkSession.builder.master(f"local[{cpus}]")
-         .appName(f"kg-scaling-{cpus}")
-         .config("spark.sql.shuffle.partitions", str(cpus * 2))
-         .config("spark.sql.adaptive.enabled", "true")
-         .config("spark.driver.memory", "24g")
-         .config("spark.ui.enabled", "false").getOrCreate())
+b = (SparkSession.builder.master(f"local[{cpus}]")
+     .appName(f"kg-scaling-{cpus}")
+     .config("spark.sql.shuffle.partitions", str(cpus * 2))
+     .config("spark.sql.adaptive.enabled", "true")
+     .config("spark.driver.memory", "24g")
+     .config("spark.ui.enabled", "false"))
+gc = os.environ.get("SCALING_GC")
+if gc:  # e.g. -XX:+UseParallelGC — throughput GC for the batch job
+    b = b.config("spark.driver.extraJavaOptions", gc)
+spark = b.getOrCreate()
 from versa_spark.kg.graph import build_graph
 from versa_spark.kg.transcripts import ordered_turns, synthetic_transcripts
 # warmup (session costs excluded from the measured run)
