@@ -281,6 +281,15 @@ def _q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        hash_family="md5")
 
 
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (textops.repetition_stats):
+    dup-word fraction, top-bigram fraction, dup-trigram occupancy."""
+    from versa_spark import textops
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .orderBy("doc_id").limit(300))
+    return textops.repetition_stats(docs)
+
+
 def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram language-ID heuristic (pandas UDF, textops.py)."""
     from versa_spark import textops
@@ -465,6 +474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_quality": _q_token_quality,
         "langid": _q_langid,
         "winnow_fp": _q_winnow_fp,
+        "repetition_stats": _q_repetition_stats,
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_lsh": _q_minhash_lsh,
         "simhash_dups": _q_simhash_dups,
@@ -800,6 +810,51 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_dot_product(x.v, y.v)
                   / (sqrt(list_dot_product(x.v, x.v))
                      * sqrt(list_dot_product(y.v, y.v))) >= 0.99
+        """,
+        "repetition_stats": """
+            WITH d AS (
+                SELECT doc_id,
+                       regexp_split_to_array(
+                           regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                          'g'), ' ') AS w
+                FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 300)),
+            dw AS (
+                SELECT doc_id,
+                       round(1.0 - CAST(len(list_distinct(w)) AS DOUBLE)
+                             / len(w), 6) AS dup_word_frac
+                FROM d),
+            bi AS (
+                SELECT doc_id,
+                       unnest([array_to_string(w[i:i+1], ' ')
+                               for i in range(1, len(w))]) AS g
+                FROM d WHERE len(w) >= 2),
+            bic AS (SELECT doc_id, g, COUNT(*) AS c FROM bi
+                    GROUP BY doc_id, g),
+            bstat AS (
+                SELECT doc_id,
+                       round(CAST(MAX(c) AS DOUBLE) / SUM(c), 6)
+                           AS top_bigram_frac
+                FROM bic GROUP BY doc_id),
+            tri AS (
+                SELECT doc_id,
+                       unnest([array_to_string(w[i:i+2], ' ')
+                               for i in range(1, len(w) - 1)]) AS g
+                FROM d WHERE len(w) >= 3),
+            tric AS (SELECT doc_id, g, COUNT(*) AS c FROM tri
+                     GROUP BY doc_id, g),
+            tstat AS (
+                SELECT doc_id,
+                       round(CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END)
+                                  AS DOUBLE) / SUM(c), 6)
+                           AS dup_trigram_frac
+                FROM tric GROUP BY doc_id)
+            SELECT dw.doc_id, dw.dup_word_frac,
+                   COALESCE(bstat.top_bigram_frac, 0.0) AS top_bigram_frac,
+                   COALESCE(tstat.dup_trigram_frac, 0.0)
+                       AS dup_trigram_frac
+            FROM dw
+            LEFT JOIN bstat ON bstat.doc_id = dw.doc_id
+            LEFT JOIN tstat ON tstat.doc_id = dw.doc_id
         """,
         "event_sessions": """
             WITH s AS (

@@ -448,3 +448,22 @@ def test_dedup_corpus_end_to_end(spark):
     kept = {r.doc_id for r in dedup.dedup_corpus(
         df, threshold=0.5).collect()}
     assert kept == {1, 10, 20}
+
+
+def test_repetition_stats(spark):
+    """Gopher repetition signals: exact fractions on a hand-computable
+    fixture."""
+    rows = [(1, "a b a b a b"),          # words: a,b ×3 — heavy repeat
+            (2, "one two three four"),   # all unique
+            (3, "x")]                    # single word, no grams
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in textops.repetition_stats(df).collect()}
+    # doc 1: 6 words, 2 distinct -> dup_word 1 - 2/6
+    assert abs(out[1].dup_word_frac - (1 - 2 / 6)) < 1e-6
+    # bigrams of doc1: 'a b' x3, 'b a' x2 -> top = 3/5; all 5 occurrences
+    # are of grams appearing >1 -> trigram dup: 'a b a' x2, 'b a b' x2 -> 4/4
+    assert abs(out[1].top_bigram_frac - 3 / 5) < 1e-6
+    assert abs(out[1].dup_trigram_frac - 1.0) < 1e-6
+    assert out[2].dup_word_frac == 0.0
+    assert out[2].dup_trigram_frac == 0.0
+    assert out[3].top_bigram_frac == 0.0 and out[3].dup_trigram_frac == 0.0

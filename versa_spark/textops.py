@@ -154,3 +154,56 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
     full = (g.withColumn("fp", F.min("h").over(w))
             .filter(F.col("pos") <= F.col("_n_grams") - window))
     return full.select("doc_id", "fp").distinct()
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021, public):
+
+    * ``dup_word_frac``   — 1 − distinct(words)/len(words): pure
+      higher-order array functions, no shuffle;
+    * ``top_bigram_frac`` — occurrences of the most frequent word bigram
+      / total bigrams;
+    * ``dup_trigram_frac``— fraction of trigram OCCURRENCES whose gram
+      appears more than once.
+
+    The bigram/trigram stats explode grams and aggregate per (doc, gram)
+    — one shuffle keyed by (doc_id, gram) with map-side partial
+    aggregation; keys are unique per doc so there is no hot key.  Filter
+    thresholds are the caller's policy (Gopher drops docs with
+    top-2-gram > 0.20 or dup-3-gram occupancy > 0.18 etc.)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    words = F.split(norm, " ")
+    base = df.select(F.col(id_col).alias("doc_id"), words.alias("_w"))
+    dup_word = (F.lit(1.0) - F.size(F.array_distinct("_w"))
+                / F.size("_w"))
+
+    def grams(n):
+        return F.when(
+            F.size("_w") >= n,
+            F.transform(F.sequence(F.lit(0), F.size("_w") - n),
+                        lambda i: F.concat_ws(
+                            " ", F.slice("_w", i + 1, n)))
+        ).otherwise(F.array().cast("array<string>"))
+
+    def gram_stats(n, out_top, out_dup):
+        g = base.select("doc_id", F.explode(grams(n)).alias("g"))
+        per = g.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+        return (per.groupBy("doc_id")
+                .agg((F.max("c") / F.sum("c")).alias(out_top),
+                     (F.sum(F.when(F.col("c") > 1, F.col("c"))
+                            .otherwise(0)) / F.sum("c")).alias(out_dup)))
+
+    bi = gram_stats(2, "top_bigram_frac", "_dup2")
+    tri = gram_stats(3, "_top3", "dup_trigram_frac")
+    out = (base.select("doc_id", F.round(dup_word, 6)
+                       .alias("dup_word_frac"))
+           .join(bi.select("doc_id", "top_bigram_frac"), "doc_id", "left")
+           .join(tri.select("doc_id", "dup_trigram_frac"), "doc_id",
+                 "left"))
+    return out.select(
+        "doc_id", "dup_word_frac",
+        F.round(F.coalesce("top_bigram_frac", F.lit(0.0)), 6)
+        .alias("top_bigram_frac"),
+        F.round(F.coalesce("dup_trigram_frac", F.lit(0.0)), 6)
+        .alias("dup_trigram_frac"))
