@@ -467,3 +467,105 @@ def test_repetition_stats(spark):
     assert out[2].dup_word_frac == 0.0
     assert out[2].dup_trigram_frac == 0.0
     assert out[3].top_bigram_frac == 0.0 and out[3].dup_trigram_frac == 0.0
+
+
+def test_ivf_probe_path_constant_plan(spark, monkeypatch):
+    """Round-2 verdict fix: at dim × n_cells above the literal budget the
+    query→cell probe ranking must route through the matmul pandas UDF —
+    one ArrowEvalPython, no per-cell literal arrays in the plan — and the
+    probed cells / final top-k must be identical to the literal path."""
+    dim, n = 600, 24   # 600 * 8 cells = 4800 > _LITERAL_BUDGET
+    rng = [(i, [float(((i * 31 + j * 17) % 97) - 48) / 48.0
+                for j in range(dim)]) for i in range(n)]
+    emb2 = spark.createDataFrame(rng, "vec_id long, embedding array<double>")
+    queries = emb2.limit(3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    cents = [list(r.embedding) for r in
+             emb2.orderBy("vec_id").limit(8).collect()]
+
+    q = queries.select("q_id", F.col("q_vec").alias("q"))
+    probes = simsearch.probe_cells(q, cents, nprobe=2)
+    plan = probes._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+    # no per-cell literal arrays: a literal path would inline 4800 float
+    # literals (~50KB+ of plan text); the UDF plan stays constant-size
+    assert len(plan) < 10_000, f"plan blew up to {len(plan)} chars"
+    udf_cells = {r.q_id: list(r.cells) for r in probes.collect()}
+    udf_topk = {(r.q_id, r.vec_id, r.rank) for r in simsearch.ivf_topk(
+        emb2, queries, k=3, n_cells=8, nprobe=2).collect()}
+
+    # force the literal path and compare
+    monkeypatch.setattr(simsearch, "_LITERAL_BUDGET", 10**9)
+    lit_probes = simsearch.probe_cells(q, cents, nprobe=2)
+    assert "ArrowEvalPython" not in \
+        lit_probes._jdf.queryExecution().executedPlan().toString()
+    lit_cells = {r.q_id: list(r.cells) for r in lit_probes.collect()}
+    assert udf_cells == lit_cells
+    lit_topk = {(r.q_id, r.vec_id, r.rank) for r in simsearch.ivf_topk(
+        emb2, queries, k=3, n_cells=8, nprobe=2).collect()}
+    assert udf_topk == lit_topk
+
+
+def test_lsh_n_planes_capped_at_63(spark, emb):
+    """Bucket bit b is weighted 1 << b into a signed long: a 64th plane
+    would overflow, so both entry points refuse n_planes > 63."""
+    with pytest.raises(ValueError, match="63"):
+        simsearch.hyperplanes(8, 64)
+    planes_64 = [[1.0] * 4 for _ in range(64)]
+    with pytest.raises(ValueError, match="63"):
+        simsearch.random_hyperplane_signatures(
+            emb.select(F.col("embedding").alias("v")), "v", planes_64)
+    # 63 planes is legal end-to-end (top bit lands on 1 << 62)
+    sigs = simsearch.random_hyperplane_signatures(
+        emb.limit(4).select(F.col("embedding").alias("v")), "v",
+        simsearch.hyperplanes(64, 63))
+    assert sigs.count() == 4
+
+
+def test_ngram_jaccard_duplicate_candidates_guarded(spark):
+    """Duplicate (a, b) candidate rows must not double-count n_inter
+    (jaccard > 1 / false positives): the pair list is deduped internally."""
+    rows = [(1, "w1 w2 w3 w4 w5 w6"), (2, "w1 w2 w3 w4 w5 seven")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    cands = spark.createDataFrame([(1, 2), (1, 2), (1, 2)], ["a", "b"])
+    out = dedup.ngram_jaccard_pairs(df, threshold=0.0, candidates=cands) \
+        .collect()
+    assert len(out) == 1
+    ref = dedup.ngram_jaccard_pairs(df, threshold=0.0).collect()
+    assert out[0].jaccard == ref[0].jaccard and out[0].jaccard <= 1.0
+
+
+def _n_cached_rdds(spark):
+    return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+
+def test_dedup_corpus_releases_caches(spark):
+    """Cache hygiene (round-2 advice): the LSH candidate persist and the
+    CC edge persist are released before dedup_corpus returns; only the
+    two tiny eager localCheckpoints the result reads may remain, so
+    repeated calls do not accumulate cached partitions."""
+    base = ("spark join merge sort window filter batch stream vector "
+            "query table column agg scan the fast slow big small")
+    rows = [(i, base + f" v{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    before = _n_cached_rdds(spark)
+    dedup.dedup_corpus(df, threshold=0.5).count()
+    first = _n_cached_rdds(spark)
+    assert first - before <= 2, (before, first)
+    for _ in range(3):
+        dedup.dedup_corpus(df, threshold=0.5).count()
+    after = _n_cached_rdds(spark)
+    # each call may retain its ≤2 result checkpoints until GC, but the
+    # per-call persists (candidates, edges, per-round labels) must be gone
+    assert after - first <= 3 * 2, (first, after)
+
+
+def test_transitive_closure_releases_edge_cache(spark):
+    from versa_spark import ops
+    links = spark.createDataFrame(
+        [(f"n{i}", "http://example.org/next", f"n{i+1}", True)
+         for i in range(6)], ["origin", "rel", "target", "t_iri"])
+    before = _n_cached_rdds(spark)
+    out = ops.transitive_closure(links, "n0", "http://example.org/next")
+    assert out.count() == 6
+    assert _n_cached_rdds(spark) - before <= 1  # only the result ckpt

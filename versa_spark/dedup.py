@@ -82,7 +82,10 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     discovery at scale)."""
     sh = shingles(df, id_col, text_col, k)
     if candidates is not None:
-        cands = candidates.select("a", "b")
+        # candidate pairs must be distinct or n_inter double-counts
+        # (jaccard > 1, false positives); the distinct is O(candidates) —
+        # trivial next to the shingle joins it scopes
+        cands = candidates.select("a", "b").distinct()
         cand_ids = (cands.select(F.col("a").alias("doc_id"))
                     .unionByName(cands.select(F.col("b").alias("doc_id")))
                     .distinct())
@@ -183,11 +186,20 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
     if verify_threshold is None:
         return cands
     # the candidate list feeds the verify join twice (pair join + doc-id
-    # semi-join); persist it so the signature/banding DAG runs once —
-    # it is tiny (near-dup pairs), the whole point of LSH
-    return ngram_jaccard_pairs(df, id_col, text_col, k,
-                               threshold=verify_threshold,
-                               candidates=cands.persist())
+    # semi-join); persist it so the signature/banding DAG runs once — it
+    # is tiny (near-dup pairs), the whole point of LSH.  The verified
+    # result is then EAGERLY materialized (localCheckpoint: tiny output,
+    # lineage truncated) so the candidate cache can be released before
+    # returning — repeated calls in a long-lived session must not
+    # accumulate cached partitions.
+    cands = cands.persist()
+    try:
+        verified = ngram_jaccard_pairs(
+            df, id_col, text_col, k, threshold=verify_threshold,
+            candidates=cands).localCheckpoint(eager=True)
+    finally:
+        cands.unpersist()
+    return verified
 
 
 def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
@@ -319,8 +331,10 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
     labels = (edges.select(F.col("x").alias("node"))
               .distinct()
               .withColumn("component", F.col("node")))
+    from versa_spark.cacheutil import release_checkpoint
     rounds = 0
     converged = False
+    prev_is_ckpt = False
     for i in range(max_iters):
         rounds += 1
         # 1. hook: candidate label = min(own, min over neighbors' labels)
@@ -342,7 +356,8 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
                                hooked["component"] == parent["_p"], "left")
                    .select("node",
                            F.coalesce("_pc", "component").alias("component")))
-        if (i + 1) % checkpoint_every == 0:
+        new_is_ckpt = (i + 1) % checkpoint_every == 0
+        if new_is_ckpt:
             new_labels = doubled.localCheckpoint(eager=True)
         else:
             new_labels = doubled.persist()
@@ -350,9 +365,14 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
                    .join(labels.alias("o"), "node")
                    .filter(F.col("n.component") != F.col("o.component"))
                    .limit(1).count())
-        if hasattr(labels, "unpersist"):
+        # the previous round's table is dead once `changed` materialized —
+        # free its blocks NOW (a checkpoint's blocks outlive unpersist(),
+        # see cacheutil) or a k-round run holds k label-table copies
+        if prev_is_ckpt:
+            release_checkpoint(labels)
+        else:
             labels.unpersist()
-        labels = new_labels
+        labels, prev_is_ckpt = new_labels, new_is_ckpt
         if changed == 0:
             converged = True
             break
@@ -439,11 +459,24 @@ def dedup_corpus(df: DataFrame, id_col: str = "doc_id",
 
     Returns the input rows minus non-representative duplicates.  Exact
     duplicates are near-dups at any threshold, so they collapse too.
-    Every stage is the scale path documented on its own function."""
+    Every stage is the scale path documented on its own function.
+
+    Cache lifecycle: every intermediate persist is released before this
+    returns (LSH candidates inside minhash_lsh_candidates, edge tables
+    inside connected_components); the only retained blocks are the two
+    tiny eager localCheckpoints the result still reads (verified pairs,
+    component labels), and those are freed by the ContextCleaner once the
+    returned DataFrame is dropped — repeated corpus-dedup calls in one
+    session do not accumulate cached partitions
+    (tests/test_dataops.py::test_dedup_corpus_releases_caches)."""
+    from versa_spark.cacheutil import release_checkpoint
     pairs = minhash_lsh_candidates(df, id_col, text_col, k, num_hashes,
                                    bands, verify_threshold=threshold,
                                    hash_family=hash_family)
     cc = connected_components(pairs.select("a", "b"))
+    # cc's label table is checkpointed (lineage truncated), so the
+    # verified-pairs checkpoint is dead weight from here on
+    release_checkpoint(pairs)
     drop = (cc.filter(F.col("doc_id") != F.col("component"))
             .select(F.col("doc_id").alias(id_col)))
     return df.join(drop, id_col, "left_anti")

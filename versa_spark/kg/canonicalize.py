@@ -77,7 +77,14 @@ def mention_links(linked_mentions: DataFrame) -> DataFrame:
     IRI and the constant rel are reconstructed map-side AFTER the
     exchange (turn_iri is a pure function of conv_id/turn_idx, see
     transcripts.ordered_turns), cutting shuffle bytes roughly in half.
-    Identical output to deduping the built strings."""
+    Identical output to deduping the built strings PROVIDED conv_id
+    contains no '/' — a conv_id with a slash could make two distinct
+    (conv_id, turn_idx) pairs concatenate to the same turn IRI, which the
+    string-keyed dedup would collapse and this one would not.  That is an
+    input contract, not a runtime check: the north-rule transcript schema
+    generates conv ids ('conv-N' in every source here), and an ingest
+    layer feeding foreign ids must sanitize them into the IRI-safe space
+    first (the same requirement any IRI-template system has)."""
     from versa_spark.kg.extract import REL_MENTIONS
     from versa_spark.kg.transcripts import TURN_IRI_PREFIX
     uniq = (linked_mentions

@@ -216,22 +216,34 @@ def transitive_closure(df: DataFrame, orig, rel,
              .select(F.col("origin").alias("src"),
                      F.col("target").alias("dst"))
              .distinct().cache())
+    # the frontier is localCheckpoint-ed per round (eager, lineage
+    # truncated), so the initial cache would never be re-read after round
+    # 1 — seed it as a checkpoint too and release the edge cache on every
+    # exit path (long-lived sessions must not accumulate cached tables)
     seen = (edges.filter(F.col("src") == str(orig))
-            .select(F.col("dst").alias("n")).distinct().cache())
-    total = seen.count()
-    converged = False
-    for i in range(max_iters):
-        nxt = (seen.join(edges, F.col("n") == F.col("src"))
-               .select(F.col("dst").alias("n")).distinct())
-        seen = seen.unionByName(nxt).distinct()
-        # truncate lineage each round (frontier plans otherwise nest one
-        # join per hop and bloat driver-side analysis on deep graphs)
-        seen = seen.localCheckpoint(eager=True)
-        new_total = seen.count()
-        if new_total == total:
-            converged = True
-            break
-        total = new_total
+            .select(F.col("dst").alias("n")).distinct()
+            .localCheckpoint(eager=True))
+    from versa_spark.cacheutil import release_checkpoint
+    try:
+        total = seen.count()
+        converged = False
+        for i in range(max_iters):
+            nxt = (seen.join(edges, F.col("n") == F.col("src"))
+                   .select(F.col("dst").alias("n")).distinct())
+            grown = seen.unionByName(nxt).distinct()
+            # truncate lineage each round (frontier plans otherwise nest
+            # one join per hop and bloat driver-side analysis), then free
+            # the previous round's checkpoint blocks (unpersist() cannot)
+            grown = grown.localCheckpoint(eager=True)
+            release_checkpoint(seen)
+            seen = grown
+            new_total = seen.count()
+            if new_total == total:
+                converged = True
+                break
+            total = new_total
+    finally:
+        edges.unpersist()
     if not converged:
         raise RuntimeError(
             f"transitive_closure did not converge in {max_iters} hops "

@@ -54,8 +54,17 @@ def bruteforce_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
 
 def hyperplanes(dim: int, n_planes: int, seed: int = 42):
     """Deterministic pseudo-random hyperplanes as a Python list of lists
-    (broadcast as literals): plane[p][d] = hash(seed, p, d) → (-1, 1)."""
+    (broadcast as literals): plane[p][d] = hash(seed, p, d) → (-1, 1).
+
+    ``n_planes`` is capped at 63: bucket bit b is weighted 1 << b into a
+    signed 64-bit bucket id, so a 64th plane would overflow LongType (use
+    several independent tables — multi-probe — rather than wider buckets,
+    which would be empty at any realistic corpus size anyway)."""
     import numpy as np
+    if n_planes > 63:
+        raise ValueError(
+            f"n_planes={n_planes} > 63 overflows the int64 bucket id; "
+            "use multiple tables (different seeds) instead of wider buckets")
     out = []
     old = np.seterr(over="ignore")
     try:
@@ -93,6 +102,8 @@ def random_hyperplane_signatures(df: DataFrame, vec_col: str,
     (sign(V @ P.T) packed to an int bucket), the matrix shipped once in
     the task closure, never in the plan."""
     import numpy as np
+    if len(planes) > 63:
+        raise ValueError("more than 63 planes overflows the int64 bucket id")
     n_elems = len(planes) * (len(planes[0]) if planes else 0)
     if n_elems <= _LITERAL_BUDGET:
         sig = None
@@ -189,6 +200,48 @@ def kmeans_centroids(emb: DataFrame, n_cells: int = 16, iters: int = 2,
     return cents
 
 
+def probe_cells(q: DataFrame, centroids, nprobe: int,
+                vec_col: str = "q") -> DataFrame:
+    """Adds ``cells`` (array<int>): the ``nprobe`` nearest centroids by
+    dot product, ordered score-desc with cell-asc tie-break.
+
+    Same _LITERAL_BUDGET discipline as ivf_assign: small centroid sets
+    rank JVM-side (sort_array over (−score, cell) structs — one
+    projection, no union, no window); large dim × cells matrices route
+    through a vectorized pandas UDF (one matmul per Arrow batch, stable
+    argsort), so the Catalyst tree stays constant-size at production
+    n_cells × dim instead of inlining dim literals per cell."""
+    import numpy as np
+    n_elems = len(centroids) * (len(centroids[0]) if centroids else 0)
+    if n_elems <= _LITERAL_BUDGET:
+        entries = []
+        for i, c in enumerate(centroids):
+            c_col = F.array(*[F.lit(float(x)) for x in c])
+            entries.append(F.struct(
+                (-_dot(F.col(vec_col), c_col)).alias("negs"),
+                F.lit(i).alias("cell")))
+        ranked = F.slice(F.sort_array(F.array(*entries)), 1, nprobe)
+        return q.withColumn(
+            "cells", F.transform(ranked, lambda s: s["cell"]))
+
+    from pyspark.sql.types import ArrayType, IntegerType
+    c_t = np.asarray(centroids, dtype=np.float64).T        # dim × cells
+    top = int(nprobe)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _probe(vecs):
+        import pandas as pd
+        if not len(vecs):
+            return pd.Series([], dtype=object)
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        scores = mat @ c_t                                  # rows × cells
+        # stable argsort on −score keeps ties in cell-ascending order,
+        # matching the JVM struct-sort tie-break exactly
+        order = np.argsort(-scores, axis=1, kind="stable")[:, :top]
+        return pd.Series([row.astype(np.int32).tolist() for row in order])
+    return q.withColumn("cells", _probe(F.col(vec_col)))
+
+
 def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
              n_cells: int = 16, nprobe: int = 2,
              id_col: str = "vec_id", vec_col: str = "embedding",
@@ -218,18 +271,8 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
     q = queries.select(F.col(q_id_col).alias("q_id"),
                        F.col(q_vec_col).alias("q"),
                        _norm(F.col(q_vec_col)).alias("nq"))
-    probe_rows = []
-    for i, c in enumerate(cents):
-        c_col = F.array(*[F.lit(float(x)) for x in c])
-        probe_rows.append(
-            q.select("q_id", F.lit(i).alias("cell"),
-                     (_dot(F.col("q"), c_col) / F.col("nq")).alias("_s")))
-    probes = probe_rows[0]
-    for p in probe_rows[1:]:
-        probes = probes.unionByName(p)
-    w_p = Window.partitionBy("q_id").orderBy(F.col("_s").desc(), "cell")
-    probes = (probes.withColumn("_r", F.row_number().over(w_p))
-              .filter(F.col("_r") <= nprobe).select("q_id", "cell"))
+    probes = (probe_cells(q, cents, nprobe, "q")
+              .select("q_id", F.explode("cells").alias("cell")))
     scored = (base.join(F.broadcast(probes), "cell")
               .join(F.broadcast(q), "q_id")
               .withColumn("cosine",

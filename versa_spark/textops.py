@@ -131,7 +131,11 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
     hash_family 'md5' derives a 48-bit integer from the digest
     (CAST('0x'||substr(md5(gram),1,12))) so DuckDB reproduces the exact
     fingerprint set.  Returns distinct (doc_id, fp) rows; documents
-    shorter than k characters yield no fingerprints."""
+    shorter than k + window - 1 characters yield no fingerprints (fewer
+    than k chars have no k-gram at all; between k and k + window - 2 chars
+    there is no FULL window of grams, and the pos <= n_grams - window
+    guard drops partial windows so the guarantee stays exact both ways —
+    matching the oracle SQL)."""
     from pyspark.sql import Window
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     g = (df.select(F.col(id_col).alias("doc_id"), norm.alias("_norm"))
