@@ -214,3 +214,103 @@ def test_kg_output_literate_roundtrip(spark, tx):
     back = {(str(o), str(r), str(t)) for (o, r, t, _a) in quads}
     orig = {(r.origin, r.rel, r.target) for r in sample}
     assert back == orig and len(orig) > 20
+
+
+def _fmt_plan(df):
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def _exchange_inputs(df):
+    """Column lists of every Exchange in the formatted physical plan."""
+    import re
+    plan = _fmt_plan(df)
+    out = []
+    for sec in re.split(r"\n\n", plan):
+        if re.match(r"\(\d+\) Exchange", sec.strip()):
+            m = re.search(r"Input \[\d+\]: \[([^\]]*)\]", sec)
+            cols = [c.strip().split("#")[0]
+                    for c in (m.group(1).split(",") if m else [])]
+            out.append(cols)
+    return out
+
+
+def test_static_and_generic_graph_paths_agree(spark):
+    """The zero-exchange literal-map linking (default) and the generic
+    broadcast-dictionary linking produce the identical triple table."""
+    from versa_spark.kg.graph import build_graph
+    tx = synthetic_transcripts(spark, n_convs=40, turns_per_conv=10)
+    turns = ordered_turns(tx)
+    static = {(r.origin, r.rel, r.target, r.t_iri)
+              for r in build_graph(spark, turns)["graph"].collect()}
+    generic = {(r.origin, r.rel, r.target, r.t_iri)
+               for r in build_graph(
+                   spark, turns,
+                   dictionary=linking.canonical_dictionary(spark))
+               ["graph"].collect()}
+    assert static == generic and len(static) > 1000
+
+
+def test_graph_static_path_has_no_mention_exchange(spark):
+    """Round-3 scale fix: the default triple build plans NO exchange for
+    the mention-link family — the only exchanges left in the whole graph
+    plan are the tiny conv-distinct and the 1-byte entity distinct, and
+    none of them carries text."""
+    from versa_spark.kg.graph import build_graph
+    tx = synthetic_transcripts(spark, n_convs=40, turns_per_conv=10)
+    graph = build_graph(spark, ordered_turns(tx), persist=False)["graph"]
+    exchanges = _exchange_inputs(graph)
+    assert len(exchanges) <= 2, exchanges       # conv distinct + eid distinct
+    for cols in exchanges:
+        assert "text" not in cols, exchanges
+    plan = _fmt_plan(graph)
+    assert "Window" not in plan                  # rank pruned entirely
+
+
+def test_job_exchanges_never_carry_text(spark):
+    """The production job's stages: turns is a pure projection (no
+    exchange at all), and no exchange in any stage plan includes the fat
+    text column (round-2 verdict: the rank window shuffled+sorted full
+    rows for a column nothing consumed)."""
+    from versa_spark.kg.transcripts import turn_order
+    tx = synthetic_transcripts(spark, n_convs=40, turns_per_conv=10)
+    turns = ordered_turns(tx, with_rank=False)
+    assert _exchange_inputs(turns) == []
+    assert "text" not in turn_order(tx).columns
+    for cols in _exchange_inputs(turn_order(tx)):
+        assert "text" not in cols
+    linked = linking.link_entities(
+        extract.turn_mentions(turns), linking.canonical_dictionary(spark))
+    graph_stage = (extract.conversation_links(turns)
+                   .unionByName(canonicalize.mention_links(linked))
+                   .unionByName(canonicalize.entity_links(linked)))
+    for cols in _exchange_inputs(graph_stage):
+        assert "text" not in cols, cols
+
+
+def test_turn_order_matches_windowed_rank(spark, tx):
+    from versa_spark.kg.transcripts import turn_order
+    slim = {(r.conv_id, r.turn_idx): r.turn_rank
+            for r in turn_order(tx).collect()}
+    full = {(r.conv_id, r.turn_idx): r.turn_rank
+            for r in ordered_turns(tx).collect()}
+    assert slim == full and len(slim) > 400
+
+
+def test_salted_canonicalization_plan_shape(spark):
+    """Plan assertion so a refactor can't silently revert the salted
+    two-phase aggregate to a naive hot-key groupBy: phase 1 groups WITH
+    the salt key, phase 2 without it."""
+    tx = synthetic_transcripts(spark, n_convs=20, turns_per_conv=10)
+    linked = linking.link_entities(
+        extract.turn_mentions(ordered_turns(tx, with_rank=False)),
+        linking.canonical_dictionary(spark))
+    plan = _fmt_plan(canonicalize.entity_mention_counts(linked, salted=True))
+    import re
+    key_lines = re.findall(r"Keys \[\d+\]: \[([^\]]*)\]", plan)
+    salted_keys = [k for k in key_lines if "_salt" in k]
+    final_keys = [k for k in key_lines
+                  if "_salt" not in k and "entity_iri" in k]
+    assert salted_keys and final_keys, key_lines

@@ -53,10 +53,14 @@ def entity_mention_counts(linked_mentions: DataFrame, salt: int = 16,
 def entity_links(linked_mentions: DataFrame) -> DataFrame:
     """Canonical entity resource links: type + label per distinct entity
     (the labelize stage of the pipeline, main.py:404-433, in bulk)."""
-    from versa_spark import VLABEL_REL, VTYPE_REL
-    from versa_spark.kg.extract import TYPE_CONCEPT
     ents = (linked_mentions.select("entity_iri", "canonical")
             .dropDuplicates(["entity_iri"]))
+    return _entity_type_label_links(ents)
+
+
+def _entity_type_label_links(ents: DataFrame) -> DataFrame:
+    from versa_spark import VLABEL_REL, VTYPE_REL
+    from versa_spark.kg.extract import TYPE_CONCEPT
     return ents.select(F.explode(F.array(
         F.struct(F.col("entity_iri").alias("origin"),
                  F.lit(str(VTYPE_REL)).alias("rel"),
@@ -96,6 +100,46 @@ def mention_links(linked_mentions: DataFrame) -> DataFrame:
         F.lit(REL_MENTIONS).alias("rel"),
         F.col("entity_iri").alias("target"),
         F.lit(True).alias("t_iri"))
+
+
+def mention_links_from_eids(turn_eids: DataFrame) -> DataFrame:
+    """Zero-exchange mention links from extract.turn_entity_ids output:
+    within-turn alias dedup already happened in-plan (array_distinct over
+    canonical indices) and (conv_id, turn_idx) uniquely keys rows, so the
+    exploded (turn_iri, v:mentions, entity_iri) rows are globally unique
+    by construction — NO shuffle, the dominant exchange of the triple
+    build eliminated outright.  Output-identical to
+    ``mention_links(link_entities(turn_mentions(...)))`` for the default
+    dictionary (asserted in tests + the reference-parity suite)."""
+    from versa_spark.kg.extract import ENT, REL_MENTIONS, _CANONICALS
+    from versa_spark.kg.transcripts import TURN_IRI_PREFIX
+    iri_arr = F.array(*[F.lit(ENT + c) for c in _CANONICALS])
+    return (turn_eids
+            .select("conv_id", "turn_idx", F.explode("eids").alias("_e"))
+            .select(
+                F.concat(F.lit(TURN_IRI_PREFIX), F.col("conv_id"),
+                         F.lit("/"),
+                         F.col("turn_idx").cast("string")).alias("origin"),
+                F.lit(REL_MENTIONS).alias("rel"),
+                F.element_at(iri_arr, F.col("_e").cast("int") + 1)
+                .alias("target"),
+                F.lit(True).alias("t_iri")))
+
+
+def entity_links_from_eids(turn_eids: DataFrame) -> DataFrame:
+    """Entity type/label links via the compact index: the corpus-wide
+    distinct runs over ONE-BYTE keys (≤ |lexicon| rows out), and the IRI/
+    label strings are reconstructed from literal arrays after the
+    exchange."""
+    from versa_spark.kg.extract import ENT, _CANONICALS
+    iri_arr = F.array(*[F.lit(ENT + c) for c in _CANONICALS])
+    name_arr = F.array(*[F.lit(c) for c in _CANONICALS])
+    ents = (turn_eids.select(F.explode("eids").alias("_e")).distinct()
+            .select(F.element_at(iri_arr, F.col("_e").cast("int") + 1)
+                    .alias("entity_iri"),
+                    F.element_at(name_arr, F.col("_e").cast("int") + 1)
+                    .alias("canonical")))
+    return _entity_type_label_links(ents)
 
 
 def adjacency_edges(links: DataFrame) -> DataFrame:

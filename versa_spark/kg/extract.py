@@ -95,6 +95,16 @@ def extract_mentions_udf():
 _SURFACES = sorted(LEXICON)
 _SURFACE_IX = {s: i for i, s in enumerate(_SURFACES)}
 
+# canonical-entity index space: the lexicon's value set.  Because the
+# mention regex only ever matches lexicon surfaces, surface→canonical is
+# a PURE FUNCTION of the surface index, known at plan time — linking
+# against the default dictionary fuses into the plan as a literal map
+# (the degenerate broadcast join; the generic kg.linking path handles
+# arbitrary dictionaries).
+_CANONICALS = sorted(set(LEXICON.values()))
+_CANON_IX = {c: i for i, c in enumerate(_CANONICALS)}
+_SURFACE_CANON_IX = [_CANON_IX[LEXICON[s]] for s in _SURFACES]
+
 
 def extract_mention_ids_udf():
     """Compact variant of extract_mentions_udf: returns arrays of
@@ -160,6 +170,29 @@ def turn_mentions(turns: DataFrame) -> DataFrame:
                     F.element_at(surface_arr,
                                  F.col("_mid").cast("int") + 1)
                     .alias("surface")))
+
+
+def turn_entity_ids(turns: DataFrame) -> DataFrame:
+    """turns → the same rows minus ``text``, plus ``eids``: the per-turn
+    DISTINCT canonical-entity indices (tinyint array).
+
+    This is the zero-exchange mention/linking path: the UDF already
+    returns distinct surfaces per turn, surface→canonical collapses via
+    a literal index map (F.transform + element_at) and aliases dedup via
+    array_distinct — all BEFORE the explode, inside the row.  Since
+    (conv_id, turn_idx) uniquely keys turns, the exploded mention-link
+    rows are globally unique by construction and the triple build needs
+    NO dedup shuffle at all (round-2 shrank that exchange to a narrow
+    key; this removes it)."""
+    extract = extract_mention_ids_udf()
+    canon_map = F.array(*[F.lit(i) for i in _SURFACE_CANON_IX])
+    keep = [c for c in turns.columns if c != "text"]
+    return (turns
+            .withColumn("mids", extract(F.col("text")))
+            .select(*keep, F.array_distinct(F.transform(
+                "mids",
+                lambda m: F.element_at(canon_map, m.cast("int") + F.lit(1))
+                .cast("tinyint"))).alias("eids")))
 
 
 def conversation_links(turns: DataFrame) -> DataFrame:

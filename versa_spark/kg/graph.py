@@ -1,39 +1,75 @@
 """Shared graph assembly: turns → linked mentions → triple table.
 
-The union of link families consumes ``turns`` twice and ``linked`` twice;
-without materialization Spark re-executes the whole extraction lineage
-(window rank + pandas UDF) once per branch.  ``build_graph`` persists the
-two shared frames (MEMORY_AND_DISK) for the duration of the action — the
-in-session equivalent of the KGJob's per-stage Parquet checkpoints.
+Two linking paths, same output (parity-asserted in tests):
+
+* default (``dictionary=None``): the extraction lexicon IS the linking
+  dictionary, so surface→canonical is a pure function of the mention
+  index known at plan time — linking fuses into the plan as a literal
+  map (extract.turn_entity_ids) and the mention-link family needs **no
+  exchange at all** (round 2 shrank the dedup shuffle to a narrow key;
+  round 3 eliminates it: per-turn alias dedup happens in-plan before the
+  explode, and (conv_id, turn_idx) uniquely keys turns).
+* explicit ``dictionary``: the generic broadcast-join linking
+  (kg.linking.link_entities) for arbitrary/foreign dictionaries, with
+  the narrow-key dedup exchange (canonicalize.mention_links).
+
+The union of link families consumes the extracted frame three times;
+without materialization Spark re-executes the pandas-UDF extraction once
+per branch, so ``build_graph`` persists ONE slim frame (turn metadata +
+1-byte entity indices, MEMORY_AND_DISK) for the duration of the action —
+the in-session equivalent of the KGJob's per-stage Parquet checkpoints.
+The fat ``text`` column is consumed exactly once (by the mention UDF)
+and NEVER persisted or shuffled — at 10^12 turns the text column IS the
+table; caching it would evict everything else.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from versa_spark.kg import canonicalize, extract, linking
 
 
 def build_graph(spark: SparkSession, turns: DataFrame,
-                persist: bool = True) -> dict[str, DataFrame]:
+                persist: bool = True,
+                dictionary: DataFrame | None = None) -> dict[str, DataFrame]:
     """ordered turns → {turns, linked, graph, edges} DataFrames.
 
-    The fat ``text`` column is consumed exactly once (by the mention UDF)
-    and NEVER persisted — only the slim turn projection and the narrow
-    linked-mention rows are cached.  At 10^12 turns the text column IS the
-    table; caching it would evict everything else."""
-    linked = linking.link_entities(extract.turn_mentions(turns),
-                                   linking.canonical_dictionary(spark))
-    # The graph link families consume only these four columns; turn_iri is
-    # a pure function of (conv_id, turn_idx) reconstructed map-side, and
-    # surface/linked/score exist for callers that ask for them (kg.job
-    # checkpoints the full frame) — keeping the cached rows narrow is what
-    # lets the persist fit at bench scale without evicting anything.
+    ``turns`` may or may not carry ``turn_rank``; no link family consumes
+    it, so it is dropped here and Catalyst prunes the rank window out of
+    the triple-build plan entirely (the ranked view stays available via
+    ordered_turns / turn_order where rank IS consumed)."""
+    if dictionary is not None:
+        return _build_graph_generic(spark, turns, persist, dictionary)
+    te = extract.turn_entity_ids(turns.drop("turn_rank"))
+    if persist:
+        te = te.persist()
+    graph = (extract.conversation_links(te.drop("eids"))
+             .unionByName(canonicalize.mention_links_from_eids(te))
+             .unionByName(canonicalize.entity_links_from_eids(te)))
+    # compatibility view of the linked-mention rows (same 4-col shape the
+    # generic path caches); derives lazily from the persisted slim frame
+    from versa_spark.kg.extract import ENT, _CANONICALS
+    iri_arr = F.array(*[F.lit(ENT + c) for c in _CANONICALS])
+    name_arr = F.array(*[F.lit(c) for c in _CANONICALS])
+    linked = (te.select("conv_id", "turn_idx",
+                        F.explode("eids").alias("_e"))
+              .select("conv_id", "turn_idx",
+                      F.element_at(name_arr, F.col("_e").cast("int") + 1)
+                      .alias("canonical"),
+                      F.element_at(iri_arr, F.col("_e").cast("int") + 1)
+                      .alias("entity_iri")))
+    return {"turns": te, "linked": linked, "graph": graph,
+            "edges": canonicalize.adjacency_edges(graph)}
+
+
+def _build_graph_generic(spark: SparkSession, turns: DataFrame,
+                         persist: bool,
+                         dictionary: DataFrame) -> dict[str, DataFrame]:
+    linked = linking.link_entities(extract.turn_mentions(turns), dictionary)
+    # the graph link families consume only these four columns — keeping
+    # the cached rows narrow is what lets the persist fit at bench scale
     linked = linked.select("conv_id", "turn_idx", "canonical", "entity_iri")
-    # None of the graph link families consume turn_rank, so dropping it
-    # here lets Catalyst prune the window sort out of the triple-build
-    # plan entirely (the ranked view stays available via ordered_turns
-    # where rank IS consumed — per-turn invariant checks, sequence ops).
     turns_slim = turns.drop("text", "turn_rank")
     if persist:
         linked = linked.persist()

@@ -2,10 +2,11 @@
 
 Stage graph (north rule):
 
-    transcripts ─ ordered_turns ─┬─ conversation_links ──┐
-                                 └─ turn_mentions ─ link_entities ─┬─ mention_links ──┤──▶ graph table
-                                                                   ├─ entity_links ───┘     + adjacency edges
-                                                                   └─ entity_mention_counts (metrics table)
+    transcripts ─┬─ turn_order (slim window rank — text never rides it)
+                 └─ turns (projection) ─┬─ conversation_links ──┐
+                                        └─ turn_mentions ─ link_entities ─┬─ mention_links ──┤──▶ graph table
+                                                                          ├─ entity_links ───┘     + adjacency edges
+                                                                          └─ entity_mention_counts (metrics table)
 
 Checkpoint/lineage: every stage writes Parquet under <workdir>/<stage>/ and
 appends a manifest row (stage, status, rows, input_fingerprint, wall_s, ts).
@@ -100,8 +101,15 @@ class KGJob:
     def run(self, transcripts_df: DataFrame,
             input_fingerprint: str = "default") -> dict[str, DataFrame]:
         fp = input_fingerprint
+        # turns: pure projection (turn IRI), NO window — the rank
+        # exchange would shuffle + sort full rows including the fat text
+        # column, and no downstream link family consumes turn_rank.  The
+        # stable-ordering artifact is its own slim stage instead.
         turns = self._run_stage(
-            "turns", fp, lambda: T.ordered_turns(transcripts_df))
+            "turns", fp,
+            lambda: T.ordered_turns(transcripts_df, with_rank=False))
+        turn_order = self._run_stage(
+            "turn_order", fp, lambda: T.turn_order(transcripts_df))
         mentions = self._run_stage(
             "mentions", fp, lambda: extract.turn_mentions(turns))
         linked = self._run_stage(
@@ -117,7 +125,8 @@ class KGJob:
         entity_stats = self._run_stage(
             "entity_stats", fp, lambda:
             canonicalize.entity_mention_counts(linked, salt=self.salt))
-        return {"turns": turns, "mentions": mentions, "linked": linked,
+        return {"turns": turns, "turn_order": turn_order,
+                "mentions": mentions, "linked": linked,
                 "graph": graph, "edges": edges,
                 "entity_stats": entity_stats}
 

@@ -97,15 +97,39 @@ _VOCAB = ("join", "merge", "hash", "sort", "window", "filter", "batch",
           "stream", "vector", "query", "table", "column")
 
 
-def ordered_turns(transcripts: DataFrame) -> DataFrame:
+def ordered_turns(transcripts: DataFrame,
+                  with_rank: bool = True) -> DataFrame:
     """Stable turn ordering: window rank over (conv_id, turn_idx) — the
     north rule's per-turn invariant.  Adds ``turn_rank`` (0-based, dense
-    within conversation) and the turn IRI."""
+    within conversation) and the turn IRI.
+
+    ``with_rank=False`` skips the window entirely (turn IRI only, a pure
+    projection — no exchange): the rank exchange shuffles AND sorts full
+    rows including the fat ``text`` column, so paths that never consume
+    ``turn_rank`` (the checkpointed KGJob, whose link families key on
+    (conv_id, turn_idx)) must not pay a full-corpus sort for a column
+    they only write.  Rank-needing consumers join ``turn_order`` (slim,
+    two narrow columns through the exchange) instead."""
+    from pyspark.sql import Window
+    out = transcripts.withColumn(
+        "turn_iri", F.concat(F.lit(TURN_IRI_PREFIX), F.col("conv_id"),
+                             F.lit("/"), F.col("turn_idx")))
+    if not with_rank:
+        return out
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return out.withColumn("turn_rank", F.row_number().over(w) - 1)
+
+
+def turn_order(transcripts: DataFrame) -> DataFrame:
+    """Slim stable-ordering artifact: (conv_id, turn_idx, turn_rank).
+
+    The window runs over a TWO-column projection, so the rank exchange
+    moves ~16 bytes/row instead of the whole transcript row — at
+    10^12-turn scale the ``text`` column IS the table and must never
+    ride an ordering shuffle.  Joining this back on (conv_id, turn_idx)
+    reconstructs the full ranked view when a consumer genuinely needs
+    rank alongside text."""
     from pyspark.sql import Window
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    return (transcripts
-            .withColumn("turn_rank", F.row_number().over(w) - 1)
-            .withColumn("turn_iri",
-                        F.concat(F.lit(TURN_IRI_PREFIX),
-                                 F.col("conv_id"), F.lit("/"),
-                                 F.col("turn_idx"))))
+    return (transcripts.select("conv_id", "turn_idx")
+            .withColumn("turn_rank", F.row_number().over(w) - 1))
