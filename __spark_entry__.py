@@ -440,6 +440,19 @@ def _q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "value_sum", "n_types", "max_k")
 
 
+def _q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real multimodal decode (multimodal.py): deterministic binary-PGM /
+    WAV-PCM16 payloads are built from doc ids (genuine format bytes),
+    then decoded BACK by the numpy-only parsers via mapInPandas; the
+    oracle recomputes the expected pixel/sample statistics arithmetically
+    from doc_id — a full value check of the encode→decode round trip."""
+    from versa_spark import multimodal
+    media = multimodal.synthetic_codec_media(spark, sf_dir, limit=200)
+    return (multimodal.extract_media_metadata(media)
+            .select("media_id", "kind", "width", "height", "n_samples",
+                    "duration_ms", "mean_value"))
+
+
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for 10 query vectors (simsearch.py).
     Cosines are rounded before ranking in BOTH engines so float ulps
@@ -480,6 +493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dups": _q_simhash_dups,
         "emb_near_dups": _q_emb_near_dups,
         "ann_topk": _q_ann_topk,
+        "media_meta": _q_media_meta,
         "dup_components": _q_dup_components,
         "dup_chain_components": _q_dup_chain_components,
         "query_negation": _q_query_negation,
@@ -1054,6 +1068,30 @@ def oracle_sql() -> dict[str, str]:
                 SELECT * FROM r)
             SELECT node AS doc_id, MIN(comp) AS component
             FROM reach GROUP BY node
+        """,
+        "media_meta": """
+            WITH m AS (
+                SELECT doc_id AS media_id,
+                       CAST(doc_id % 8 + 2 AS INT) AS w,
+                       CAST(doc_id % 4 + 2 AS INT) AS h,
+                       CAST(doc_id % 32 + 8 AS INT) AS n
+                FROM (SELECT doc_id FROM documents
+                      ORDER BY doc_id LIMIT 200))
+            SELECT media_id, 'image' AS kind, w AS width, h AS height,
+                   CAST(NULL AS INT) AS n_samples,
+                   CAST(NULL AS INT) AS duration_ms,
+                   round(list_avg(list_transform(
+                       range(0, CAST(w * h AS BIGINT)),
+                       i -> CAST((media_id * 7 + i) % 256 AS DOUBLE))), 6)
+                       AS mean_value
+            FROM m WHERE media_id % 2 = 0
+            UNION ALL
+            SELECT media_id, 'audio', NULL, NULL, n, n,
+                   round(list_avg(list_transform(
+                       range(0, CAST(n AS BIGINT)),
+                       i -> CAST(abs((media_id * 131 + i * 17) % 2003
+                                     - 1001) AS DOUBLE))), 6)
+            FROM m WHERE media_id % 2 = 1
         """,
         "ann_topk": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

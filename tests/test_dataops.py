@@ -569,3 +569,66 @@ def test_transitive_closure_releases_edge_cache(spark):
     out = ops.transitive_closure(links, "n0", "http://example.org/next")
     assert out.count() == 6
     assert _n_cached_rdds(spark) - before <= 1  # only the result ckpt
+
+
+def test_pgm_ppm_wav_roundtrip():
+    """The numpy-only netpbm/WAV decoders are real: encode→decode is
+    byte-exact, headers tolerate comments/whitespace, chunk walking
+    skips extension chunks."""
+    import numpy as np
+    px = (np.arange(12) * 37) % 256
+    w, h, arr = multimodal.decode_pgm_ppm(multimodal.encode_pgm(4, 3, px))
+    assert (w, h) == (4, 3) and (arr.ravel() == px).all()
+    rgb = (np.arange(24) * 11) % 256
+    w, h, arr3 = multimodal.decode_pgm_ppm(multimodal.encode_ppm(2, 4, rgb))
+    assert arr3.shape == (4, 2, 3) and (arr3.ravel() == rgb).all()
+    # spec-level header: comments + arbitrary whitespace
+    hand = b"P5 # a comment\n# another\n 3\t2 # dims\n255\n" + bytes(range(6))
+    w, h, arr = multimodal.decode_pgm_ppm(hand)
+    assert (w, h) == (3, 2) and arr.ravel().tolist() == list(range(6))
+
+    s = ((np.arange(20) * 313) % 2003 - 1001).astype(np.int16)
+    rate, back = multimodal.decode_wav(multimodal.encode_wav(s, 8000))
+    assert rate == 8000 and (back == s).all()
+    # chunk walking: a LIST chunk between fmt and data must be skipped
+    import struct
+    wav = multimodal.encode_wav(s, 8000)
+    fmt_end = wav.index(b"data")
+    padded = (wav[:fmt_end] + b"LIST" + struct.pack("<I", 4) + b"INFO"
+              + wav[fmt_end:])
+    rate, back = multimodal.decode_wav(padded)
+    assert rate == 8000 and (back == s).all()
+
+
+def test_decode_dispatch_codec_formats_still_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG\r\n\x1a\n....")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio(b"ID3\x04\x00....")
+    import numpy as np
+    arr = multimodal.decode_image(multimodal.encode_pgm(2, 2, [1, 2, 3, 4]))
+    assert arr.tolist() == [[1, 2], [3, 4]]
+
+
+def test_media_metadata_end_to_end(spark):
+    """synthetic_codec_media emits genuine format bytes; the mapInPandas
+    metadata extraction decodes them back and the statistics match the
+    generating formulas exactly."""
+    import numpy as np
+    sf = "/root/testdata/sf0.001"
+    media = multimodal.synthetic_codec_media(spark, sf, limit=40)
+    rows = {r.media_id: r for r in
+            multimodal.extract_media_metadata(media).collect()}
+    assert len(rows) == 40
+    for mid, r in rows.items():
+        if mid % 2 == 0:
+            w, h = mid % 8 + 2, mid % 4 + 2
+            exp = float(np.mean((mid * 7 + np.arange(w * h)) % 256))
+            assert (r.kind, r.width, r.height) == ("image", w, h)
+            assert abs(r.mean_value - round(exp, 6)) < 1e-9
+        else:
+            n = mid % 32 + 8
+            exp = float(np.mean(np.abs(
+                (mid * 131 + 17 * np.arange(n)) % 2003 - 1001)))
+            assert (r.kind, r.n_samples, r.duration_ms) == ("audio", n, n)
+            assert abs(r.mean_value - round(exp, 6)) < 1e-9
