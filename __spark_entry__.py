@@ -390,6 +390,25 @@ def _q_dup_chain_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(chain).select("doc_id", "component")
 
 
+def _q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED one-call dedup pipeline (dedup.dedup_corpus): LSH
+    discovery → candidate-scoped Jaccard verify → connected components →
+    representative filter, end-to-end against a DuckDB oracle that
+    replays the same banding in SQL and resolves clusters with WITH
+    RECURSIVE + anti-join.  Individual stages have their own oracles
+    (minhash_lsh, ngram_jaccard, dup_components); this checks their
+    composition."""
+    from versa_spark import dedup
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .orderBy("doc_id").limit(200))
+    planted = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" appended")).alias("text"))
+    both = docs.select("doc_id", "text").unionByName(planted)
+    kept = dedup.dedup_corpus(both, threshold=0.8, hash_family="md5")
+    return kept.select("doc_id", F.md5("text").alias("fp"))
+
+
 def _q_query_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mini query 'and not' (negation node, reference miniast.py:87-92):
     named origins that are NOT in region/0 — NOT IN oracle."""
@@ -496,6 +515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": _q_media_meta,
         "dup_components": _q_dup_components,
         "dup_chain_components": _q_dup_chain_components,
+        "dedup_corpus": _q_dedup_corpus,
         "query_negation": _q_query_negation,
         "flattened": _q_flattened,
         "event_sessions": _q_event_sessions,
@@ -540,6 +560,73 @@ def _kg_ctes() -> str:
         FROM turns JOIN lex
           ON (' ' || text || ' ') LIKE ('% ' || surface || ' %'))
     """
+
+
+# Shared MinHash-LSH derivation (md5 Carter-Wegman family, 64 hashes, 16
+# bands of 4) over the planted-near-dup corpus, through the verified pair
+# set ``ver`` — used by both the minhash_lsh oracle and the composed
+# dedup_corpus oracle (which appends recursive connected components).
+_MINHASH_CTES = """
+    WITH both_docs AS (
+        SELECT doc_id, text FROM
+          (SELECT * FROM documents ORDER BY doc_id LIMIT 200)
+        UNION ALL
+        SELECT doc_id + 1000000, text || ' appended' FROM
+          (SELECT * FROM documents ORDER BY doc_id LIMIT 200)),
+    norm AS (
+        SELECT doc_id,
+               regexp_split_to_array(
+                   regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                  'g'), ' ') AS words
+        FROM both_docs),
+    sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest([array_to_string(words[i:i+2], ' ')
+                           for i in range(1, len(words) - 1)])
+                       AS shingle
+            FROM norm WHERE len(words) >= 3
+            UNION ALL
+            SELECT doc_id, array_to_string(words, ' ')
+            FROM norm WHERE len(words) < 3)),
+    hv AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(shingle), 1, 12))
+                    AS BIGINT) AS ha,
+               CAST(concat('0x', substr(md5('b:' || shingle), 1, 12))
+                    AS BIGINT) AS hb
+        FROM sh),
+    hs AS (
+        SELECT doc_id, i,
+               MIN((ha + i * hb) & ((1::BIGINT << 48) - 1)) AS h
+        FROM hv CROSS JOIN range(64) t(i)
+        GROUP BY doc_id, i),
+    bands AS (
+        SELECT doc_id, CAST(i // 4 AS INT) AS band,
+               md5(string_agg(h::VARCHAR, ',' ORDER BY i)) AS bucket
+        FROM hs GROUP BY doc_id, i // 4),
+    cands AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM bands x JOIN bands y USING (band, bucket)
+        WHERE x.doc_id < y.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh
+              GROUP BY doc_id),
+    inter AS (
+        SELECT c.a, c.b, COUNT(*) AS n_inter
+        FROM cands c
+        JOIN sh sa ON sa.doc_id = c.a
+        JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+        GROUP BY c.a, c.b),
+    ver AS (
+        SELECT a, b,
+               round(CAST(n_inter AS DOUBLE)
+                     / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = a
+        JOIN sizes sb ON sb.doc_id = b
+        WHERE CAST(n_inter AS DOUBLE)
+              / (sa.n_sh + sb.n_sh - n_inter) >= 0.8)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -920,65 +1007,26 @@ def oracle_sql() -> dict[str, str]:
                 FROM h)
             SELECT DISTINCT doc_id, fp FROM w WHERE pos <= n_grams - 4
         """,
-        "minhash_lsh": """
-            WITH both_docs AS (
-                SELECT doc_id, text FROM
-                  (SELECT * FROM documents ORDER BY doc_id LIMIT 200)
-                UNION ALL
-                SELECT doc_id + 1000000, text || ' appended' FROM
-                  (SELECT * FROM documents ORDER BY doc_id LIMIT 200)),
-            norm AS (
-                SELECT doc_id,
-                       regexp_split_to_array(
-                           regexp_replace(lower(trim(text)), '\\s+', ' ',
-                                          'g'), ' ') AS words
-                FROM both_docs),
-            sh AS (
-                SELECT DISTINCT doc_id, shingle FROM (
-                    SELECT doc_id,
-                           unnest([array_to_string(words[i:i+2], ' ')
-                                   for i in range(1, len(words) - 1)])
-                               AS shingle
-                    FROM norm WHERE len(words) >= 3
-                    UNION ALL
-                    SELECT doc_id, array_to_string(words, ' ')
-                    FROM norm WHERE len(words) < 3)),
-            hv AS (
-                SELECT doc_id,
-                       CAST(concat('0x', substr(md5(shingle), 1, 12))
-                            AS BIGINT) AS ha,
-                       CAST(concat('0x', substr(md5('b:' || shingle), 1, 12))
-                            AS BIGINT) AS hb
-                FROM sh),
-            hs AS (
-                SELECT doc_id, i,
-                       MIN((ha + i * hb) & ((1::BIGINT << 48) - 1)) AS h
-                FROM hv CROSS JOIN range(64) t(i)
-                GROUP BY doc_id, i),
-            bands AS (
-                SELECT doc_id, CAST(i // 4 AS INT) AS band,
-                       md5(string_agg(h::VARCHAR, ',' ORDER BY i)) AS bucket
-                FROM hs GROUP BY doc_id, i // 4),
-            cands AS (
-                SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-                FROM bands x JOIN bands y USING (band, bucket)
-                WHERE x.doc_id < y.doc_id),
-            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh
-                      GROUP BY doc_id),
-            inter AS (
-                SELECT c.a, c.b, COUNT(*) AS n_inter
-                FROM cands c
-                JOIN sh sa ON sa.doc_id = c.a
-                JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
-                GROUP BY c.a, c.b)
-            SELECT a, b,
-                   round(CAST(n_inter AS DOUBLE)
-                         / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
-            FROM inter
-            JOIN sizes sa ON sa.doc_id = a
-            JOIN sizes sb ON sb.doc_id = b
-            WHERE CAST(n_inter AS DOUBLE)
-                  / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
+        "minhash_lsh": _MINHASH_CTES + """
+            SELECT a, b, jaccard FROM ver
+        """,
+        "dedup_corpus": _MINHASH_CTES + """,
+            edges AS (SELECT a AS x, b AS y FROM ver
+                      UNION SELECT b, a FROM ver),
+            nodes AS (SELECT DISTINCT x AS node FROM edges),
+            reach AS (
+                WITH RECURSIVE r(node, comp) AS (
+                    SELECT node, node FROM nodes
+                    UNION
+                    SELECT e.y, r.comp FROM r JOIN edges e ON e.x = r.node)
+                SELECT * FROM r),
+            cc AS (SELECT node, MIN(comp) AS component FROM reach
+                   GROUP BY node),
+            drop_ids AS (SELECT node AS doc_id FROM cc
+                         WHERE node != component)
+            SELECT d.doc_id, md5(d.text) AS fp
+            FROM both_docs d
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_ids)
         """,
         "simhash_dups": """
             WITH both_docs AS (
