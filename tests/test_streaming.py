@@ -118,3 +118,38 @@ def test_streaming_dedup_turns(spark, tmp_path):
     got = spark.sql("SELECT conv_id, turn_idx FROM dedup_turns")
     assert got.count() == 50
     assert got.distinct().count() == 50
+
+
+def test_streaming_nt_ingest(spark, tmp_path):
+    """NTriples file-drop stream → quads: parse parity with the batch
+    parser, replayed lines deduped within the ingest watermark
+    (SURVEY §2.11 closed end-to-end for the serializer surface)."""
+    import os
+    from versa_spark.serial.ntriples import parse_df
+    d = str(tmp_path / "nt_in")
+    os.makedirs(d)
+    lines = [
+        '<http://ex.org/a> <http://ex.org/rel> <http://ex.org/b> .',
+        '<http://ex.org/a> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type>'
+        ' <http://ex.org/T> .',
+        '<http://ex.org/b> <http://ex.org/name> "Bee" .',
+        'garbage line that must be skipped',
+    ]
+    with open(os.path.join(d, "part1.nt"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    # replay drop: same quads again plus one new one
+    with open(os.path.join(d, "part2.nt"), "w") as f:
+        f.write("\n".join(lines[:2]) + "\n")
+        f.write('<http://ex.org/c> <http://ex.org/name> "Sea" .\n')
+
+    q = (streaming.streaming_nt_ingest(spark, d)
+         .writeStream.format("memory").queryName("nt_quads")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = {(r.origin, r.rel, r.target, r.t_iri) for r in
+           spark.sql("SELECT * FROM nt_quads").collect()}
+    batch = {(r.origin, r.rel, r.target, r.t_iri) for r in
+             parse_df(spark, spark.read.text(d)).collect()}
+    assert got == batch and len(got) == 4
+    # rdf:type remapped to the versa type rel
+    assert any(r[1].endswith("versa/type") for r in got)

@@ -65,10 +65,16 @@ def parse(nt: str, disjoint=None, only_rel=None, exclude_rel=None):
     return quads
 
 
-def parse_df(spark, path_or_df, only_rel=None, exclude_rel=None):
+def parse_df(spark, path_or_df, only_rel=None, exclude_rel=None,
+             dedup: bool = True):
     """NTriples lines → link DataFrame.  Filters are plain column
     predicates, so Catalyst pushes them to the text scan — the reference's
-    only_rel pushdown (ntriples.py:54-55,85-91), for free."""
+    only_rel pushdown (ntriples.py:54-55,85-91), for free.
+
+    ``dedup=False`` skips the final dropDuplicates — used by the
+    streaming ingest (streaming.streaming_nt_ingest), which substitutes a
+    watermark-bounded dropDuplicatesWithinWatermark so dedup state cannot
+    grow forever on an unbounded feed."""
     from pyspark.sql import functions as F
     df = (spark.read.text(path_or_df)
           if isinstance(path_or_df, str) else path_or_df)
@@ -96,6 +102,8 @@ def parse_df(spark, path_or_df, only_rel=None, exclude_rel=None):
         out = out.filter(F.col("rel").isin(list(rels)))
     elif exclude_rel:
         out = out.filter(~F.col("rel").isin([str(r) for r in exclude_rel]))
+    if not dedup:
+        return out
     return out.dropDuplicates(["origin", "rel", "target", "t_iri"])
 
 

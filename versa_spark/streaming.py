@@ -154,3 +154,25 @@ def streaming_mention_counts(spark: SparkSession, input_dir: str,
             .agg(F.count("*").alias("n_mentions"))
             .select(F.col("window.start").alias("win_start"),
                     "entity_iri", "n_mentions"))
+
+
+def streaming_nt_ingest(spark: SparkSession, input_dir: str,
+                        watermark: str = "10 minutes",
+                        only_rel=None, exclude_rel=None) -> DataFrame:
+    """Streaming serializer ingest: NTriples lines land as text files
+    (the at-least-once file-drop pattern) and parse into link quads with
+    the SAME column expressions as the batch serial.ntriples.parse_df —
+    one code path, two execution modes.  Replayed files cannot
+    double-insert: quads dedup on their natural key within an
+    ingest-time watermark (dropDuplicatesWithinWatermark), so dedup
+    state stays bounded on an unbounded feed."""
+    from versa_spark.serial.ntriples import parse_df
+    lines = spark.readStream.format("text").load(input_dir)
+    quads = parse_df(spark, lines, only_rel=only_rel,
+                     exclude_rel=exclude_rel, dedup=False)
+    return (quads
+            .withColumn("_ingest_ts", F.current_timestamp())
+            .withWatermark("_ingest_ts", watermark)
+            .dropDuplicatesWithinWatermark(
+                ["origin", "rel", "target", "t_iri"])
+            .drop("_ingest_ts"))
