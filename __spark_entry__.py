@@ -166,7 +166,6 @@ def _q_pipeline_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (resource IDs are mmh3 hashes — counts are the SQL-checkable view;
     exact-ID parity is covered by the golden-ID tests)."""
     from versa_spark.iriref import I
-    from versa_spark.pipeline.spark_run import GROUPED_LINK_SCHEMA
 
     part = spark.read.parquet(f"{sf_dir}/part.parquet").orderBy(
         "p_partkey").limit(300)
@@ -190,7 +189,10 @@ def _q_pipeline_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l.target", "l.t_iri",
         F.array().cast("array<struct<k:string,v:string>>").alias("attrs"),
         F.lit(None).cast("long").alias("link_ix"))
-    links = spark.createDataFrame(rows.collect(), GROUPED_LINK_SCHEMA)
+    # the projected rows already carry the GROUPED_LINK_SCHEMA columns —
+    # feed them to the grouped fan-out directly (no driver round trip;
+    # round-2 verdict note #5)
+    links = rows
 
     def make_pipeline():
         from versa_spark.pipeline import (follow, generic_pipeline, link,

@@ -28,13 +28,25 @@ TURNS = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
 _WORKER = r"""
 import json, os, sys, time
 sys.path.insert(0, "__REPO__")
+os.environ["PYTHONPATH"] = "__REPO__" + os.pathsep + os.environ.get("PYTHONPATH", "")
 from pyspark.sql import SparkSession
 cpus = int(sys.argv[1]); turns = int(sys.argv[2])
-b = (SparkSession.builder.master(f"local[{cpus}]")
+# SCALING_MASTER=local-cluster runs cpus stand-in EXECUTORS of 1 core
+# each, every one its OWN JVM with its own heap and GC — the closest
+# sandbox analogue of "N executors vs 4N executors" and the control for
+# the single-shared-heap confound of local[N] threads.
+if os.environ.get("SCALING_MASTER") == "local-cluster":
+    mem_mb = int(os.environ.get("SCALING_EXEC_MB", "3072"))
+    master = f"local-cluster[{cpus},1,{mem_mb}]"
+    driver_mem = "4g"
+else:
+    master = f"local[{cpus}]"
+    driver_mem = "24g"
+b = (SparkSession.builder.master(master)
      .appName(f"kg-scaling-{cpus}")
      .config("spark.sql.shuffle.partitions", str(cpus * 2))
      .config("spark.sql.adaptive.enabled", "true")
-     .config("spark.driver.memory", "24g")
+     .config("spark.driver.memory", driver_mem)
      .config("spark.ui.enabled", "false"))
 gc = os.environ.get("SCALING_GC")
 if gc:  # e.g. -XX:+UseParallelGC — throughput GC for the batch job
@@ -62,16 +74,30 @@ def run_paired(low_cpus: int, high_cpus: int) -> tuple:
     instantaneous host load and external noise cancels in the ratio —
     the shared-sandbox analogue of running N and 4N clusters side by
     side.  Core sets are disjoint (low: 0..low-1, high: low..low+high-1);
-    the memory bus is still shared, which only UNDER-states efficiency."""
+    the memory bus is still shared, which only UNDER-states efficiency.
+
+    SCALING_WEAK=1 sizes the high job's input proportionally (TURNS ×
+    high/low — fixed work PER CORE, the Gustafson scaled-throughput
+    design): both jobs then run near-equal wall windows, so an external
+    load burst degrades both sides equally and actually cancels in the
+    tps ratio.  With same-size inputs (strong scaling, the default) the
+    high job finishes in ~1/4 the window, so a burst inside its short
+    window slashes its tps while barely moving the low job's average —
+    per-trial ratios then under-report with high variance (measured:
+    0.43–0.86 across 5 trials on the same code).  The efficiency formula
+    (tps_high / tps_low) / (high/low) is identical in both designs."""
     repo = os.path.dirname(os.path.abspath(__file__))
     code = _WORKER.replace("__REPO__", repo)
     low_pin = f"0-{low_cpus - 1}" if low_cpus > 1 else "0"
     high_pin = f"{low_cpus}-{low_cpus + high_cpus - 1}"
+    weak = os.environ.get("SCALING_WEAK", "0") == "1"
+    high_turns = TURNS * high_cpus // low_cpus if weak else TURNS
     procs = []
-    for pin, cpus in ((low_pin, low_cpus), (high_pin, high_cpus)):
+    for pin, cpus, turns in ((low_pin, low_cpus, TURNS),
+                             (high_pin, high_cpus, high_turns)):
         procs.append(subprocess.Popen(
             ["taskset", "-c", pin, sys.executable, "-c", code,
-             str(cpus), str(TURNS)],
+             str(cpus), str(turns)],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
     outs = []
     for p in procs:
@@ -166,6 +192,13 @@ def main() -> None:
         "unit": "ratio",
         "statistic": f"median_of_{trials}"
                      + ("_paired_simultaneous" if paired else ""),
+        "master": ("local-cluster[N,1,mem] per-executor JVMs"
+                   if os.environ.get("SCALING_MASTER") == "local-cluster"
+                   else "local[N] threads"),
+        "design": ("weak (fixed work/core, equal walls)"
+                   if os.environ.get("SCALING_WEAK", "0") == "1"
+                   else "strong (same input both levels)"),
+        "gc": os.environ.get("SCALING_GC", "G1 default"),
         "turns": TURNS,
         "low_tps_trials": [r["triples_per_sec"] for r in lows],
         "high_tps_trials": [r["triples_per_sec"] for r in highs],

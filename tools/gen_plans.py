@@ -74,12 +74,27 @@ window sort is absent from the triple-build plan. Regenerate with
 
     ml = canonicalize.mention_links(linked)
     ml.count()
-    section("mention-link dedup (narrow shuffle)", ml,
-            "The triple-build's dominant exchange hashes only "
+    section("mention-link dedup (generic-dictionary path)", ml,
+            "With an arbitrary dictionary the dedup exchange hashes only "
             "(conv_id, turn_idx, entity_iri) — the 42-byte turn IRI and "
             "the constant rel are rebuilt by Project AFTER the exchange, "
             "roughly halving shuffle bytes; no `turn_iri` appears in any "
             "Exchange.")
+
+    mls = canonicalize.mention_links_from_eids(
+        extract.turn_entity_ids(turns.drop("turn_rank")))
+    mls.count()
+    section("mention links (default path — ZERO exchange)", mls,
+            "Round 3: with the extraction lexicon as the dictionary, "
+            "alias collapse happens in-plan (array_distinct over "
+            "canonical indices) before the explode, and (conv_id, "
+            "turn_idx) uniquely keys turns — the mention-link plan adds "
+            "NO Exchange: cached extraction scan → explode → project. "
+            "The one Exchange visible below (REPARTITION_BY_COL) is the "
+            "test fixture's deliberate input hash-shuffle inside "
+            "transcripts_from_documents, upstream of the persist "
+            "boundary; the triple build's former dominant dedup shuffle "
+            "is gone.")
 
     from pyspark.sql import functions as F
     cap = (docs.orderBy("doc_id").limit(200)
@@ -87,7 +102,8 @@ window sort is absent from the triple-build plan. Regenerate with
     both = cap.unionByName(cap.select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat("text", F.lit(" appended")).alias("text")))
-    ver = dedup.minhash_lsh_candidates(both, verify_threshold=0.8)
+    ver = dedup.minhash_lsh_candidates(both, verify_threshold=0.8,
+                                       materialize=False)
     ver.count()
     section("MinHash-LSH verify (candidate-scoped)", ver,
             "Jaccard is computed ONLY for candidate pairs: the shingle "

@@ -153,7 +153,8 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text", k: int = 3,
                            num_hashes: int = 64, bands: int = 16,
                            verify_threshold: float | None = 0.8,
-                           hash_family: str = "xxhash64") -> DataFrame:
+                           hash_family: str = "xxhash64",
+                           materialize: bool = True) -> DataFrame:
     """Banded-LSH candidate pairs, optionally verified with exact Jaccard.
 
     bands × rows-per-band = num_hashes; docs agreeing on any full band
@@ -185,6 +186,13 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
              .select("a", "b").distinct())
     if verify_threshold is None:
         return cands
+    if not materialize:
+        # lazy variant: the full signature→banding→verify plan stays
+        # inspectable (.explain) and the candidate DAG is re-executed per
+        # consuming action — for plan audits and one-shot pipelines
+        return ngram_jaccard_pairs(df, id_col, text_col, k,
+                                   threshold=verify_threshold,
+                                   candidates=cands)
     # the candidate list feeds the verify join twice (pair join + doc-id
     # semi-join); persist it so the signature/banding DAG runs once — it
     # is tiny (near-dup pairs), the whole point of LSH.  The verified
