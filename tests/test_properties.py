@@ -110,3 +110,26 @@ def test_resource_id_order_insensitive(pairs):
     if any(v != pairs[0][1] for (_k, v) in pairs) or len({k for k, _ in pairs}) > 1:
         c = resource_id("http://x.org/OtherT", pairs)
         assert c != a        # type participates in the fingerprint
+
+
+@given(st.integers(1, 12), st.integers(1, 8),
+       st.lists(st.integers(0, 255), min_size=1, max_size=96))
+@settings(max_examples=60, deadline=None)
+def test_pgm_roundtrip_property(w, h, px):
+    """Any w×h byte raster survives encode_pgm → decode_pgm_ppm exactly."""
+    from versa_spark import multimodal
+    px = (px * ((w * h) // len(px) + 1))[:w * h]
+    ww, hh, arr = multimodal.decode_pgm_ppm(multimodal.encode_pgm(w, h, px))
+    assert (ww, hh) == (w, h) and arr.ravel().tolist() == px
+
+
+@given(st.lists(st.integers(-32768, 32767), min_size=1, max_size=256),
+       st.sampled_from([1000, 8000, 16000, 44100]))
+@settings(max_examples=60, deadline=None)
+def test_wav_roundtrip_property(samples, rate):
+    """Any PCM-16 sample vector survives encode_wav → decode_wav exactly,
+    including the int16 extremes."""
+    from versa_spark import multimodal
+    got_rate, back = multimodal.decode_wav(
+        multimodal.encode_wav(samples, rate))
+    assert got_rate == rate and back.tolist() == samples
