@@ -314,3 +314,26 @@ def test_salted_canonicalization_plan_shape(spark):
     final_keys = [k for k in key_lines
                   if "_salt" not in k and "entity_iri" in k]
     assert salted_keys and final_keys, key_lines
+
+
+def test_write_distribution_bounds_file_count(spark, tmp_path):
+    """Iceberg-style hash write distribution: slim stages emit at most
+    one parquet file per bucket (vs mappers x buckets without it); the
+    text-carrying turns stage stays mapper-aligned (no text exchange)."""
+    import glob
+    tx = synthetic_transcripts(spark, n_convs=40, turns_per_conv=10)
+    wd = str(tmp_path / "kgd")
+    job = KGJob(spark, wd, n_buckets=8)
+    out = job.run(tx, input_fingerprint="v1")
+    n_mention_files = len(glob.glob(f"{wd}/mentions/pt=*/*.parquet"))
+    n_order_files = len(glob.glob(f"{wd}/turn_order/pt=*/*.parquet"))
+    assert 0 < n_mention_files <= 8, n_mention_files
+    assert 0 < n_order_files <= 8, n_order_files
+    assert out["graph"].count() > 1000
+    # distribution must not change any stage's contents
+    wd2 = str(tmp_path / "kgd_none")
+    out2 = KGJob(spark, wd2, n_buckets=8,
+                 write_distribution="none").run(tx, input_fingerprint="v1")
+    a = {(r.origin, r.rel, r.target) for r in out["graph"].collect()}
+    b = {(r.origin, r.rel, r.target) for r in out2["graph"].collect()}
+    assert a == b

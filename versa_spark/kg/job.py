@@ -37,12 +37,30 @@ MANIFEST = "_manifest.jsonl"
 
 
 class KGJob:
+    """``write_distribution``:
+
+    * ``'auto'`` (default) — stages WITHOUT the fat ``text`` column
+      repartition by ``pt`` before the partitioned write (the
+      Iceberg ``write.distribution-mode=hash`` equivalent): without it
+      every mapper writes into every bucket directory and a stage emits
+      M×B files — at 10^12 turns that is 10^9+ tiny files, a metadata
+      catastrophe.  The ``text``-carrying turns stage is exempt so the
+      fat column still never rides an exchange: with the north rule's
+      input (an Iceberg table bucketed by conv_id) each input split
+      already holds exactly one bucket, so its mapper-aligned write
+      produces one file per bucket naturally — alignment, not shuffle,
+      is the production answer for the fat stage.
+    * ``'none'`` — mapper-aligned writes everywhere (the pre-round-3
+      behavior; fine at fixture scale)."""
+
     def __init__(self, spark: SparkSession, workdir: str,
-                 n_buckets: int = 32, salt: int = 16):
+                 n_buckets: int = 32, salt: int = 16,
+                 write_distribution: str = "auto"):
         self.spark = spark
         self.workdir = workdir
         self.n_buckets = n_buckets
         self.salt = salt
+        self.write_distribution = write_distribution
         os.makedirs(workdir, exist_ok=True)
         self.metrics: dict[str, dict] = {}
 
@@ -85,6 +103,11 @@ class KGJob:
         if "conv_id" in df.columns:
             df = df.withColumn(
                 "pt", F.pmod(F.xxhash64("conv_id"), F.lit(self.n_buckets)))
+            if (self.write_distribution == "auto"
+                    and "text" not in df.columns):
+                # hash write distribution: one exchange of the slim rows
+                # buys B output files instead of M×B (see class docstring)
+                df = df.repartition(self.n_buckets, "pt")
             (df.write.mode("overwrite").partitionBy("pt").parquet(path))
         else:
             df.write.mode("overwrite").parquet(path)
