@@ -145,3 +145,19 @@ def test_cli_dedup_and_sessionize(tmp_path, spark):
     assert rc == 0
     sess = spark.read.parquet(ev_out)
     assert sess.count() > 0 and "session_id" in sess.columns
+
+
+def test_cli_mediameta(tmp_path, spark):
+    """mediameta subcommand: real-format payloads in parquet → decoded
+    metadata parquet via the numpy-only PGM/WAV parsers."""
+    from versa_spark import cli, multimodal
+    media = multimodal.synthetic_codec_media(
+        spark, "/root/testdata/sf0.001", limit=24)
+    src = str(tmp_path / "media_in"); media.write.parquet(src)
+    out = str(tmp_path / "media_out")
+    assert cli.main(["mediameta", src, out, "--cpus", "4"]) == 0
+    meta = spark.read.parquet(out)
+    assert meta.count() == 24
+    kinds = {r.kind for r in meta.collect()}
+    assert kinds == {"image", "audio"}
+    assert "mean_value" in meta.columns

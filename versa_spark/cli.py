@@ -117,6 +117,9 @@ def _spark_dataop(args) -> int:
     if args.cmd == "dedup":
         from versa_spark.dedup import dedup_corpus
         out = dedup_corpus(df, threshold=args.threshold)
+    elif args.cmd == "mediameta":
+        from versa_spark.multimodal import extract_media_metadata
+        out = extract_media_metadata(df)
     else:
         from versa_spark.events import session_stats
         out = session_stats(df, gap_minutes=args.gap_minutes)
@@ -156,9 +159,15 @@ def main(argv=None) -> int:
     p_ss.add_argument("out")
     p_ss.add_argument("--gap-minutes", type=int, default=30)
     p_ss.add_argument("--cpus", default="4")
+    p_mm = sub.add_parser(
+        "mediameta", help="decode media payloads (PGM/PPM/WAV native; "
+                          "codec formats need libs) -> metadata parquet")
+    p_mm.add_argument("source", help="parquet with (media_id, kind, payload)")
+    p_mm.add_argument("out")
+    p_mm.add_argument("--cpus", default="4")
     args = ap.parse_args(argv)
 
-    if args.cmd in ("dedup", "sessionize"):
+    if args.cmd in ("dedup", "sessionize", "mediameta"):
         return _spark_dataop(args)
 
     with open(args.source) as f:
