@@ -461,6 +461,48 @@ def _q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "value_sum", "n_types", "max_k")
 
 
+def _q_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-pattern counting + redaction (textops.pii_stats/pii_redact):
+    emails/URLs/IPv4 planted deterministically into the corpus from
+    doc_id; the oracle reproduces counts AND the md5 of the redacted
+    text (patterns restricted to the Java-regex ∩ RE2 common subset)."""
+    from versa_spark import textops
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .orderBy("doc_id").limit(300))
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com via http://site"),
+            F.col("doc_id").cast("string"), F.lit(".org/page"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit(" from 10.0."),
+                            (F.col("doc_id") % 256).cast("string"),
+                            F.lit(".7"))).otherwise(F.lit(""))
+        ).alias("text"))
+    out = textops.pii_redact(textops.pii_stats(planted))
+    return out.select("doc_id", "n_emails", "n_urls", "n_ipv4",
+                      F.md5("redacted").alias("redacted_md5"))
+
+
+def _q_emb_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-call embedding near-dup removal (dedup.dedup_embeddings):
+    LSH-bucketed discovery → in-bucket cosine verify → connected
+    components → representative filter, against a DuckDB oracle that
+    embeds the identical deterministic hyperplane literals and resolves
+    clusters with WITH RECURSIVE."""
+    from versa_spark import dedup
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .orderBy("vec_id").limit(300))
+    planted = emb.select((F.col("vec_id") + 1000000).alias("vec_id"),
+                         "embedding").limit(50)
+    both = emb.select("vec_id", "embedding").unionByName(planted)
+    kept = dedup.dedup_embeddings(both, threshold=0.99, dim=64,
+                                  n_planes=8, n_tables=2)
+    return kept.select("vec_id")
+
+
 def _q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real multimodal decode (multimodal.py): deterministic binary-PGM /
     WAV-PCM16 payloads are built from doc ids (genuine format bytes),
@@ -515,6 +557,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dups": _q_emb_near_dups,
         "ann_topk": _q_ann_topk,
         "media_meta": _q_media_meta,
+        "pii_stats": _q_pii_stats,
+        "emb_dedup": _q_emb_dedup,
         "dup_components": _q_dup_components,
         "dup_chain_components": _q_dup_chain_components,
         "dedup_corpus": _q_dedup_corpus,
@@ -631,9 +675,27 @@ _MINHASH_CTES = """
 """
 
 
+def _planes_values() -> str:
+    """The dedup_embeddings hyperplanes (dim 64, 8 planes × 2 tables,
+    seeds 42/43) as DuckDB VALUES rows — repr() round-trips float64
+    exactly, so the SQL literals ARE the Spark-side planes."""
+    from versa_spark.simsearch import hyperplanes
+    rows = []
+    for t in range(2):
+        for i, pl in enumerate(hyperplanes(64, 8, 42 + t)):
+            lit = "[" + ", ".join(repr(x) for x in pl) + "]"
+            rows.append(f"({t}, {i}, {lit}::DOUBLE[])")
+    return ",\n                ".join(rows)
+
+
 def oracle_sql() -> dict[str, str]:
     B = BASE
     TYPE = TYPE_REL
+    from versa_spark.textops import PII_PATTERNS
+    _PII_EMAIL = PII_PATTERNS["n_emails"]
+    _PII_URL = PII_PATTERNS["n_urls"]
+    _PII_IPV4 = PII_PATTERNS["n_ipv4"]
+    _PLANES_VALUES = _planes_values()
     LABEL = "http://bibfra.me/purl/versa/label"
     kg = _kg_ctes()
     kg_sql = {
@@ -1118,6 +1180,78 @@ def oracle_sql() -> dict[str, str]:
                 SELECT * FROM r)
             SELECT node AS doc_id, MIN(comp) AS component
             FROM reach GROUP BY node
+        """,
+        "pii_stats": f"""
+            WITH planted AS (
+                SELECT doc_id,
+                       text || ' contact user' || doc_id
+                            || '@example.com via http://site' || doc_id
+                            || '.org/page'
+                            || CASE WHEN doc_id % 3 = 0
+                                    THEN ' from 10.0.' || (doc_id % 256)
+                                         || '.7'
+                                    ELSE '' END AS text
+                FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 300))
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '{_PII_EMAIL}')) AS INT) AS n_emails,
+                   CAST(len(regexp_extract_all(text,
+                        '{_PII_URL}')) AS INT) AS n_urls,
+                   CAST(len(regexp_extract_all(text,
+                        '{_PII_IPV4}')) AS INT) AS n_ipv4,
+                   md5(regexp_replace(regexp_replace(regexp_replace(text,
+                       '{_PII_EMAIL}', '<PII>', 'g'),
+                       '{_PII_URL}', '<PII>', 'g'),
+                       '{_PII_IPV4}', '<PII>', 'g')) AS redacted_md5
+            FROM planted
+        """,
+        "emb_dedup": f"""
+            WITH base AS (SELECT vec_id, embedding FROM embeddings
+                          ORDER BY vec_id LIMIT 300),
+            uni AS (
+                SELECT vec_id, embedding FROM base
+                UNION ALL
+                SELECT vec_id + 1000000, embedding FROM
+                  (SELECT * FROM base ORDER BY vec_id LIMIT 50)),
+            e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM uni),
+            planes(t, i, pl) AS (VALUES {_PLANES_VALUES}),
+            bk AS (
+                SELECT e.vec_id, p.t,
+                       SUM(CASE WHEN round(list_dot_product(e.v, p.pl), 9)
+                                     >= 0
+                                THEN (1::BIGINT << p.i) ELSE 0 END)
+                           AS bucket
+                FROM e CROSS JOIN planes p GROUP BY e.vec_id, p.t),
+            cand AS (
+                SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+                FROM bk x JOIN bk y
+                  ON x.t = y.t AND x.bucket = y.bucket
+                     AND x.vec_id < y.vec_id),
+            ver AS (
+                SELECT c.a, c.b FROM cand c
+                JOIN e ea ON ea.vec_id = c.a
+                JOIN e eb ON eb.vec_id = c.b
+                WHERE round(list_dot_product(ea.v, eb.v)
+                      / (sqrt(list_dot_product(ea.v, ea.v))
+                         * sqrt(list_dot_product(eb.v, eb.v))), 6)
+                      >= 0.99),
+            edges AS (SELECT a AS x, b AS y FROM ver
+                      UNION SELECT b, a FROM ver),
+            nodes AS (SELECT DISTINCT x AS node FROM edges),
+            reach AS (
+                WITH RECURSIVE r(node, comp) AS (
+                    SELECT node, node FROM nodes
+                    UNION
+                    SELECT eg.y, r.comp FROM r JOIN edges eg
+                      ON eg.x = r.node)
+                SELECT * FROM r),
+            cc AS (SELECT node, MIN(comp) AS component FROM reach
+                   GROUP BY node),
+            drops AS (SELECT node AS vec_id FROM cc
+                      WHERE node != component)
+            SELECT u.vec_id FROM uni u
+            WHERE u.vec_id NOT IN (SELECT vec_id FROM drops)
         """,
         "media_meta": """
             WITH m AS (

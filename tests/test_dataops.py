@@ -632,3 +632,45 @@ def test_media_metadata_end_to_end(spark):
                 (mid * 131 + 17 * np.arange(n)) % 2003 - 1001)))
             assert (r.kind, r.n_samples, r.duration_ms) == ("audio", n, n)
             assert abs(r.mean_value - round(exp, 6)) < 1e-9
+
+
+def test_pii_stats_and_redact(spark):
+    rows = [
+        (1, "mail me at bob.smith+x@corp.example.org today"),
+        (2, "see https://a.example.com/path?q=1 and http://b.org"),
+        (3, "server at 192.168.1.254 and 10.0.0.1 responded"),
+        (4, "no sensitive content here at all"),
+        (5, "combo x@y.io via http://z.dev from 8.8.8.8"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           textops.pii_redact(textops.pii_stats(df)).collect()}
+    assert (out[1].n_emails, out[1].n_urls, out[1].n_ipv4) == (1, 0, 0)
+    assert (out[2].n_emails, out[2].n_urls, out[2].n_ipv4) == (0, 2, 0)
+    assert (out[3].n_emails, out[3].n_urls, out[3].n_ipv4) == (0, 0, 2)
+    assert (out[4].n_emails, out[4].n_urls, out[4].n_ipv4) == (0, 0, 0)
+    assert (out[5].n_emails, out[5].n_urls, out[5].n_ipv4) == (1, 1, 1)
+    assert out[1].redacted == "mail me at <PII> today"
+    assert out[5].redacted == "combo <PII> via <PII> from <PII>"
+    assert out[4].redacted == out[4].text
+
+
+def test_dedup_embeddings_removes_planted_dups(spark, emb):
+    """The one-call embedding dedup removes exact planted duplicates
+    (identical vectors always share every LSH bucket) and keeps the
+    minimum id of each cluster; survivors match the crossJoin-verified
+    component computation exactly."""
+    base = emb.orderBy("vec_id").limit(120).select("vec_id", "embedding")
+    planted = base.select((F.col("vec_id") + 5000).alias("vec_id"),
+                          "embedding").limit(40)
+    both = base.unionByName(planted)
+    kept = {r.vec_id for r in
+            dedup.dedup_embeddings(both, threshold=0.99, dim=64).collect()}
+    # exact reference: all-pairs cosine >= threshold -> components
+    pairs = dedup.embedding_near_dups(both, threshold=0.99)
+    cc = dedup.connected_components(pairs.select("a", "b"))
+    drop = {r.doc_id for r in
+            cc.filter(F.col("doc_id") != F.col("component")).collect()}
+    expect = {r.vec_id for r in both.collect()} - drop
+    assert kept == expect
+    assert len(kept) == 120  # every planted dup collapsed to its original

@@ -452,6 +452,69 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
             .select("a", "b", F.round("cosine", 6).alias("cosine")))
 
 
+def dedup_embeddings(emb: DataFrame, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     threshold: float = 0.95,
+                     n_planes: int = 8, n_tables: int = 2,
+                     seed: int = 42, dim: int | None = None,
+                     round_digits: int = 9) -> DataFrame:
+    """One-call embedding near-dup removal — the vector-space analogue
+    of dedup_corpus, and discovery never goes all-pairs:
+
+        hyperplane-LSH buckets (n_tables independent tables — multi-
+        probe via seeds, not wider beams) bound the candidate pairs
+        → exact cosine verify within buckets (≥ threshold)
+        → connected components (hooking + pointer doubling)
+        → keep one representative per cluster (minimum id)
+
+    Bucket sign bits use dots rounded to ``round_digits`` so the
+    assignment is reproducible across engines (the driver oracle embeds
+    the same deterministic plane literals in SQL); cosines round to 6
+    before the threshold compare for the same reason.  Per-table bucket
+    recall for a pair at angle θ is (1 − θ/π)^n_planes; tables union,
+    so missed-pair probability decays exponentially in n_tables.
+    ``embedding_near_dups`` (crossJoin) remains the verification-only
+    kernel; this is the scale path."""
+    from versa_spark.simsearch import (_dot, _norm, hyperplanes,
+                                       random_hyperplane_signatures)
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    # widen to float64 BEFORE any dot product: float32 products would
+    # diverge from an engine computing in doubles by ~1e-6 — enough to
+    # flip a near-zero sign bit or a threshold-grazing cosine even
+    # after rounding (float→double widening is exact)
+    vec64 = F.col(vec_col).cast("array<double>")
+    base = emb.select(F.col(id_col).alias("vec_id"),
+                      vec64.alias("v"),
+                      _norm(vec64).alias("nv"))
+    pair_parts = []
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_planes, seed + t)
+        b = random_hyperplane_signatures(base, "v", planes,
+                                         round_digits=round_digits)
+        left = b.select(F.col("vec_id").alias("a"),
+                        F.col("v").alias("va"), F.col("nv").alias("na"),
+                        "bucket")
+        right = b.select(F.col("vec_id").alias("b"),
+                         F.col("v").alias("vb"), F.col("nv").alias("nb"),
+                         "bucket")
+        pair_parts.append(
+            left.join(right, "bucket").filter(F.col("a") < F.col("b"))
+            .withColumn("cosine",
+                        F.round(_dot(F.col("va"), F.col("vb"))
+                                / (F.col("na") * F.col("nb")), 6))
+            .filter(F.col("cosine") >= threshold)
+            .select("a", "b"))
+    pairs = pair_parts[0]
+    for p in pair_parts[1:]:
+        pairs = pairs.unionByName(p)
+    pairs = pairs.distinct()
+    cc = connected_components(pairs)
+    drop = (cc.filter(F.col("doc_id") != F.col("component"))
+            .select(F.col("doc_id").alias(id_col)))
+    return emb.join(drop, id_col, "left_anti")
+
+
 def dedup_corpus(df: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text", k: int = 3,
                  threshold: float = 0.8, num_hashes: int = 64,

@@ -91,8 +91,15 @@ _LITERAL_BUDGET = 4096
 
 
 def random_hyperplane_signatures(df: DataFrame, vec_col: str,
-                                 planes) -> DataFrame:
+                                 planes,
+                                 round_digits: int | None = None) -> DataFrame:
     """Adds ``bucket``: bit b = sign(v · plane_b).
+
+    ``round_digits`` rounds each dot product before taking its sign —
+    set it when bucket assignments must be bit-identical across engines
+    (e.g. the DuckDB oracle of dedup.dedup_embeddings): float summation
+    order can differ between JVM fold and another engine's kernel, and a
+    dot that lands within an ulp of zero would otherwise flip a bit.
 
     Small plane matrices (dim × n_planes ≤ 4096 elements) inline as
     literal arrays — dot products via zip_with/aggregate stay JVM-side.
@@ -109,7 +116,10 @@ def random_hyperplane_signatures(df: DataFrame, vec_col: str,
         sig = None
         for i, plane in enumerate(planes):
             plane_col = F.array(*[F.lit(float(x)) for x in plane])
-            bit = F.when(_dot(F.col(vec_col), plane_col) >= 0,
+            d = _dot(F.col(vec_col), plane_col)
+            if round_digits is not None:
+                d = F.round(d, round_digits)
+            bit = F.when(d >= 0,
                          F.lit(1 << i).cast("long")).otherwise(
                              F.lit(0).cast("long"))
             sig = bit if sig is None else (sig + bit)
@@ -118,13 +128,17 @@ def random_hyperplane_signatures(df: DataFrame, vec_col: str,
     from pyspark.sql.types import LongType
     p_t = np.asarray(planes, dtype=np.float64).T          # dim × planes
     weights = (1 << np.arange(len(planes), dtype=np.int64))
+    rd = round_digits
 
     @F.pandas_udf(LongType())
     def _bucket(vecs):
         import pandas as pd
         mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs]) \
             if len(vecs) else np.zeros((0, p_t.shape[0]))
-        bits = (mat @ p_t) >= 0.0
+        scores = mat @ p_t
+        if rd is not None:
+            scores = np.round(scores, rd)
+        bits = scores >= 0.0
         return pd.Series((bits @ weights).astype(np.int64))
     return df.withColumn("bucket", _bucket(F.col(vec_col)))
 

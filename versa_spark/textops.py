@@ -211,3 +211,37 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
         .alias("top_bigram_frac"),
         F.round(F.coalesce("dup_trigram_frac", F.lit(0.0)), 6)
         .alias("dup_trigram_frac"))
+
+
+# PII-ish surface patterns (redaction signals of web-corpus cleaning;
+# public recipes — C4 removes lines with "javascript", Dolma/RefinedWeb
+# regex-mask emails/IPs/phones).  Kept to constructs with identical
+# semantics in Java regex and RE2 (no lookaround, no backrefs) so the
+# DuckDB oracle reproduces counts AND redacted text byte-for-byte.
+PII_PATTERNS = {
+    "n_emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "n_urls": r"https?://[^\s]+",
+    "n_ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_stats(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Per-doc counts of PII-ish patterns (emails, URLs, IPv4) — pure
+    JVM ``regexp_count`` expressions, one scan, no shuffle."""
+    out = df
+    for name, pat in PII_PATTERNS.items():
+        out = out.withColumn(
+            name, F.regexp_count(F.col(text_col), F.lit(pat)).cast("int"))
+    return out
+
+
+def pii_redact(df: DataFrame, text_col: str = "text",
+               repl: str = "<PII>", out_col: str = "redacted") -> DataFrame:
+    """Masks every PII pattern occurrence with ``repl`` (chained global
+    ``regexp_replace`` — whole-stage codegen, no Python).  Email first so
+    a URL containing an address masks deterministically."""
+    t = F.col(text_col)
+    for pat in PII_PATTERNS.values():
+        t = F.regexp_replace(t, pat, repl)
+    return df.withColumn(out_col, t)
