@@ -474,7 +474,9 @@ def dedup_embeddings(emb: DataFrame, id_col: str = "vec_id",
     recall for a pair at angle θ is (1 − θ/π)^n_planes; tables union,
     so missed-pair probability decays exponentially in n_tables.
     ``embedding_near_dups`` (crossJoin) remains the verification-only
-    kernel; this is the scale path."""
+    kernel; this is the scale path.  Pass ``dim`` explicitly in jobs —
+    the fallback inference reads one row on the driver (fine
+    interactively, a planning-path round trip in a pipeline)."""
     from versa_spark.simsearch import (_dot, _norm, hyperplanes,
                                        random_hyperplane_signatures)
     if dim is None:
