@@ -95,10 +95,15 @@ def run_paired(low_cpus: int, high_cpus: int) -> tuple:
     procs = []
     for pin, cpus, turns in ((low_pin, low_cpus, TURNS),
                              (high_pin, high_cpus, high_turns)):
+        # stderr → DEVNULL: the workers are drained sequentially after
+        # both finish, so a PIPE'd stderr filling its 64 KiB buffer
+        # (Spark WARN/GC spew on big inputs) would block the still-
+        # running second worker mid-measurement and corrupt its wall.
+        # stdout is safe: one JSON line at exit.
         procs.append(subprocess.Popen(
             ["taskset", "-c", pin, sys.executable, "-c", code,
              str(cpus), str(turns)],
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True))
     outs = []
     for p in procs:
         out, _ = p.communicate(timeout=1800)
@@ -200,6 +205,10 @@ def main() -> None:
                    else "strong (same input both levels)"),
         "gc": os.environ.get("SCALING_GC", "G1 default"),
         "turns": TURNS,
+        "turns_low": TURNS,
+        "turns_high": (TURNS * high_cpus // low_cpus
+                       if os.environ.get("SCALING_WEAK", "0") == "1"
+                       else TURNS),
         "low_tps_trials": [r["triples_per_sec"] for r in lows],
         "high_tps_trials": [r["triples_per_sec"] for r in highs],
         "per_trial_efficiency": per_trial_eff,
@@ -212,8 +221,16 @@ def main() -> None:
     }
     line = json.dumps(result, separators=(",", ":"))
     print(line)
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_SCALING.json"), "w") as f:
+    repo = os.path.dirname(os.path.abspath(__file__))
+    # every run APPENDS to the immutable log — a later experiment can
+    # never destroy the evidence an earlier run produced (round-3
+    # lesson: a supplementary strong trial once clobbered the canonical
+    # snapshot).  BENCH_SCALING.json remains the last-run snapshot;
+    # BASELINE.md cites the canonical run by its content, which is
+    # always recoverable from the log.
+    with open(os.path.join(repo, "BENCH_SCALING_RUNS.jsonl"), "a") as f:
+        f.write(line + "\n")
+    with open(os.path.join(repo, "BENCH_SCALING.json"), "w") as f:
         f.write(line + "\n")
 
 

@@ -674,3 +674,46 @@ def test_dedup_embeddings_removes_planted_dups(spark, emb):
     expect = {r.vec_id for r in both.collect()} - drop
     assert kept == expect
     assert len(kept) == 120  # every planted dup collapsed to its original
+
+
+def test_connected_components_checkpoint_every_2(spark):
+    """The deferred-release path (checkpoint_every > 1): a persisted
+    round's lineage may reference the previous checkpoint, so releases
+    wait for the next checkpointed round — output must equal the
+    default every-round-checkpoint run."""
+    docs = [(i,) for i in range(60)]
+    df = spark.createDataFrame(docs, ["doc_id"])
+    pairs = (df.select(F.col("doc_id").alias("a"),
+                       (F.col("doc_id") + 1000).alias("b"))
+             .unionByName(df.filter(F.col("doc_id") % 5 == 0)
+                          .select(F.col("doc_id").alias("a"),
+                                  (F.col("doc_id") + 1).alias("b"))))
+    a = {(r.doc_id, r.component) for r in
+         dedup.connected_components(pairs).collect()}
+    b = {(r.doc_id, r.component) for r in
+         dedup.connected_components(pairs, checkpoint_every=2).collect()}
+    assert a == b and len(a) > 100
+
+
+def test_dedup_embeddings_empty_input(spark):
+    from pyspark.sql.types import (ArrayType, FloatType, LongType,
+                                   StructField, StructType)
+    empty = spark.createDataFrame([], StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType()))]))
+    assert dedup.dedup_embeddings(empty).count() == 0
+
+
+def test_media_metadata_unsupported_kind_raises(spark):
+    """video / codec-format payloads surface the documented
+    NotImplementedError, not a wrong-parser ValueError."""
+    rows = [(1, "video", "video/mp4", bytearray(b"\x00\x00\x00 ftypmp42"))]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, mime string, payload binary")
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        multimodal.extract_media_metadata(df).collect()
+    png = [(2, "image", "image/png", bytearray(b"\x89PNG\r\n\x1a\nxxxx"))]
+    df2 = spark.createDataFrame(
+        png, "media_id long, kind string, mime string, payload binary")
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        multimodal.extract_media_metadata(df2).collect()

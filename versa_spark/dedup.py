@@ -343,6 +343,13 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
     rounds = 0
     converged = False
     prev_is_ckpt = False
+    # frames whose release must WAIT until the next checkpointed round:
+    # with checkpoint_every > 1, a persist()-ed round's lineage still
+    # references the previous checkpoint, so freeing that checkpoint
+    # would make recomputation after eviction impossible — releases are
+    # deferred until a round with truncated lineage (a checkpoint)
+    # materializes and nothing can reference the old blocks
+    pending: list = []
     for i in range(max_iters):
         rounds += 1
         # 1. hook: candidate label = min(own, min over neighbors' labels)
@@ -373,17 +380,25 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
                    .join(labels.alias("o"), "node")
                    .filter(F.col("n.component") != F.col("o.component"))
                    .limit(1).count())
-        # the previous round's table is dead once `changed` materialized —
-        # free its blocks NOW (a checkpoint's blocks outlive unpersist(),
-        # see cacheutil) or a k-round run holds k label-table copies
-        if prev_is_ckpt:
-            release_checkpoint(labels)
-        else:
-            labels.unpersist()
+        # the previous round's table is dead once `changed` materialized,
+        # BUT its blocks may only be freed once a lineage-truncating
+        # checkpoint exists downstream (see `pending` above); a k-round
+        # run must not hold k label-table copies (a checkpoint's blocks
+        # outlive unpersist(), see cacheutil)
+        pending.append((labels, prev_is_ckpt))
+        if new_is_ckpt:
+            for frame, was_ckpt in pending:
+                if was_ckpt:
+                    release_checkpoint(frame)
+                else:
+                    frame.unpersist()
+            pending = []
         labels, prev_is_ckpt = new_labels, new_is_ckpt
         if changed == 0:
             converged = True
             break
+    # frames still pending are referenced by the returned labels' lineage
+    # (trailing persist-only rounds) — they stay until the JVM GCs them
     edges.unpersist()
     if not converged:
         raise RuntimeError(
@@ -480,7 +495,10 @@ def dedup_embeddings(emb: DataFrame, id_col: str = "vec_id",
     from versa_spark.simsearch import (_dot, _norm, hyperplanes,
                                        random_hyperplane_signatures)
     if dim is None:
-        dim = len(emb.select(vec_col).first()[0])
+        row = emb.select(vec_col).first()
+        if row is None:
+            return emb          # empty input: nothing to dedup
+        dim = len(row[0])
     # widen to float64 BEFORE any dot product: float32 products would
     # diverge from an engine computing in doubles by ~1e-6 — enough to
     # flip a near-zero sign bit or a threshold-grazing cosine even

@@ -183,7 +183,15 @@ def turn_entity_ids(turns: DataFrame) -> DataFrame:
     (conv_id, turn_idx) uniquely keys turns, the exploded mention-link
     rows are globally unique by construction and the triple build needs
     NO dedup shuffle at all (round-2 shrank that exchange to a narrow
-    key; this removes it)."""
+    key; this removes it).
+
+    PRECONDITION: (conv_id, turn_idx) must be unique in ``turns`` — it
+    is the transcript table's primary key (north-rule input contract).
+    An at-least-once ingest that may replay rows must dedup first
+    (streaming.stream_graph_query does, per micro-batch; batch readers
+    of the checkpointed job inherit uniqueness from the stage write).
+    With duplicate keys this path emits duplicate triples where the
+    generic mention_links path would collapse the mention family."""
     extract = extract_mention_ids_udf()
     canon_map = F.array(*[F.lit(i) for i in _SURFACE_CANON_IX])
     keep = [c for c in turns.columns if c != "text"]

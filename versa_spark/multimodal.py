@@ -305,17 +305,28 @@ def extract_media_metadata(media: DataFrame) -> DataFrame:
             for mid, kind, payload in zip(pdf["media_id"], pdf["kind"],
                                           pdf["payload"]):
                 raw = b"" if payload is None else bytes(payload)
+                # dispatch through decode_image/decode_audio so codec
+                # payloads (PNG/MP3/…) and unsupported kinds raise the
+                # documented NotImplementedError, never a misleading
+                # wrong-format ValueError from the wrong parser
                 if kind == "image":
-                    w, h, arr = decode_pgm_ppm(raw)
+                    arr = decode_image(raw)
+                    h, w = arr.shape[:2]
                     out.append((int(mid), kind, w, h, None, None,
                                 round(float(arr.mean()), 6)))
-                else:
-                    rate, samples = decode_wav(raw)
+                elif kind == "audio":
+                    rate, samples = decode_audio(raw)
                     n = int(samples.size)
                     out.append((int(mid), kind, None, None, n,
                                 int(round(n * 1000 / rate)),
                                 round(float(np.abs(
                                     samples.astype(np.int64)).mean()), 6)))
+                else:
+                    raise NotImplementedError(
+                        f"metadata extraction for kind={kind!r} needs a "
+                        "codec library not present in this container "
+                        "(images: PGM/PPM native; audio: WAV PCM-16 "
+                        "native)")
             yield pd.DataFrame(out, columns=[
                 "media_id", "kind", "width", "height", "n_samples",
                 "duration_ms", "mean_value"])

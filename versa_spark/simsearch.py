@@ -313,7 +313,11 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
     one corpus row on the driver (a planning-path round trip, fine in a
     notebook, wasteful inside a job)."""
     if dim is None:
-        dim = len(emb.select(vec_col).first()[0])
+        row = emb.select(vec_col).first()
+        if row is None:
+            raise ValueError(
+                "cannot infer dim from an empty corpus; pass dim=")
+        dim = len(row[0])
     planes = hyperplanes(dim, n_planes, seed)
     base = random_hyperplane_signatures(
         emb.select(F.col(id_col).alias("vec_id"),

@@ -56,6 +56,12 @@ def stream_graph_query(spark: SparkSession, input_dir: str,
     def _process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # at-least-once upstream delivery can replay turns inside one
+        # micro-batch; the zero-exchange triple build relies on
+        # (conv_id, turn_idx) uniquely keying its input (the transcript
+        # table's primary key), so enforce it per batch — a batch-local
+        # dedup, tiny next to the build itself
+        batch_df = batch_df.dropDuplicates(["conv_id", "turn_idx"])
         turns = ordered_turns(batch_df)
         parts = build_graph(batch_df.sparkSession, turns)
         (parts["graph"]
