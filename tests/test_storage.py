@@ -86,3 +86,18 @@ def test_write_graph_tables(spark, tmp_path):
     with pytest.raises(NotImplementedError):
         storage.write_graph_tables(parts["graph"], parts["edges"], base,
                                    fmt="iceberg")
+
+
+def test_iceberg_ddl_spells_the_layout():
+    """The emitted production DDL encodes exactly the tested physical
+    properties: bucket partitioning on the lookup key, ordered writes on
+    (key, rel), hash write distribution."""
+    for kind, key in (("graph", "origin"), ("edges", "src"),
+                      ("transcripts", "conv_id")):
+        create, order = storage.iceberg_ddl(f"kg.{kind}", 128, kind)
+        assert f"PARTITIONED BY (bucket(128, {key}))" in create
+        assert "'write.distribution-mode'='hash'" in create
+        assert "USING iceberg" in create
+        assert order.startswith(f"ALTER TABLE kg.{kind} WRITE ORDERED BY")
+    with pytest.raises(ValueError):
+        storage.iceberg_ddl(kind="nope")

@@ -87,3 +87,35 @@ def _bucket_of(spark: SparkSession, origin: str, n_buckets: int) -> int:
     return spark.range(1).select(
         F.pmod(F.xxhash64(F.lit(origin)), F.lit(n_buckets)).alias("b")
     ).first()["b"]
+
+
+def iceberg_ddl(table: str = "kg.graph", n_buckets: int = 64,
+                kind: str = "graph") -> list[str]:
+    """The production Iceberg spelling of this module's layout, as
+    executable SQL statements (no Iceberg runtime ships in this
+    container, so these are emitted for the cluster that has one;
+    identical physical properties to the tested Parquet layout):
+
+    * bucket-transform partitioning = the obucket/sbucket column here;
+    * WRITE ORDERED BY = the sortWithinPartitions(origin/src, rel) here
+      (row-group min/max skipping on the second key);
+    * write.distribution-mode=hash = the KGJob write repartition here
+      (one file per bucket per commit, not mappers × buckets).
+    """
+    cols = {"graph": ("origin STRING, rel STRING, target STRING, "
+                      "t_iri BOOLEAN", "origin"),
+            "edges": ("src STRING, rel STRING, dst STRING", "src"),
+            "transcripts": ("conv_id STRING, turn_idx INT, role STRING, "
+                            "text STRING, tool STRING, ts TIMESTAMP",
+                            "conv_id")}
+    if kind not in cols:
+        raise ValueError(f"unknown table kind {kind!r}")
+    schema, key = cols[kind]
+    sort_key = key if kind == "transcripts" else f"{key}, rel"
+    return [
+        f"CREATE TABLE {table} ({schema}) USING iceberg "
+        f"PARTITIONED BY (bucket({n_buckets}, {key})) "
+        f"TBLPROPERTIES ('write.distribution-mode'='hash', "
+        f"'write.parquet.compression-codec'='zstd')",
+        f"ALTER TABLE {table} WRITE ORDERED BY ({sort_key})",
+    ]
