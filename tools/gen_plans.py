@@ -111,6 +111,24 @@ window sort is absent from the triple-build plan. Regenerate with
             "pair join — no all-pairs shingle self-join exists in the "
             "plan (the round-1 scale defect).")
 
+    from versa_spark import textops
+    pii = textops.pii_redact(textops.pii_stats(
+        docs.select("doc_id", "text")))
+    pii.count()
+    section("PII counting + redaction", pii,
+            "regexp_count / chained regexp_replace — one scan, zero "
+            "exchange, a single WholeStageCodegen span; the Java∩RE2 "
+            "pattern subset keeps the DuckDB oracle byte-identical.")
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    dd = dedup.dedup_embeddings(emb.limit(200), threshold=0.99, dim=64)
+    dd.count()
+    section("embedding near-dup removal (LSH-bucketed)", dd,
+            "Discovery joins only within hyperplane buckets (equi-join "
+            "on the 64-bit bucket id — never a crossJoin); in-bucket "
+            "cosine verify, pointer-doubling components (LogicalRDD "
+            "after checkpoint), anti-join keeps representatives.")
+
     from versa_spark import events as ev
     es = ev.session_stats(spark.read.parquet(f"{sf}/events.parquet"))
     es.count()
