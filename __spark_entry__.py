@@ -503,6 +503,34 @@ def _q_emb_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("vec_id")
 
 
+def _q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (dedup.decontaminate, the GPT-3/PaLM
+    13-gram recipe): the benchmark set is drawn from the corpus itself
+    (every 7th doc), so those docs are contaminated by construction;
+    the oracle replays the shingling + overlap join in SQL."""
+    from versa_spark import dedup
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .orderBy("doc_id").limit(300).select("doc_id", "text"))
+    bench = docs.filter(F.col("doc_id") % 7 == 0).select("text")
+    flagged = dedup.decontaminate(docs, bench, n=13, mode="flag")
+    return flagged.select("doc_id", "contaminated")
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-threshold stratified sampling
+    (textops.stratified_sample, md5 family): the exact kept set is
+    reproduced by the oracle's CASE-threshold filter — unlike
+    df.sample, the result is independent of partition layout."""
+    from versa_spark import textops
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "source"))
+    fractions = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0}
+    out = textops.stratified_sample(docs, fractions,
+                                    default_fraction=0.35, seed=7,
+                                    hash_family="md5")
+    return out.select("doc_id", "source")
+
+
 def _q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real multimodal decode (multimodal.py): deterministic binary-PGM /
     WAV-PCM16 payloads are built from doc ids (genuine format bytes),
@@ -559,6 +587,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": _q_media_meta,
         "pii_stats": _q_pii_stats,
         "emb_dedup": _q_emb_dedup,
+        "decontam": _q_decontam,
+        "stratified_sample": _q_stratified_sample,
         "dup_components": _q_dup_components,
         "dup_chain_components": _q_dup_chain_components,
         "dedup_corpus": _q_dedup_corpus,
@@ -1180,6 +1210,53 @@ def oracle_sql() -> dict[str, str]:
                 SELECT * FROM r)
             SELECT node AS doc_id, MIN(comp) AS component
             FROM reach GROUP BY node
+        """,
+        "decontam": """
+            WITH corpus AS (SELECT doc_id, text FROM documents
+                            ORDER BY doc_id LIMIT 300),
+            bench AS (SELECT text FROM corpus WHERE doc_id % 7 = 0),
+            cw AS (SELECT doc_id,
+                          regexp_split_to_array(
+                              regexp_replace(lower(trim(text)), '\\s+',
+                                             ' ', 'g'), ' ') AS w
+                   FROM corpus),
+            csh AS (
+                SELECT DISTINCT doc_id, shingle FROM (
+                    SELECT doc_id,
+                           unnest([array_to_string(w[i:i+12], ' ')
+                                   for i in range(1, len(w) - 11)])
+                               AS shingle
+                    FROM cw WHERE len(w) >= 13
+                    UNION ALL
+                    SELECT doc_id, array_to_string(w, ' ')
+                    FROM cw WHERE len(w) < 13)),
+            bw AS (SELECT regexp_split_to_array(
+                       regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                      'g'), ' ') AS w
+                   FROM bench),
+            bsh AS (
+                SELECT DISTINCT shingle FROM (
+                    SELECT unnest([array_to_string(w[i:i+12], ' ')
+                                   for i in range(1, len(w) - 11)])
+                               AS shingle
+                    FROM bw WHERE len(w) >= 13
+                    UNION ALL
+                    SELECT array_to_string(w, ' ') FROM bw
+                    WHERE len(w) < 13)),
+            cont AS (SELECT DISTINCT doc_id
+                     FROM csh JOIN bsh USING (shingle))
+            SELECT c.doc_id, (cont.doc_id IS NOT NULL) AS contaminated
+            FROM corpus c LEFT JOIN cont ON cont.doc_id = c.doc_id
+        """,
+        "stratified_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE CAST(concat('0x', substr(md5(doc_id || ':7'), 1, 12))
+                       AS BIGINT)
+                  < (CASE source WHEN 'src0' THEN 1.0
+                                 WHEN 'src1' THEN 0.5
+                                 WHEN 'src2' THEN 0.25
+                                 WHEN 'src3' THEN 0.0
+                                 ELSE 0.35 END) * 281474976710656.0
         """,
         "pii_stats": f"""
             WITH planted AS (

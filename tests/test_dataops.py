@@ -717,3 +717,53 @@ def test_media_metadata_unsupported_kind_raises(spark):
         png, "media_id long, kind string, mime string, payload binary")
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         multimodal.extract_media_metadata(df2).collect()
+
+
+def test_decontaminate(spark):
+    """13-gram benchmark decontamination: docs sharing a long n-gram with
+    the benchmark drop; unrelated docs survive; flag/remove agree."""
+    long_a = " ".join(f"w{i}" for i in range(30))
+    long_b = " ".join(f"x{i}" for i in range(30))
+    partial = " ".join(f"w{i}" for i in range(5, 25))   # shares 13-grams
+    short_unique = "tiny doc"
+    rows = [(1, long_a), (2, long_b), (3, partial), (4, short_unique),
+            (5, "another clean unrelated document with plenty of fresh "
+                "words " + " ".join(f"z{i}" for i in range(20)))]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+    bench = spark.createDataFrame([(long_a,), ("tiny doc",)], ["text"])
+    kept = {r.doc_id for r in
+            dedup.decontaminate(corpus, bench, n=13).collect()}
+    assert kept == {2, 5}   # 1 exact, 3 via shared 13-gram, 4 short-exact
+    flags = {r.doc_id: r.contaminated for r in
+             dedup.decontaminate(corpus, bench, n=13,
+                                 mode="flag").collect()}
+    assert flags == {1: True, 2: False, 3: True, 4: True, 5: False}
+    with pytest.raises(ValueError):
+        dedup.decontaminate(corpus, bench, mode="nope")
+
+
+def test_stratified_sample_deterministic(spark, docs):
+    """Hash-threshold sampling: exact-fraction edges (0 and 1) hold, the
+    kept set is invariant under repartitioning (unlike df.sample), and
+    both hash families give plausible stratum rates."""
+    d = docs.select("doc_id", "source")
+    fr = {"src0": 1.0, "src1": 0.0}
+    kept = textops.stratified_sample(d, fr, default_fraction=0.5)
+    rows = kept.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, set()).add(r.doc_id)
+    n_src0 = d.filter(F.col("source") == "src0").count()
+    assert len(by_src.get("src0", ())) == n_src0        # frac 1.0 keeps all
+    assert "src1" not in by_src                          # frac 0.0 drops all
+    total_default = d.filter(~F.col("source").isin(["src0", "src1"])).count()
+    n_default = sum(len(v) for s, v in by_src.items()
+                    if s not in ("src0", "src1"))
+    assert 0.25 * total_default < n_default < 0.75 * total_default
+    again = {(r.doc_id, r.source) for r in textops.stratified_sample(
+        d.repartition(7), fr, default_fraction=0.5).collect()}
+    assert again == {(r.doc_id, r.source) for r in rows}
+    md5_kept = textops.stratified_sample(
+        d, fr, default_fraction=0.5, hash_family="md5").collect()
+    assert {r.source for r in md5_kept} <= set(
+        x.source for x in d.collect()) - {"src1"}

@@ -571,3 +571,40 @@ def dedup_corpus(df: DataFrame, id_col: str = "doc_id",
     drop = (cc.filter(F.col("doc_id") != F.col("component"))
             .select(F.col("doc_id").alias(id_col)))
     return df.join(drop, id_col, "left_anti")
+
+
+def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  n: int = 13, bench_text_col: str = "text",
+                  mode: str = "remove") -> DataFrame:
+    """Benchmark decontamination — the GPT-3/PaLM recipe (public
+    appendices): a corpus document is contaminated if it shares ANY word
+    ``n``-gram with the held-out benchmark set.
+
+    Plan shape at 100 TB: both sides shingle (dedup.shingles, k = n);
+    the corpus side joins on ``xxhash64(shingle)`` — 8-byte keys through
+    the exchange, never the gram strings — and the benchmark side
+    (typically millions of grams, not billions) broadcasts under AQE.
+    A left-semi join + distinct yields contaminated ids; ``remove``
+    anti-joins them out, ``flag`` adds a boolean ``contaminated``.
+
+    Docs shorter than ``n`` words shingle to their whole text (shingles'
+    fallback), so a short benchmark item only matches a short corpus doc
+    with identical normalized text — exact-match semantics below the
+    n-gram floor, the conservative reading of the recipe."""
+    c_sh = shingles(corpus, id_col, text_col, n).select(
+        "doc_id", F.xxhash64("shingle").alias("_h"))
+    b_sh = (shingles(benchmark.select(F.lit(0).alias("_bid"),
+                                      F.col(bench_text_col).alias("text")),
+                     "_bid", "text", n)
+            .select(F.xxhash64("shingle").alias("_h")).distinct())
+    contaminated = (c_sh.join(b_sh, "_h", "left_semi")
+                    .select(F.col("doc_id").alias(id_col)).distinct())
+    if mode == "remove":
+        return corpus.join(contaminated, id_col, "left_anti")
+    if mode == "flag":
+        marked = contaminated.withColumn("contaminated", F.lit(True))
+        return (corpus.join(marked, id_col, "left")
+                .withColumn("contaminated",
+                            F.coalesce("contaminated", F.lit(False))))
+    raise ValueError(f"unknown mode {mode!r} (use 'remove' or 'flag')")

@@ -245,3 +245,38 @@ def pii_redact(df: DataFrame, text_col: str = "text",
     for pat in PII_PATTERNS.values():
         t = F.regexp_replace(t, pat, repl)
     return df.withColumn(out_col, t)
+
+
+def stratified_sample(df: DataFrame, fractions: dict,
+                      key_col: str = "source", id_col: str = "doc_id",
+                      seed: int = 42, default_fraction: float = 0.0,
+                      hash_family: str = "xxhash64") -> DataFrame:
+    """Deterministic stratified sampling — the domain-mixture shaping
+    step of corpus construction (e.g. up/down-weighting sources to a
+    target mixture): keep a row iff its id-hash falls under the
+    stratum's threshold.
+
+    Hash-threshold sampling (keep ⇔ h(id, seed) < frac · 2^48) is
+    reproducible across runs, partitionings, and engines — unlike
+    ``df.sample``, whose output depends on partition layout — and it is
+    a pure map-side filter: no shuffle, no state, works identically on
+    a 100-TB corpus and in a streaming micro-batch.
+
+    hash_family 'xxhash64' is the fast JVM path; 'md5' derives a 48-bit
+    integer from md5(id || ':' || seed) so standard SQL reproduces the
+    exact sample (the driver-oracle family, same convention as MinHash).
+    """
+    mapping = F.create_map(*[F.lit(x) for kv in fractions.items()
+                             for x in kv])
+    frac = F.coalesce(mapping[F.col(key_col)],
+                      F.lit(float(default_fraction)))
+    if hash_family == "xxhash64":
+        h = F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)),
+                   F.lit(1 << 48))
+    elif hash_family == "md5":
+        h = F.conv(F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"),
+                           F.lit(f":{seed}"))), 1, 12), 16, 10).cast("long")
+    else:
+        raise ValueError(f"unknown hash_family {hash_family!r}")
+    return df.filter(h < (frac * float(1 << 48)))
