@@ -588,16 +588,16 @@ def test_pgm_ppm_wav_roundtrip():
     assert (w, h) == (3, 2) and arr.ravel().tolist() == list(range(6))
 
     s = ((np.arange(20) * 313) % 2003 - 1001).astype(np.int16)
-    rate, back = multimodal.decode_wav(multimodal.encode_wav(s, 8000))
-    assert rate == 8000 and (back == s).all()
+    rate, back, n_ch = multimodal.decode_wav(multimodal.encode_wav(s, 8000))
+    assert rate == 8000 and n_ch == 1 and (back == s).all()
     # chunk walking: a LIST chunk between fmt and data must be skipped
     import struct
     wav = multimodal.encode_wav(s, 8000)
     fmt_end = wav.index(b"data")
     padded = (wav[:fmt_end] + b"LIST" + struct.pack("<I", 4) + b"INFO"
               + wav[fmt_end:])
-    rate, back = multimodal.decode_wav(padded)
-    assert rate == 8000 and (back == s).all()
+    rate, back, n_ch = multimodal.decode_wav(padded)
+    assert rate == 8000 and n_ch == 1 and (back == s).all()
 
 
 def test_decode_dispatch_codec_formats_still_stubbed():
@@ -632,6 +632,26 @@ def test_media_metadata_end_to_end(spark):
                 (mid * 131 + 17 * np.arange(n)) % 2003 - 1001)))
             assert (r.kind, r.n_samples, r.duration_ms) == ("audio", n, n)
             assert abs(r.mean_value - round(exp, 6)) < 1e-9
+
+
+def test_decode_wav_stereo_duration(spark):
+    """Stereo PCM-16: decode_wav reports n_channels=2 and the metadata
+    path reports duration over FRAMES, not interleaved samples — 8000
+    frames at 8 kHz is 1000 ms regardless of channel count."""
+    import struct
+    import numpy as np
+    frames, rate = 8000, 8000
+    data = np.arange(frames * 2, dtype="<i2").tobytes()   # interleaved L/R
+    fmt = struct.pack("<HHIIHH", 1, 2, rate, rate * 4, 4, 16)
+    wav = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+           + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", len(data)) + data)
+    got_rate, samples, n_ch = multimodal.decode_wav(wav)
+    assert (got_rate, n_ch, samples.size) == (rate, 2, frames * 2)
+    df = spark.createDataFrame([(1, "audio", bytearray(wav))],
+                               "media_id long, kind string, payload binary")
+    r = multimodal.extract_media_metadata(df).collect()[0]
+    assert (r.n_samples, r.duration_ms) == (frames, 1000)
 
 
 def test_pii_stats_and_redact(spark):
@@ -740,6 +760,38 @@ def test_decontaminate(spark):
     assert flags == {1: True, 2: False, 3: True, 4: True, 5: False}
     with pytest.raises(ValueError):
         dedup.decontaminate(corpus, bench, mode="nope")
+
+
+def test_decontaminate_broadcast_guard(spark):
+    """Default path hints an EXPLICIT broadcast of the benchmark gram-hash
+    set (plan shows BroadcastHashJoin LeftSemi — never a sort-merge join
+    shuffling the corpus shingles); broadcast=False degrades to the
+    shuffled semi-join and still returns identical rows."""
+    long_a = " ".join(f"w{i}" for i in range(30))
+    rows = [(1, long_a),
+            (2, " ".join(f"x{i}" for i in range(30)))]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+    bench = spark.createDataFrame([(long_a,)], ["text"])
+    # disable size-based auto-broadcast so the assertion isolates the
+    # EXPLICIT hint (tiny local relations would otherwise broadcast on
+    # stats alone and mask a missing hint)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        flagged = dedup.decontaminate(corpus, bench, n=13, mode="flag")
+        plan = flagged._jdf.queryExecution().executedPlan().toString()
+        semi = [ln for ln in plan.splitlines() if "LeftSemi" in ln]
+        assert semi and all("BroadcastHashJoin" in ln for ln in semi), plan
+        shuffled = dedup.decontaminate(corpus, bench, n=13, mode="flag",
+                                       broadcast=False)
+        s_plan = shuffled._jdf.queryExecution().executedPlan().toString()
+        s_semi = [ln for ln in s_plan.splitlines() if "LeftSemi" in ln]
+        assert s_semi and not any("BroadcastHashJoin" in ln
+                                  for ln in s_semi), s_plan
+        assert sorted(map(tuple, flagged.collect())) == \
+            sorted(map(tuple, shuffled.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
 def test_stratified_sample_deterministic(spark, docs):

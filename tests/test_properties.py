@@ -130,6 +130,6 @@ def test_wav_roundtrip_property(samples, rate):
     """Any PCM-16 sample vector survives encode_wav → decode_wav exactly,
     including the int16 extremes."""
     from versa_spark import multimodal
-    got_rate, back = multimodal.decode_wav(
+    got_rate, back, n_ch = multimodal.decode_wav(
         multimodal.encode_wav(samples, rate))
-    assert got_rate == rate and back.tolist() == samples
+    assert got_rate == rate and n_ch == 1 and back.tolist() == samples

@@ -564,9 +564,14 @@ def dedup_corpus(df: DataFrame, id_col: str = "doc_id",
     pairs = minhash_lsh_candidates(df, id_col, text_col, k, num_hashes,
                                    bands, verify_threshold=threshold,
                                    hash_family=hash_family)
-    cc = connected_components(pairs.select("a", "b"))
-    # cc's label table is checkpointed (lineage truncated), so the
-    # verified-pairs checkpoint is dead weight from here on
+    # checkpoint_every=1 is REQUIRED here, not just the default: freeing
+    # the verified-pairs checkpoint below is only safe because every
+    # round's label table — including the returned one — is itself an
+    # eager localCheckpoint (lineage truncated), so nothing downstream
+    # can recompute through the freed pairs blocks.  A checkpoint_every>1
+    # run may return a persist()-only label table whose lineage still
+    # references `pairs`.
+    cc = connected_components(pairs.select("a", "b"), checkpoint_every=1)
     release_checkpoint(pairs)
     drop = (cc.filter(F.col("doc_id") != F.col("component"))
             .select(F.col("doc_id").alias(id_col)))
@@ -576,17 +581,26 @@ def dedup_corpus(df: DataFrame, id_col: str = "doc_id",
 def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                   id_col: str = "doc_id", text_col: str = "text",
                   n: int = 13, bench_text_col: str = "text",
-                  mode: str = "remove") -> DataFrame:
+                  mode: str = "remove",
+                  broadcast: bool | str = "auto",
+                  broadcast_max_rows: int = 10_000_000) -> DataFrame:
     """Benchmark decontamination — the GPT-3/PaLM recipe (public
     appendices): a corpus document is contaminated if it shares ANY word
     ``n``-gram with the held-out benchmark set.
 
     Plan shape at 100 TB: both sides shingle (dedup.shingles, k = n);
     the corpus side joins on ``xxhash64(shingle)`` — 8-byte keys through
-    the exchange, never the gram strings — and the benchmark side
-    (typically millions of grams, not billions) broadcasts under AQE.
-    A left-semi join + distinct yields contaminated ids; ``remove``
-    anti-joins them out, ``flag`` adds a boolean ``contaminated``.
+    the exchange, never the gram strings.  The benchmark gram-hash set
+    (typically millions of rows, not billions) is **explicitly**
+    broadcast, size-guarded like merge_duplicates: ``broadcast='auto'``
+    counts the distinct benchmark hashes (tiny — one narrow scan of the
+    benchmark table) and hints ``F.broadcast`` only below
+    ``broadcast_max_rows`` (8 bytes/row → ≤ 80 MB in the hash-set build);
+    above it the semi-join degrades to an AQE-planned shuffle — relying
+    on AQE's size *estimate* alone would risk a sort-merge join that
+    shuffles the trillion-row corpus shingle table.  A left-semi join +
+    distinct yields contaminated ids; ``remove`` anti-joins them out,
+    ``flag`` adds a boolean ``contaminated``.
 
     Docs shorter than ``n`` words shingle to their whole text (shingles'
     fallback), so a short benchmark item only matches a short corpus doc
@@ -598,6 +612,10 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                                       F.col(bench_text_col).alias("text")),
                      "_bid", "text", n)
             .select(F.xxhash64("shingle").alias("_h")).distinct())
+    if broadcast == "auto":
+        broadcast = b_sh.count() <= broadcast_max_rows
+    if broadcast:
+        b_sh = F.broadcast(b_sh)
     contaminated = (c_sh.join(b_sh, "_h", "left_semi")
                     .select(F.col("doc_id").alias(id_col)).distinct())
     if mode == "remove":

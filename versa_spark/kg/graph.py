@@ -38,7 +38,16 @@ def build_graph(spark: SparkSession, turns: DataFrame,
     ``turns`` may or may not carry ``turn_rank``; no link family consumes
     it, so it is dropped here and Catalyst prunes the rank window out of
     the triple-build plan entirely (the ranked view stays available via
-    ordered_turns / turn_order where rank IS consumed)."""
+    ordered_turns / turn_order where rank IS consumed).
+
+    Multiplicity caveat on ``linked``: the default (built-in lexicon)
+    path derives it from per-turn DISTINCT entity ids (``eids`` holds
+    ``array_distinct`` output), so a surface form mentioned twice in one
+    turn yields ONE row; the generic-``dictionary`` path emits one row
+    per surface mention.  Graph triples are identical either way
+    (``mention_links`` dedups before counting) — only consumers counting
+    raw ``linked`` rows see the difference, and they should prefer the
+    generic path or ``extract.turn_mentions`` for per-mention rows."""
     if dictionary is not None:
         return _build_graph_generic(spark, turns, persist, dictionary)
     te = extract.turn_entity_ids(turns.drop("turn_rank"))

@@ -136,21 +136,23 @@ def encode_wav(samples, sample_rate: int = 8000) -> bytes:
 
 
 def decode_wav(payload: bytes):
-    """Parse RIFF/WAVE PCM-16: returns (sample_rate, int16 ndarray).
-    Walks the chunk list properly (fmt /data may be preceded by LIST
-    etc.), mono or interleaved multi-channel (returned flat)."""
+    """Parse RIFF/WAVE PCM-16: returns (sample_rate, int16 ndarray,
+    n_channels).  Walks the chunk list properly (fmt /data may be
+    preceded by LIST etc.), mono or interleaved multi-channel (samples
+    returned flat/interleaved; divide by n_channels for frame counts —
+    duration is frames/rate, NOT samples/rate)."""
     import struct
     import numpy as np
     buf = bytes(payload)
     if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    pos, rate, bits, data = 12, None, None, None
+    pos, rate, bits, data, n_ch = 12, None, None, None, 1
     while pos + 8 <= len(buf):
         cid = buf[pos:pos + 4]
         size = struct.unpack("<I", buf[pos + 4:pos + 8])[0]
         body = buf[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
-            audio_fmt, _ch, rate = struct.unpack("<HHI", body[:8])
+            audio_fmt, n_ch, rate = struct.unpack("<HHI", body[:8])
             bits = struct.unpack("<H", body[14:16])[0]
             if audio_fmt != 1 or bits != 16:
                 raise NotImplementedError(
@@ -160,7 +162,7 @@ def decode_wav(payload: bytes):
         pos += 8 + size + (size & 1)          # chunks are word-aligned
     if rate is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
-    return rate, np.frombuffer(data, dtype="<i2")
+    return rate, np.frombuffer(data, dtype="<i2"), n_ch
 
 
 def decode_image(payload: bytes):
@@ -315,8 +317,10 @@ def extract_media_metadata(media: DataFrame) -> DataFrame:
                     out.append((int(mid), kind, w, h, None, None,
                                 round(float(arr.mean()), 6)))
                 elif kind == "audio":
-                    rate, samples = decode_audio(raw)
-                    n = int(samples.size)
+                    rate, samples, n_ch = decode_audio(raw)
+                    # n_samples = frames (per-channel), so stereo input
+                    # does not double the reported duration
+                    n = int(samples.size) // n_ch
                     out.append((int(mid), kind, None, None, n,
                                 int(round(n * 1000 / rate)),
                                 round(float(np.abs(
