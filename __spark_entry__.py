@@ -469,12 +469,14 @@ def _q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII-pattern counting + redaction (textops.pii_stats/pii_redact):
-    emails/URLs/IPv4 planted deterministically into the corpus from
-    doc_id; the oracle reproduces counts AND the md5 of the redacted
-    text (patterns restricted to the Java-regex ∩ RE2 common subset)."""
+    emails/URLs/IPv4/phones/card-shapes planted deterministically into
+    the corpus from doc_id; the oracle reproduces counts AND the md5 of
+    the redacted text (patterns restricted to the Java-regex ∩ RE2
+    common subset)."""
     from versa_spark import textops
     docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
             .orderBy("doc_id").limit(300))
+    four = F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")
     planted = docs.select(
         "doc_id",
         F.concat(
@@ -485,10 +487,17 @@ def _q_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("doc_id") % 3 == 0,
                    F.concat(F.lit(" from 10.0."),
                             (F.col("doc_id") % 256).cast("string"),
-                            F.lit(".7"))).otherwise(F.lit(""))
+                            F.lit(".7"))).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.lit(" call (303) 555-"), four)
+                   ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 4 == 1,
+                   F.concat(F.lit(" card 4111-1111-1111-"), four)
+                   ).otherwise(F.lit(""))
         ).alias("text"))
     out = textops.pii_redact(textops.pii_stats(planted))
     return out.select("doc_id", "n_emails", "n_urls", "n_ipv4",
+                      "n_phones", "n_ccards",
                       F.md5("redacted").alias("redacted_md5"))
 
 
@@ -567,6 +576,59 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", "vec_id", "rank")
 
 
+def _hd_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 1024-dim corpus for the high-dim ANN oracles: the
+    64-dim embeddings tiled 16× (cast to double first so both engines
+    do float64 arithmetic on identical values).  1024 dims × 8 planes =
+    8192 > simsearch._LITERAL_BUDGET, so these queries exercise the
+    matmul-pandas-UDF branch the dim-64 ann_topk oracle never reaches."""
+    return (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .orderBy("vec_id").limit(300)
+            .select("vec_id",
+                    F.flatten(F.array_repeat(
+                        F.col("embedding").cast("array<double>"), 16))
+                    .alias("embedding")))
+
+
+def _q_ann_topk_hd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH top-5 at dim 1024 (simsearch.lsh_topk): bucket
+    signatures AND the candidate re-rank both run through the
+    _LITERAL_BUDGET matmul-UDF branch (random_hyperplane_signatures'
+    pandas UDF; 5 planes × 1024 dims = 5120 > the 4096 literal budget,
+    and 2^5 buckets leave ~10 candidates per query so the re-rank is
+    non-trivial).  sig_round_digits=9 / round_digits=4 make signature
+    bits and rank order bit-identical to the DuckDB oracle, which embeds
+    the same deterministic hyperplanes(1024, 5, 42) as literals."""
+    from versa_spark import simsearch
+    emb = _hd_corpus(spark, sf_dir)
+    queries_df = (emb.orderBy("vec_id").limit(10)
+                  .select(F.col("vec_id").alias("q_id"),
+                          F.col("embedding").alias("q_vec")))
+    out = simsearch.lsh_topk(emb, queries_df, k=5, n_planes=5, seed=42,
+                             dim=1024, sig_round_digits=9, round_digits=4)
+    return out.select("q_id", "vec_id", "rank")
+
+
+def _q_ivf_probe_hd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe ranking at dim 1024 (simsearch.probe_cells): 16 cells ×
+    1024 dims = 16384 literals > _LITERAL_BUDGET, so probing runs the
+    matmul-UDF branch (one argsort per Arrow batch).  Centroids are the
+    first 16 corpus vectors (the ivf_topk refine_iters=0 quantizer), so
+    the DuckDB oracle derives them from the same parquet — no literal
+    matrix in the SQL; round_digits=6 pins probe order across engines."""
+    from versa_spark import simsearch
+    emb = _hd_corpus(spark, sf_dir)
+    cents = [list(r.embedding) for r in
+             emb.orderBy("vec_id").limit(16).collect()]
+    q = (emb.orderBy("vec_id").limit(10)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q")))
+    probed = simsearch.probe_cells(q, cents, nprobe=4, vec_col="q",
+                                   round_digits=6)
+    return probed.select(
+        "q_id", F.posexplode("cells").alias("probe_rank", "cell"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "match_rel": _q_match_rel,
@@ -594,6 +656,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dups": _q_simhash_dups,
         "emb_near_dups": _q_emb_near_dups,
         "ann_topk": _q_ann_topk,
+        "ann_topk_hd": _q_ann_topk_hd,
+        "ivf_probe_hd": _q_ivf_probe_hd,
         "media_meta": _q_media_meta,
         "pii_stats": _q_pii_stats,
         "emb_dedup": _q_emb_dedup,
@@ -728,6 +792,20 @@ def _planes_values() -> str:
     return ",\n                ".join(rows)
 
 
+def _planes_values_hd() -> str:
+    """The ann_topk_hd hyperplanes (dim 1024, 5 planes, seed 42) as
+    DuckDB VALUES rows — same repr() float64 round-trip as
+    _planes_values; ~5×1024 literals, the whole point being that the
+    Spark side must NOT inline them (it routes through the matmul UDF)
+    while the oracle, which has no plan-size constraint, can."""
+    from versa_spark.simsearch import hyperplanes
+    rows = []
+    for i, pl in enumerate(hyperplanes(1024, 5, 42)):
+        lit = "[" + ", ".join(repr(x) for x in pl) + "]"
+        rows.append(f"({i}, {lit}::DOUBLE[])")
+    return ",\n                ".join(rows)
+
+
 def oracle_sql() -> dict[str, str]:
     B = BASE
     TYPE = TYPE_REL
@@ -735,7 +813,10 @@ def oracle_sql() -> dict[str, str]:
     _PII_EMAIL = PII_PATTERNS["n_emails"]
     _PII_URL = PII_PATTERNS["n_urls"]
     _PII_IPV4 = PII_PATTERNS["n_ipv4"]
+    _PII_PHONE = PII_PATTERNS["n_phones"]
+    _PII_CCARD = PII_PATTERNS["n_ccards"]
     _PLANES_VALUES = _planes_values()
+    _PLANES_VALUES_HD = _planes_values_hd()
     LABEL = "http://bibfra.me/purl/versa/label"
     kg = _kg_ctes()
     kg_sql = {
@@ -1277,6 +1358,16 @@ def oracle_sql() -> dict[str, str]:
                             || CASE WHEN doc_id % 3 = 0
                                     THEN ' from 10.0.' || (doc_id % 256)
                                          || '.7'
+                                    ELSE '' END
+                            || CASE WHEN doc_id % 5 = 0
+                                    THEN ' call (303) 555-'
+                                         || lpad(CAST(doc_id % 10000
+                                                      AS VARCHAR), 4, '0')
+                                    ELSE '' END
+                            || CASE WHEN doc_id % 4 = 1
+                                    THEN ' card 4111-1111-1111-'
+                                         || lpad(CAST(doc_id % 10000
+                                                      AS VARCHAR), 4, '0')
                                     ELSE '' END AS text
                 FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 300))
             SELECT doc_id,
@@ -1286,10 +1377,17 @@ def oracle_sql() -> dict[str, str]:
                         '{_PII_URL}')) AS INT) AS n_urls,
                    CAST(len(regexp_extract_all(text,
                         '{_PII_IPV4}')) AS INT) AS n_ipv4,
-                   md5(regexp_replace(regexp_replace(regexp_replace(text,
+                   CAST(len(regexp_extract_all(text,
+                        '{_PII_PHONE}')) AS INT) AS n_phones,
+                   CAST(len(regexp_extract_all(text,
+                        '{_PII_CCARD}')) AS INT) AS n_ccards,
+                   md5(regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(regexp_replace(text,
                        '{_PII_EMAIL}', '<PII>', 'g'),
                        '{_PII_URL}', '<PII>', 'g'),
-                       '{_PII_IPV4}', '<PII>', 'g')) AS redacted_md5
+                       '{_PII_IPV4}', '<PII>', 'g'),
+                       '{_PII_PHONE}', '<PII>', 'g'),
+                       '{_PII_CCARD}', '<PII>', 'g')) AS redacted_md5
             FROM planted
         """,
         "emb_dedup": f"""
@@ -1382,6 +1480,64 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY cosine DESC, vec_id) AS INT) AS rank
                 FROM scored)
             SELECT q_id, vec_id, rank FROM ranked WHERE rank <= 5
+        """,
+        "ann_topk_hd": f"""
+            WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                          FROM embeddings ORDER BY vec_id LIMIT 300),
+            t AS (SELECT vec_id,
+                         flatten(list_transform(range(16), i -> v)) AS v
+                  FROM base),
+            planes(i, pl) AS (VALUES {_PLANES_VALUES_HD}),
+            bk AS (
+                SELECT t.vec_id,
+                       SUM(CASE WHEN round(list_dot_product(t.v, p.pl), 9)
+                                     >= 0
+                                THEN (1::BIGINT << p.i) ELSE 0 END)
+                           AS bucket
+                FROM t CROSS JOIN planes p GROUP BY t.vec_id),
+            q AS (SELECT vec_id AS q_id, v AS qv FROM t
+                  ORDER BY vec_id LIMIT 10),
+            qb AS (SELECT q.q_id, q.qv, bk.bucket
+                   FROM q JOIN bk ON bk.vec_id = q.q_id),
+            scored AS (
+                SELECT qb.q_id, t.vec_id,
+                       round(list_dot_product(t.v, qb.qv)
+                             / (sqrt(list_dot_product(t.v, t.v))
+                                * sqrt(list_dot_product(qb.qv, qb.qv))), 4)
+                           AS cosine
+                FROM t JOIN bk ON bk.vec_id = t.vec_id
+                       JOIN qb ON qb.bucket = bk.bucket),
+            ranked AS (
+                SELECT q_id, vec_id,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                           ORDER BY cosine DESC, vec_id) AS INT) AS rank
+                FROM scored)
+            SELECT q_id, vec_id, rank FROM ranked WHERE rank <= 5
+        """,
+        "ivf_probe_hd": """
+            WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                          FROM embeddings ORDER BY vec_id LIMIT 300),
+            t AS (SELECT vec_id,
+                         flatten(list_transform(range(16), i -> v)) AS v
+                  FROM base),
+            cents AS (
+                SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+                            AS INT) AS cell, v AS c
+                FROM (SELECT * FROM t ORDER BY vec_id LIMIT 16)),
+            q AS (SELECT vec_id AS q_id, v AS qv FROM t
+                  ORDER BY vec_id LIMIT 10),
+            scored AS (
+                SELECT q.q_id, cents.cell,
+                       round(list_dot_product(q.qv, cents.c), 6) AS score
+                FROM q CROSS JOIN cents),
+            ranked AS (
+                SELECT q_id, cell,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                           ORDER BY score DESC, cell) - 1 AS INT)
+                           AS probe_rank
+                FROM scored)
+            SELECT q_id, probe_rank, cell FROM ranked
+            WHERE probe_rank < 4
         """,
     }
     return {**kg_sql, **ops_sql, **dataops_sql, **{

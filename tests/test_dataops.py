@@ -661,6 +661,10 @@ def test_pii_stats_and_redact(spark):
         (3, "server at 192.168.1.254 and 10.0.0.1 responded"),
         (4, "no sensitive content here at all"),
         (5, "combo x@y.io via http://z.dev from 8.8.8.8"),
+        (6, "call (303) 555-1234 or 303.555.9876 or 303 555 4321"),
+        (7, "card 4111-1111-1111-1111 or 4111 1111 1111 1234 "
+            "or 4111111111111111 but not 41-11-11-11"),
+        (8, "order #12345678901234567890 is not a card"),
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     out = {r.doc_id: r for r in
@@ -670,9 +674,14 @@ def test_pii_stats_and_redact(spark):
     assert (out[3].n_emails, out[3].n_urls, out[3].n_ipv4) == (0, 0, 2)
     assert (out[4].n_emails, out[4].n_urls, out[4].n_ipv4) == (0, 0, 0)
     assert (out[5].n_emails, out[5].n_urls, out[5].n_ipv4) == (1, 1, 1)
+    assert (out[6].n_phones, out[6].n_ccards) == (3, 0)
+    assert (out[7].n_phones, out[7].n_ccards) == (0, 3)
+    assert (out[8].n_phones, out[8].n_ccards) == (0, 0)
     assert out[1].redacted == "mail me at <PII> today"
     assert out[5].redacted == "combo <PII> via <PII> from <PII>"
+    assert out[6].redacted == "call <PII> or <PII> or <PII>"
     assert out[4].redacted == out[4].text
+    assert out[8].redacted == out[8].text
 
 
 def test_dedup_embeddings_removes_planted_dups(spark, emb):

@@ -380,3 +380,33 @@ def test_rdf_bnode_faking():
     else:  # rdflib available: real BNode/URIRef terms
         import rdflib
         assert isinstance(s, rdflib.BNode)
+
+
+def test_literate_write_df_parity(spark):
+    """Distributed Literate writer: doc_header + write_df blocks ordered
+    by origin reproduce the driver-side write(canonical=True) output
+    byte-for-byte — attrs, type headers, IRI targets, schema
+    abbreviation all exercised."""
+    from versa_spark.model import from_quads
+    from versa_spark.serial.literate import doc_header, write, write_df
+    SCHEMA = "http://example.org/vocab/"
+    quads = [
+        ("http://example.org/r2", f"{SCHEMA}title", "Second", {}),
+        ("http://example.org/r1", str(VTYPE_REL),
+         f"{SCHEMA}Book", {}),
+        ("http://example.org/r1", f"{SCHEMA}title", "First",
+         {f"{SCHEMA}lang": "en", "http://other.org/note": "a \"note\""}),
+        ("http://example.org/r1", f"{SCHEMA}author",
+         I("http://example.org/a1"), {}),
+        ("http://example.org/r3", str(VTYPE_REL), f"{SCHEMA}Book", {}),
+        ("http://example.org/r3", str(VTYPE_REL),
+         f"{SCHEMA}Antique", {}),
+    ]
+    model = from_quads(spark, quads)
+    buf = io.StringIO()
+    write(model, out=buf, schema=SCHEMA, canonical=True)
+    blocks = write_df(model, schema=SCHEMA).collect()
+    assert len(blocks) == 3     # one row per origin
+    doc = doc_header(schema=SCHEMA) + "".join(
+        r.block for r in sorted(blocks, key=lambda r: r.origin))
+    assert doc == buf.getvalue()

@@ -359,9 +359,58 @@ def write(df, out=sys.stdout, base=None, schema=None, shorteners=None,
           canonical=False):
     """Write a model DataFrame as Versa Literate. Driver-side (collects);
     canonical=True produces a deterministic sort — the reference's
-    model-equality aid (serial/literate.py:101-117)."""
+    model-equality aid (serial/literate.py:101-117).  For large models
+    use ``write_df``, the distributed form of the same formatter."""
     return write_rows(df.collect(), out=out, base=base, schema=schema,
                       shorteners=shorteners, canonical=canonical)
+
+
+def doc_header(base=None, schema=None, shorteners=None) -> str:
+    """The @docheader preamble ``write`` emits before the first resource
+    block (empty config still yields the separating blank lines)."""
+    parts = []
+    if any((base, schema, shorteners or {})):
+        parts.append("# @docheader\n\n* @iri:\n")
+    if base:
+        parts.append(f"    * @base: {base}")
+    if schema:
+        parts.append(f"    * @schema: {schema}")
+    parts.append("\n\n")
+    return "".join(parts)
+
+
+def origin_block(o, links, all_schema, canonical=False) -> str:
+    """One resource section (``# origin [type]`` + property list) as a
+    string — the per-origin unit both the driver-side writer and the
+    distributed ``write_df`` emit.  ``links`` are dict rows with keys
+    origin/rel/target/t_iri/attrs."""
+    parts = []
+    types = sorted(r["target"] for r in links
+                   if r["rel"] == str(VTYPE_REL))
+    first_type = types[0] if types else None
+    if first_type:
+        parts.append(f"# {o} [{_abbreviate(first_type, all_schema)}]\n\n")
+    else:
+        parts.append(f"# {o}\n\n")
+    rels = [(r["rel"], r["target"], r["t_iri"],
+             sorted((e["k"], e["v"]) for e in (r["attrs"] or [])))
+            for r in links]
+    if canonical:
+        rels = sorted(rels, key=lambda x: (x[0], x[1] or "", x[3]))
+    for rel, t, t_iri, a in rels:
+        if rel == str(VTYPE_REL) and t == first_type:
+            continue
+        rendered_r = _abbreviate(rel, all_schema)
+        if isinstance(rendered_r, I):
+            rendered_r = f"<{rendered_r}>"
+        parts.append(f"* {rendered_r}: {_value_format(t, t_iri)}\n")
+        for k, v in a:
+            rendered_k = _abbreviate(k, all_schema)
+            if isinstance(rendered_k, I):
+                rendered_k = f"<{rendered_k}>"
+            parts.append(f"    * {rendered_k}: {_value_format(v, False)}\n")
+    parts.append("\n")
+    return "".join(parts)
 
 
 def write_rows(rows, out=sys.stdout, base=None, schema=None,
@@ -377,45 +426,49 @@ def write_rows(rows, out=sys.stdout, base=None, schema=None,
                               for e in (r[4] or [])]}
         return r
     rows = [_row(r) for r in rows]
-    shorteners = shorteners or {}
     all_schema = ([schema] if schema else []) + [str(VERSA_BASEIRI)]
 
-    if any((base, schema, shorteners)):
-        out.write("# @docheader\n\n* @iri:\n")
-    if base:
-        out.write(f"    * @base: {base}")
-    if schema:
-        out.write(f"    * @schema: {schema}")
-    out.write("\n\n")
+    out.write(doc_header(base=base, schema=schema, shorteners=shorteners))
     by_origin: dict = {}
     for r in rows:
         by_origin.setdefault(r["origin"], []).append(r)
 
     origins = sorted(by_origin) if canonical else list(by_origin)
     for o in origins:
-        links = by_origin[o]
-        types = sorted(r["target"] for r in links
-                       if r["rel"] == str(VTYPE_REL))
-        first_type = types[0] if types else None
-        if first_type:
-            out.write(f"# {o} [{_abbreviate(first_type, all_schema)}]\n\n")
-        else:
-            out.write(f"# {o}\n\n")
-        rels = [(r["rel"], r["target"], r["t_iri"],
-                 sorted((e["k"], e["v"]) for e in (r["attrs"] or [])))
-                for r in links]
-        if canonical:
-            rels = sorted(rels, key=lambda x: (x[0], x[1] or "", x[3]))
-        for rel, t, t_iri, a in rels:
-            if rel == str(VTYPE_REL) and t == first_type:
-                continue
-            rendered_r = _abbreviate(rel, all_schema)
-            if isinstance(rendered_r, I):
-                rendered_r = f"<{rendered_r}>"
-            out.write(f"* {rendered_r}: {_value_format(t, t_iri)}\n")
-            for k, v in a:
-                rendered_k = _abbreviate(k, all_schema)
-                if isinstance(rendered_k, I):
-                    rendered_k = f"<{rendered_k}>"
-                out.write(f"    * {rendered_k}: {_value_format(v, False)}\n")
-        out.write("\n")
+        out.write(origin_block(o, by_origin[o], all_schema, canonical))
+
+
+def write_df(df, schema=None):
+    """Distributed Literate writer: one (origin, block) row per resource,
+    each block byte-identical to what ``write(canonical=True)`` emits for
+    that origin (parity-tested).  The driver-side ``write`` collects the
+    whole model — fine for the reference's small-doc semantics, wrong for
+    a billion-resource graph; here each origin's links shuffle ONCE to
+    their group (applyInPandas over groupBy(origin) — Spark hands every
+    group complete to one Arrow batch, so no cross-batch stitching), the
+    formatter runs vectorized per group batch, and the result stays a
+    DataFrame to be written as partitioned text/parquet.  To materialize
+    a single document: ``doc_header(...) + ''.join(blocks ordered by
+    origin)``.
+
+    Blocks are always canonical (sorted rels) — a distributed writer has
+    no meaningful insertion order to preserve."""
+    all_schema = ([schema] if schema else []) + [str(VERSA_BASEIRI)]
+
+    def _fmt(pdf):
+        import pandas as pd
+        o = pdf["origin"].iloc[0]
+        links = [{"origin": o, "rel": r.rel, "target": r.target,
+                  "t_iri": bool(r.t_iri),
+                  "attrs": [{"k": e["k"], "v": e["v"]}
+                            for e in (r.attrs if r.attrs is not None
+                                      else [])]}
+                 for r in pdf.itertuples()]
+        return pd.DataFrame(
+            [(o, origin_block(o, links, all_schema, canonical=True))],
+            columns=["origin", "block"])
+
+    from versa_spark.shipping import ensure_shipped
+    ensure_shipped(df.sparkSession)
+    return (df.groupBy("origin")
+            .applyInPandas(_fmt, "origin string, block string"))

@@ -215,9 +215,16 @@ def kmeans_centroids(emb: DataFrame, n_cells: int = 16, iters: int = 2,
 
 
 def probe_cells(q: DataFrame, centroids, nprobe: int,
-                vec_col: str = "q") -> DataFrame:
+                vec_col: str = "q",
+                round_digits: int | None = None) -> DataFrame:
     """Adds ``cells`` (array<int>): the ``nprobe`` nearest centroids by
     dot product, ordered score-desc with cell-asc tie-break.
+
+    ``round_digits`` rounds each centroid dot BEFORE ranking — set it
+    when probe order must be bit-identical across engines (the DuckDB
+    oracle recomputes the same dots; summation order differs between a
+    numpy matmul / JVM fold and another engine's kernel, and two cells
+    within an ulp of each other would otherwise swap probe ranks).
 
     Same _LITERAL_BUDGET discipline as ivf_assign: small centroid sets
     rank JVM-side (sort_array over (−score, cell) structs — one
@@ -231,9 +238,11 @@ def probe_cells(q: DataFrame, centroids, nprobe: int,
         entries = []
         for i, c in enumerate(centroids):
             c_col = F.array(*[F.lit(float(x)) for x in c])
+            d = _dot(F.col(vec_col), c_col)
+            if round_digits is not None:
+                d = F.round(d, round_digits)
             entries.append(F.struct(
-                (-_dot(F.col(vec_col), c_col)).alias("negs"),
-                F.lit(i).alias("cell")))
+                (-d).alias("negs"), F.lit(i).alias("cell")))
         ranked = F.slice(F.sort_array(F.array(*entries)), 1, nprobe)
         return q.withColumn(
             "cells", F.transform(ranked, lambda s: s["cell"]))
@@ -241,6 +250,7 @@ def probe_cells(q: DataFrame, centroids, nprobe: int,
     from pyspark.sql.types import ArrayType, IntegerType
     c_t = np.asarray(centroids, dtype=np.float64).T        # dim × cells
     top = int(nprobe)
+    rd = round_digits
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def _probe(vecs):
@@ -249,6 +259,8 @@ def probe_cells(q: DataFrame, centroids, nprobe: int,
             return pd.Series([], dtype=object)
         mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
         scores = mat @ c_t                                  # rows × cells
+        if rd is not None:
+            scores = np.round(scores, rd)
         # stable argsort on −score keeps ties in cell-ascending order,
         # matching the JVM struct-sort tie-break exactly
         order = np.argsort(-scores, axis=1, kind="stable")[:, :top]
@@ -304,14 +316,23 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
              n_planes: int = 8, seed: int = 42,
              id_col: str = "vec_id", vec_col: str = "embedding",
              q_id_col: str = "q_id", q_vec_col: str = "q_vec",
-             dim: int | None = None) -> DataFrame:
+             dim: int | None = None,
+             round_digits: int | None = None,
+             sig_round_digits: int | None = None) -> DataFrame:
     """Approximate top-k: candidates share the query's hyperplane-sign
     bucket; exact cosine re-ranks within the bucket.  2^n_planes buckets →
     corpus/2^n candidates per query on average.
 
     Pass ``dim`` explicitly at call sites — the fallback inference reads
     one corpus row on the driver (a planning-path round trip, fine in a
-    notebook, wasteful inside a job)."""
+    notebook, wasteful inside a job).
+
+    Cross-engine determinism knobs (both default off): ``round_digits``
+    rounds the re-rank cosine BEFORE ranking (same contract as
+    bruteforce_topk); ``sig_round_digits`` rounds each plane dot before
+    its sign is taken (same contract as
+    random_hyperplane_signatures(round_digits=)) so bucket assignments
+    are bit-identical across engines."""
     if dim is None:
         row = emb.select(vec_col).first()
         if row is None:
@@ -322,15 +343,17 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
     base = random_hyperplane_signatures(
         emb.select(F.col(id_col).alias("vec_id"),
                    F.col(vec_col).alias("v"),
-                   _norm(F.col(vec_col)).alias("nv")), "v", planes)
+                   _norm(F.col(vec_col)).alias("nv")), "v", planes,
+        round_digits=sig_round_digits)
     qs = random_hyperplane_signatures(
         queries.select(F.col(q_id_col).alias("q_id"),
                        F.col(q_vec_col).alias("q"),
-                       _norm(F.col(q_vec_col)).alias("nq")), "q", planes)
-    scored = (base.join(F.broadcast(qs), "bucket")
-              .withColumn("cosine",
-                          _dot(F.col("v"), F.col("q"))
-                          / (F.col("nv") * F.col("nq"))))
+                       _norm(F.col(q_vec_col)).alias("nq")), "q", planes,
+        round_digits=sig_round_digits)
+    cos = _dot(F.col("v"), F.col("q")) / (F.col("nv") * F.col("nq"))
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
+    scored = base.join(F.broadcast(qs), "bucket").withColumn("cosine", cos)
     w = Window.partitionBy("q_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id"))
     return (scored.withColumn("rank", F.row_number().over(w))

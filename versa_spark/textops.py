@@ -222,6 +222,14 @@ PII_PATTERNS = {
     "n_emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "n_urls": r"https?://[^\s]+",
     "n_ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    # phones require explicit separators (303-555-1234 / 303.555.1234 /
+    # (303) 555-1234) — bare 10-digit runs collide with ids/counters;
+    # no leading \b because '(' is itself a non-word char
+    "n_phones": r"\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b",
+    # 16-digit card shapes in 4-groups (spaced/dashed/bare); counts are
+    # surface heuristics like the rest — no Luhn check (a checksum is
+    # not expressible in the regex subset both engines share)
+    "n_ccards": r"\b\d{4}[- ]?\d{4}[- ]?\d{4}[- ]?\d{4}\b",
 }
 
 
