@@ -629,6 +629,124 @@ def _q_ivf_probe_hd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_id", F.posexplode("cells").alias("probe_rank", "cell"))
 
 
+# ---------------------------------------------------------------------------
+# KG analytics (versa_spark/kg/analytics.py): the consumption side of the
+# constructed graph — co-occurrence/PMI, centrality, local structure,
+# temporal extents, and KG-embedding training negatives.
+# ---------------------------------------------------------------------------
+
+def _kg_linked(spark: SparkSession, sf_dir: str):
+    """(turns, linked) for the analytics queries — the kg_mentions
+    derivation (transcripts from documents → vectorized extraction →
+    broadcast linking), shared so every analytics oracle reuses the
+    proven mentions CTE."""
+    from versa_spark.kg import extract, linking
+    from versa_spark.kg.transcripts import (ordered_turns,
+                                            transcripts_from_documents)
+    turns = ordered_turns(transcripts_from_documents(spark, sf_dir))
+    linked = linking.link_entities(extract.turn_mentions(turns),
+                                   linking.canonical_dictionary(spark))
+    return turns, linked
+
+
+def _q_kg_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity co-occurrence + PMI (analytics.cooccurrence_pmi): pairs
+    generated INSIDE per-turn arrays (no corpus self-join), marginals
+    broadcast, N via broadcast 1-row cross join."""
+    from versa_spark.kg import analytics
+    _, linked = _kg_linked(spark, sf_dir)
+    out = analytics.cooccurrence_pmi(
+        linked.select("conv_id", "turn_idx", "entity_iri"))
+    return out.select("a", "b", "n_ab", "n_a", "n_b", "pmi")
+
+
+def _kg_spars_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparsified co-mention graph: pairs with weight above 1.01× the
+    mean pair weight (scale-free threshold — exact integer AVG in both
+    engines, so the kept edge set is engine-independent)."""
+    from versa_spark.kg import analytics
+    _, linked = _kg_linked(spark, sf_dir)
+    pmi = analytics.cooccurrence_pmi(
+        linked.select("conv_id", "turn_idx", "entity_iri"))
+    avg = pmi.agg(F.avg("n_ab").alias("_avg"))
+    return (pmi.crossJoin(F.broadcast(avg))
+            .filter(F.col("n_ab") > F.lit(1.01) * F.col("_avg"))
+            .select("a", "b"))
+
+
+def _q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (analytics.pagerank, 3 power-method
+    rounds, damping 0.85, per-round lazy localCheckpoint) over the
+    symmetrized sparsified co-mention graph.  The oracle unrolls the
+    identical recurrence as three chained CTEs."""
+    from versa_spark.kg import analytics
+    spars = _kg_spars_edges(spark, sf_dir)
+    edges = (spars.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+             .unionByName(spars.select(F.col("b").alias("src"),
+                                       F.col("a").alias("dst"))))
+    return analytics.pagerank(edges, iterations=3).select("node", "rank")
+
+
+def _q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle/wedge/clustering stats (analytics.triangle_stats)
+    via degree orientation — O(m^1.5) wedge bound regardless of skew;
+    the oracle counts the same triangles the naive a<b<c way."""
+    from versa_spark.kg import analytics
+    spars = _kg_spars_edges(spark, sf_dir)
+    return analytics.triangle_stats(
+        spars.select(F.col("a").alias("src"), F.col("b").alias("dst")))
+
+
+def _q_kg_entity_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal extent per entity (analytics.entity_timeline): narrow
+    co-keyed join of mention rows with turn timestamps; span in exact
+    integer epoch seconds."""
+    from versa_spark.kg import analytics
+    turns, linked = _kg_linked(spark, sf_dir)
+    out = analytics.entity_timeline(
+        linked.select("conv_id", "turn_idx", "entity_iri"), turns)
+    return out.select("entity_iri", "first_seen", "last_seen", "span_s",
+                      "n_mentions", "n_convs")
+
+
+def _q_kg_neg_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corrupted-triple negatives for KG-embedding
+    training (analytics.negative_samples, md5-indexed vocabulary pick —
+    the stratified_sample hash family): k=2 per positive mention
+    triple; map-side only on the corpus side, vocabulary broadcast."""
+    from versa_spark.kg import analytics
+    _, linked = _kg_linked(spark, sf_dir)
+    pos = (linked.select(F.col("turn_iri").alias("origin"),
+                         F.lit(BASE + "v/mentions").alias("rel"),
+                         F.col("entity_iri").alias("target"))
+           .distinct())
+    return analytics.negative_samples(pos, linked, k=2, seed=42)
+
+
+def _q_event_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (events.asof_join): each purchase event picks
+    up the user's latest preceding click — the single-shuffle
+    union+window formulation (Spark has no native as-of join; the
+    oracle uses DuckDB's).  Right side deduped per (user, ts) by max
+    event_id so the match is engine-independent; timestamps surface as
+    epoch micros (tz-proof, the sessionize convention)."""
+    from versa_spark.events import asof_join
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = (ev.filter(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "ts"))
+    right = (ev.filter(F.col("event_type") == "click")
+             .groupBy("user_id", "ts")
+             .agg(F.max(F.struct("event_id", "value")).alias("s"))
+             .select("user_id", "ts", F.col("s.event_id").alias("event_id"),
+                     F.col("s.value").alias("value")))
+    aj = asof_join(left, right, right_cols=("event_id", "value"))
+    return aj.select("event_id", "user_id",
+                     F.unix_micros(F.col("ts").cast("timestamp"))
+                     .alias("ts_us"),
+                     F.col("event_id_r").alias("click_id"),
+                     F.col("value_r").alias("click_value"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "match_rel": _q_match_rel,
@@ -669,6 +787,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_negation": _q_query_negation,
         "flattened": _q_flattened,
         "event_sessions": _q_event_sessions,
+        "kg_cooccur": _q_kg_cooccur,
+        "kg_pagerank": _q_kg_pagerank,
+        "kg_triangles": _q_kg_triangles,
+        "kg_entity_timeline": _q_kg_entity_timeline,
+        "kg_neg_samples": _q_kg_neg_samples,
+        "event_asof": _q_event_asof,
     }
 
 
@@ -710,6 +834,67 @@ def _kg_ctes() -> str:
         FROM turns JOIN lex
           ON (' ' || text || ' ') LIKE ('% ' || surface || ' %'))
     """
+
+
+# Shared co-occurrence derivation appended to the kg CTEs: distinct
+# (turn, entity) rows, the turn universe N, unordered pairs (a < b) via
+# self-join (the oracle may self-join — it has no 10^12-row corpus; the
+# Spark side generates pairs inside per-turn arrays instead), entity
+# marginals, and the sparsified edge set (weight > 1.01× exact mean).
+_KG_PAIRS_CTES = """
+    , ent_turns AS (
+        SELECT DISTINCT conv_id, turn_idx, entity_iri FROM mentions),
+    nturns AS (
+        SELECT COUNT(*) AS n FROM
+            (SELECT DISTINCT conv_id, turn_idx FROM ent_turns)),
+    pairs AS (
+        SELECT e1.entity_iri AS a, e2.entity_iri AS b, COUNT(*) AS n_ab
+        FROM ent_turns e1
+        JOIN ent_turns e2
+          ON e1.conv_id = e2.conv_id AND e1.turn_idx = e2.turn_idx
+         AND e1.entity_iri < e2.entity_iri
+        GROUP BY 1, 2),
+    marg AS (SELECT entity_iri AS e, COUNT(*) AS n_e
+             FROM ent_turns GROUP BY 1),
+    avgw AS (SELECT AVG(n_ab) AS aw FROM pairs),
+    spars AS (SELECT a, b FROM pairs
+              WHERE n_ab > 1.01 * (SELECT aw FROM avgw))
+"""
+
+
+def _pagerank_sql(iterations: int = 3, damping: float = 0.85) -> str:
+    """Unrolled power-method CTE chain over ``spars`` — the EXACT
+    recurrence versa_spark.kg.analytics.pagerank runs: double literals
+    round-trip through repr() so (1-d) is the same float64 the Python
+    side computed; ranks round to 6 dp at the end only."""
+    base = repr(1.0 - damping)
+    d = repr(damping)
+    ctes = ["""
+    edges AS (SELECT a AS src, b AS dst FROM spars
+              UNION ALL SELECT b, a FROM spars),
+    nodes AS (SELECT DISTINCT src AS node FROM edges
+              UNION SELECT dst FROM edges),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    odeg AS (SELECT src, COUNT(*) AS outd FROM edges GROUP BY src),
+    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank
+           FROM nodes)"""]
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        ctes.append(f"""
+    r{i} AS (
+        SELECT n.node,
+               CAST('{base}' AS DOUBLE) / (SELECT n FROM nn)
+               + CAST('{d}' AS DOUBLE)
+                 * COALESCE(SUM(r.rank / o.outd), 0.0) AS rank
+        FROM nodes n
+        LEFT JOIN edges e ON e.dst = n.node
+        LEFT JOIN {prev} r ON r.node = e.src
+        LEFT JOIN odeg o ON o.src = e.src
+        GROUP BY n.node)""")
+        prev = f"r{i}"
+    return ",".join(ctes) + f"""
+    SELECT node, round(rank, 6) AS rank FROM {prev}
+"""
 
 
 # Shared MinHash-LSH derivation (md5 Carter-Wegman family, 64 hashes, 16
@@ -872,6 +1057,72 @@ def oracle_sql() -> dict[str, str]:
             UNION
             SELECT DISTINCT entity_iri, '{TYPE}', '{B}v/Concept'
             FROM mentions
+        """,
+        "kg_cooccur": kg + _KG_PAIRS_CTES + """
+            SELECT a, b, n_ab, ma.n_e AS n_a, mb.n_e AS n_b,
+                   round(ln(CAST(n_ab AS DOUBLE) * (SELECT n FROM nturns)
+                            / (CAST(ma.n_e AS DOUBLE) * mb.n_e)),
+                         4) AS pmi
+            FROM pairs
+            JOIN marg ma ON ma.e = a
+            JOIN marg mb ON mb.e = b
+        """,
+        "kg_pagerank": kg + _KG_PAIRS_CTES + "," + _pagerank_sql(3, 0.85),
+        "kg_triangles": kg + _KG_PAIRS_CTES + """
+            , deg AS (SELECT v, COUNT(*) AS d FROM
+                          (SELECT a AS v FROM spars
+                           UNION ALL SELECT b FROM spars)
+                      GROUP BY v),
+            wdg AS (SELECT CAST(SUM((d * (d - 1)) // 2) AS BIGINT) AS w
+                    FROM deg),
+            tri AS (SELECT COUNT(*) AS t FROM spars e1
+                    JOIN spars e2 ON e2.a = e1.b
+                    JOIN spars e3 ON e3.a = e1.a AND e3.b = e2.b)
+            SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+                   (SELECT COUNT(*) FROM spars) AS n_edges,
+                   (SELECT w FROM wdg) AS n_wedges,
+                   (SELECT t FROM tri) AS n_triangles,
+                   CASE WHEN (SELECT w FROM wdg) > 0
+                        THEN round(CAST(3.0 AS DOUBLE) * (SELECT t FROM tri)
+                                   / (SELECT w FROM wdg), 4)
+                   END AS clustering
+        """,
+        "kg_entity_timeline": kg + """
+            , m2 AS (
+                SELECT entity_iri, conv_id, turn_idx,
+                       TIMESTAMP '2024-01-01 00:00:00'
+                       + to_minutes(CAST(turn_idx * 100
+                                         + CAST(substr(conv_id, 6) AS INT)
+                                         AS BIGINT)) AS ts
+                FROM mentions)
+            SELECT entity_iri, MIN(ts) AS first_seen, MAX(ts) AS last_seen,
+                   CAST(epoch(MAX(ts)) - epoch(MIN(ts)) AS BIGINT) AS span_s,
+                   COUNT(*) AS n_mentions,
+                   COUNT(DISTINCT conv_id) AS n_convs
+            FROM m2 GROUP BY entity_iri
+        """,
+        "kg_neg_samples": kg + f"""
+            , pos AS (SELECT DISTINCT turn_iri AS origin,
+                             '{B}v/mentions' AS rel,
+                             entity_iri AS target
+                      FROM mentions),
+            vocab AS (SELECT entity_iri AS ent,
+                             CAST(ROW_NUMBER() OVER (ORDER BY entity_iri) - 1
+                                  AS INT) AS ix
+                      FROM (SELECT DISTINCT entity_iri FROM mentions)),
+            nv AS (SELECT COUNT(*) AS n FROM vocab),
+            expanded AS (SELECT origin, rel, target, neg_ix
+                         FROM pos CROSS JOIN (VALUES (0), (1)) t(neg_ix)),
+            hashed AS (SELECT origin, rel, target, neg_ix,
+                              CAST(CAST(concat('0x',
+                                       substr(md5(origin || ':' || rel || ':'
+                                                  || target || ':' || neg_ix
+                                                  || ':42'), 1, 12))
+                                       AS BIGINT)
+                                   % (SELECT n FROM nv) AS INT) AS ix
+                       FROM expanded)
+            SELECT origin, rel, target, neg_ix, vocab.ent AS neg_target
+            FROM hashed JOIN vocab USING (ix)
         """,
     }
     from versa_spark.textops import _LANG_PROFILES, BPE_ISH_TOKEN, STOPWORDS
@@ -1141,6 +1392,19 @@ def oracle_sql() -> dict[str, str]:
             FROM dw
             LEFT JOIN bstat ON bstat.doc_id = dw.doc_id
             LEFT JOIN tstat ON tstat.doc_id = dw.doc_id
+        """,
+        "event_asof": """
+            WITH l AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+            r AS (SELECT user_id, ts, max(event_id) AS click_id,
+                         arg_max(value, event_id) AS click_value
+                  FROM events WHERE event_type = 'click'
+                  GROUP BY user_id, ts)
+            SELECT l.event_id, l.user_id,
+                   CAST(epoch_us(l.ts) AS BIGINT) AS ts_us,
+                   r.click_id, r.click_value
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "event_sessions": """
             WITH s AS (

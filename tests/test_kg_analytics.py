@@ -1,0 +1,254 @@
+"""KG analytics (versa_spark/kg/analytics.py) + events.asof_join:
+exact-value assertions on hand-computed graphs, partitioning-invariance
+for the deterministic sampler, and plan-shape guards for the scale
+claims (no corpus self-join in pair generation; single exchange in the
+as-of join)."""
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from versa_spark.events import asof_join
+from versa_spark.kg import analytics
+
+
+def _linked(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, entity_iri string")
+
+
+# ---------------------------------------------------------------------------
+# co-occurrence / PMI
+# ---------------------------------------------------------------------------
+
+def test_cooccurrence_pmi_exact(spark):
+    # 4 turns: {A,B}, {A,B,C}, {A}, {C}  → N=4, n_A=3 n_B=2 n_C=2,
+    # n_AB=2, n_AC=1, n_BC=1
+    rows = [("c", 0, "A"), ("c", 0, "B"),
+            ("c", 1, "A"), ("c", 1, "B"), ("c", 1, "C"),
+            ("c", 2, "A"), ("d", 0, "C")]
+    out = {(r.a, r.b): r for r in
+           analytics.cooccurrence_pmi(_linked(spark, rows)).collect()}
+    assert set(out) == {("A", "B"), ("A", "C"), ("B", "C")}
+    ab = out[("A", "B")]
+    assert (ab.n_ab, ab.n_a, ab.n_b) == (2, 3, 2)
+    assert ab.pmi == round(math.log(2 * 4 / (3 * 2)), 4)
+    ac = out[("A", "C")]
+    assert (ac.n_ab, ac.n_a, ac.n_b) == (1, 3, 2)
+    assert ac.pmi == round(math.log(1 * 4 / (3 * 2)), 4)
+
+
+def test_cooccurrence_dedups_within_turn(spark):
+    # duplicate mention rows in one turn must not inflate counts
+    rows = [("c", 0, "A"), ("c", 0, "A"), ("c", 0, "B")]
+    out = analytics.cooccurrence_pmi(_linked(spark, rows)).collect()
+    assert len(out) == 1 and out[0].n_ab == 1
+
+
+def test_cooccurrence_plan_has_no_join_before_pairs(spark):
+    # the scale claim: pair generation happens inside per-turn arrays —
+    # the pair-count plan contains NO join operator at all
+    rows = [("c", 0, "A"), ("c", 0, "B")]
+    sets = analytics.turn_entity_sets(_linked(spark, rows))
+    pair_counts = (analytics._pairs_from_sets(sets)
+                   .groupBy("a", "b").count())
+    plan = pair_counts._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
+# ---------------------------------------------------------------------------
+# pagerank
+# ---------------------------------------------------------------------------
+
+def test_pagerank_two_node_cycle(spark):
+    # symmetric 2-cycle: uniform distribution is the fixed point — every
+    # iteration returns exactly 0.5 per node
+    e = spark.createDataFrame([("a", "b"), ("b", "a")], "src string, dst string")
+    out = {r.node: r.rank for r in analytics.pagerank(e, iterations=4).collect()}
+    assert out == {"a": 0.5, "b": 0.5}
+
+
+def test_pagerank_chain_hand_computed(spark):
+    # directed chain a->b->c, 2 iterations, d=0.85, N=3:
+    # r0 = 1/3 each
+    # r1(a)=0.05, r1(b)=0.05+0.85/3, r1(c)=0.05+0.85/3
+    # r2(a)=0.05, r2(b)=0.05+0.85*r1(a), r2(c)=0.05+0.85*r1(b)
+    e = spark.createDataFrame([("a", "b"), ("b", "c")], "src string, dst string")
+    out = {r.node: r.rank for r in analytics.pagerank(e, iterations=2).collect()}
+    r1a = (1 - 0.85) / 3
+    r1b = r1a + 0.85 * (1 / 3)
+    assert out["a"] == round(r1a, 6)
+    assert out["b"] == round(r1a + 0.85 * r1a, 6)
+    assert out["c"] == round(r1a + 0.85 * r1b, 6)
+
+
+def test_pagerank_ranks_sum_bounded(spark):
+    # mass never exceeds 1 (dangling mass leaks, never grows)
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")],
+        "src string, dst string")
+    total = sum(r.rank for r in analytics.pagerank(e, iterations=5).collect())
+    assert 0.9 < total <= 1.0 + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# triangles
+# ---------------------------------------------------------------------------
+
+def test_triangle_stats_exact(spark):
+    # triangle a-b-c plus tail c-d: degrees a2 b2 c3 d1 →
+    # wedges = 1+1+3+0 = 5, triangles = 1, clustering = 3/5
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")],
+        "src string, dst string")
+    r = analytics.triangle_stats(e).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (4, 4, 5, 1)
+    assert r.clustering == 0.6
+
+
+def test_triangle_stats_dedups_and_orients(spark):
+    # duplicate + reversed + self-loop edges collapse; K4 has 4 triangles
+    edges = [("a", "b"), ("b", "a"), ("a", "b"), ("x", "x")]
+    edges += [(u, v) for u in "abcd" for v in "abcd" if u < v]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    r = analytics.triangle_stats(e).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (4, 6, 4)
+    assert r.clustering == 1.0  # K4: 12 wedges, 3*4/12
+
+
+def test_triangle_stats_no_triangles(spark):
+    e = spark.createDataFrame([("a", "b"), ("b", "c")], "src string, dst string")
+    r = analytics.triangle_stats(e).collect()[0]
+    assert r.n_triangles == 0 and r.clustering == 0.0
+
+
+# ---------------------------------------------------------------------------
+# entity timeline
+# ---------------------------------------------------------------------------
+
+def test_entity_timeline_exact(spark):
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    turns = spark.createDataFrame(
+        [("c", 0, t0), ("c", 1, t0 + dt.timedelta(minutes=5)),
+         ("d", 0, t0 + dt.timedelta(hours=1))],
+        "conv_id string, turn_idx int, ts timestamp")
+    linked = _linked(spark, [("c", 0, "A"), ("c", 1, "A"), ("d", 0, "A"),
+                             ("c", 1, "B")])
+    out = {r.entity_iri: r for r in
+           analytics.entity_timeline(linked, turns).collect()}
+    a = out["A"]
+    assert a.first_seen == t0 and a.last_seen == t0 + dt.timedelta(hours=1)
+    assert a.span_s == 3600 and a.n_mentions == 3 and a.n_convs == 2
+    b = out["B"]
+    assert b.span_s == 0 and b.n_convs == 1
+
+
+# ---------------------------------------------------------------------------
+# negative sampling
+# ---------------------------------------------------------------------------
+
+def _triples(spark):
+    return spark.createDataFrame(
+        [(f"o{i}", "r", f"E{i % 3}") for i in range(20)],
+        "origin string, rel string, target string")
+
+
+def test_negative_samples_shape_and_range(spark):
+    ents = spark.createDataFrame([(f"E{i}",) for i in range(5)],
+                                 ["entity_iri"])
+    out = analytics.negative_samples(_triples(spark), ents, k=3).collect()
+    assert len(out) == 60
+    vocab = {f"E{i}" for i in range(5)}
+    assert all(r.neg_target in vocab for r in out)
+    assert {r.neg_ix for r in out} == {0, 1, 2}
+
+
+def test_negative_samples_partitioning_invariant(spark):
+    # the md5 pick is a pure row function: any repartitioning of the
+    # positives yields the identical sample
+    ents = spark.createDataFrame([(f"E{i}",) for i in range(5)],
+                                 ["entity_iri"])
+    a = sorted(map(tuple, analytics.negative_samples(
+        _triples(spark), ents, k=2).collect()))
+    b = sorted(map(tuple, analytics.negative_samples(
+        _triples(spark).repartition(7), ents, k=2).collect()))
+    assert a == b
+    # and a different seed yields a different (but equally sized) sample
+    c = sorted(map(tuple, analytics.negative_samples(
+        _triples(spark), ents, k=2, seed=99).collect()))
+    assert len(c) == len(a) and c != a
+
+
+# ---------------------------------------------------------------------------
+# as-of join
+# ---------------------------------------------------------------------------
+
+def _ts(m):
+    return dt.datetime(2024, 1, 1, 0, m, 0)
+
+
+def test_asof_join_exact(spark):
+    left = spark.createDataFrame(
+        [(1, "u", _ts(5)), (2, "u", _ts(10)), (3, "v", _ts(1)),
+         (4, "w", _ts(30))],
+        "event_id long, user_id string, ts timestamp")
+    right = spark.createDataFrame(
+        [(100, "u", _ts(4), 1.0), (101, "u", _ts(10), 2.0),
+         (102, "u", _ts(11), 3.0), (103, "v", _ts(2), 4.0)],
+        "event_id long, user_id string, ts timestamp, value double")
+    out = {r.event_id: (r.event_id_r, r.value_r) for r in
+           asof_join(left, right, right_cols=("event_id", "value"),
+                     tiebreak="event_id").collect()}
+    assert out[1] == (100, 1.0)        # strictly before
+    assert out[2] == (101, 2.0)        # tie at equal ts matches (inclusive)
+    assert out[3] == (None, None)      # right row is later → no match
+    assert out[4] == (None, None)      # user has no right rows at all
+
+
+def test_asof_join_tiebreak_last_wins(spark):
+    left = spark.createDataFrame([(1, "u", _ts(9))],
+                                 "event_id long, user_id string, ts timestamp")
+    right = spark.createDataFrame(
+        [(7, "u", _ts(9), 1.0), (9, "u", _ts(9), 2.0), (8, "u", _ts(9), 3.0)],
+        "event_id long, user_id string, ts timestamp, value double")
+    r = asof_join(left, right, right_cols=("event_id", "value"),
+                  tiebreak="event_id").collect()[0]
+    assert (r.event_id_r, r.value_r) == (9, 2.0)
+
+
+def test_asof_join_matches_naive_emulation(spark):
+    # property: the single-shuffle formulation equals the naive
+    # (range-join + argmax) emulation on a generated fixture
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    left = (ev.filter(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "ts"))
+    right = (ev.filter(F.col("event_type") == "click")
+             .select("event_id", "user_id", "ts", "value"))
+    got = sorted((r.event_id, r.event_id_r) for r in
+                 asof_join(left, right, right_cols=("event_id",),
+                           tiebreak="event_id").collect())
+    naive = (left.alias("l")
+             .join(right.alias("r"),
+                   (F.col("l.user_id") == F.col("r.user_id"))
+                   & (F.col("l.ts") >= F.col("r.ts")), "left")
+             .groupBy("l.event_id")
+             .agg(F.max(F.struct(F.col("r.ts"), F.col("r.event_id")))
+                  .alias("m"))
+             .select("event_id", F.col("m.event_id").alias("rid")))
+    want = sorted((r.event_id, r.rid) for r in naive.collect())
+    assert got == want
+
+
+def test_asof_join_single_exchange(spark):
+    # the scale claim: ONE shuffle (on the by key) in the whole plan
+    left = spark.createDataFrame([(1, "u", _ts(5))],
+                                 "event_id long, user_id string, ts timestamp")
+    right = spark.createDataFrame(
+        [(2, "u", _ts(4), 1.0)],
+        "event_id long, user_id string, ts timestamp, value double")
+    out = asof_join(left, right, right_cols=("event_id", "value"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan

@@ -65,3 +65,59 @@ def session_stats(events: DataFrame, user_col: str = "user_id",
                  .cast("double").alias("value_sum"),
                  F.countDistinct("event_type").alias("n_types"),
                  F.max(k).alias("max_k")))
+
+
+def asof_join(left: DataFrame, right: DataFrame,
+              by: str = "user_id", on: str = "ts",
+              right_cols: tuple[str, ...] = ("event_type", "value"),
+              suffix: str = "_r",
+              tiebreak: str | None = None) -> DataFrame:
+    """Backward as-of join: each left row gains the columns of the
+    LATEST right row with the same *by* key and right.on <= left.on
+    (inclusive); unmatched left rows keep NULLs.  Spark has no built-in
+    as-of join — the naive emulation (range join + groupBy max + self
+    join) shuffles the corpus three times and explodes on wide
+    tolerance windows.
+
+    This is the single-shuffle formulation: tag both sides, UNION, and
+    run ONE window (partitionBy *by*, orderBy (*on*, side)) carrying the
+    last non-null right payload forward — right rows sort BEFORE left
+    rows at equal timestamps, so ties match inclusively.  Exactly one
+    exchange keyed on *by* (high-cardinality, bounded per-key rate, the
+    sessionize key discipline); payload rides as one struct column, so
+    window state is O(1) per row regardless of how many right columns
+    are carried.
+
+    Determinism: when several right rows share (*by*, *on*), pass
+    *tiebreak* (a right column ordered ascending; the LAST one wins) —
+    otherwise which of the tied rows is carried is plan-dependent.
+    The DuckDB oracle replays the same semantics with its native
+    ``ASOF JOIN`` over a per-(by, on) deduped right side.
+    """
+    payload = F.struct(*[F.col(c).alias(c + suffix) for c in right_cols])
+    r = right.select(
+        F.col(by).alias(by), F.col(on).alias(on),
+        F.lit(0).alias("_side"),
+        (F.col(tiebreak) if tiebreak is not None
+         else F.lit(0)).alias("_tb"),
+        payload.alias("_payload"))
+    left_cols = left.columns
+    l = left.select(
+        *left_cols, F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_tb"].dataType).alias("_tb"),
+        F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload"))
+    # align schemas: left keeps all its columns; right rows carry NULLs
+    # for the left-only columns (they are filtered out after the window)
+    for c in left_cols:
+        if c not in (by, on):
+            r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    u = l.unionByName(r.select(*l.columns))
+    w = (Window.partitionBy(by)
+         .orderBy(F.col(on).asc(), F.col("_side").asc(), F.col("_tb").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    matched = (u.withColumn("_m", F.last("_payload", ignorenulls=True)
+                            .over(w))
+               .filter(F.col("_side") == 1))
+    return matched.select(
+        *left_cols,
+        *[F.col("_m")[c + suffix].alias(c + suffix) for c in right_cols])
