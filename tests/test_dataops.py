@@ -828,3 +828,60 @@ def test_stratified_sample_deterministic(spark, docs):
         d, fr, default_fraction=0.5, hash_family="md5").collect()
     assert {r.source for r in md5_kept} <= set(
         x.source for x in d.collect()) - {"src1"}
+
+
+# ---------------------------------------------------------------------------
+# tfidf_top_terms / repeated_ngrams (round 4)
+# ---------------------------------------------------------------------------
+
+def test_tfidf_top_terms_exact(spark):
+    import math
+    from versa_spark.textops import tfidf_top_terms
+    docs = spark.createDataFrame(
+        [(0, "apple apple banana"), (1, "banana cherry"), (2, "cherry")],
+        ["doc_id", "text"])
+    out = [(r.doc_id, r.term, r.tf, r.tfidf, r.rk)
+           for r in tfidf_top_terms(docs, k=2).collect()]
+    by_doc = {}
+    for row in out:
+        by_doc.setdefault(row[0], []).append(row)
+    # doc 0: apple tf=2 df=1 → 2·ln(3); banana tf=1 df=2 → ln(1.5)
+    d0 = sorted(by_doc[0], key=lambda r: r[4])
+    assert d0[0][1] == "apple" and d0[0][3] == round(2 * math.log(3), 4)
+    assert d0[1][1] == "banana" and d0[1][3] == round(math.log(1.5), 4)
+    # doc 2: single term, df=2
+    assert by_doc[2] == [(2, "cherry", 1, round(math.log(1.5), 4), 1)]
+
+
+def test_tfidf_tie_breaks_by_term(spark):
+    from versa_spark.textops import tfidf_top_terms
+    docs = spark.createDataFrame([(0, "zeta alpha"), (1, "other words")],
+                                 ["doc_id", "text"])
+    # both terms in doc 0 have tf=1, df=1 → identical score; term asc wins
+    d0 = sorted(((r.term, r.rk) for r in
+                 tfidf_top_terms(docs, k=2).collect()
+                 if r.doc_id == 0), key=lambda t: t[1])
+    assert d0 == [("alpha", 1), ("zeta", 2)]
+
+
+def test_repeated_ngrams_exact(spark):
+    from versa_spark.textops import repeated_ngrams
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox jumps"),
+         (1, "THE  Quick brown fox jumps extra"),   # normalizes equal
+         (2, "the quick brown fox jumps"),
+         (3, "completely different words here now")],
+        ["doc_id", "text"])
+    out = {r.gram: (r.n_docs, r.n_occurrences)
+           for r in repeated_ngrams(docs, n=5, min_docs=2).collect()}
+    assert out["the quick brown fox jumps"] == (3, 3)
+    # doc 3's unique gram filtered; doc 1's shifted gram unique too
+    assert "completely different words here now" not in out
+    assert "quick brown fox jumps extra" not in out
+
+
+def test_repeated_ngrams_short_docs_excluded(spark):
+    from versa_spark.textops import repeated_ngrams
+    docs = spark.createDataFrame([(0, "too short"), (1, "too short")],
+                                 ["doc_id", "text"])
+    assert repeated_ngrams(docs, n=5, min_docs=2).count() == 0

@@ -252,3 +252,39 @@ def test_asof_join_single_exchange(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+# ---------------------------------------------------------------------------
+# conversation profiles
+# ---------------------------------------------------------------------------
+
+def test_conversation_profiles_exact(spark):
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    turns = spark.createDataFrame(
+        [("c", 0, "user", "hello there", None, t0),
+         ("c", 1, "assistant", "hi", None, t0 + dt.timedelta(minutes=2)),
+         ("c", 2, "tool", "result", "search", t0 + dt.timedelta(minutes=3)),
+         ("d", 0, "user", "x", None, t0)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp")
+    linked = _linked(spark, [("c", 0, "A"), ("c", 1, "A"), ("c", 1, "B")])
+    out = {r.conv_id: r for r in
+           analytics.conversation_profiles(turns, linked).collect()}
+    c = out["c"]
+    assert (c.n_turns, c.n_user_turns, c.n_assistant_turns,
+            c.n_tool_turns) == (3, 1, 1, 1)
+    assert c.total_chars == len("hello there") + len("hi") + len("result")
+    assert c.span_s == 180
+    assert c.n_entities == 2
+    d = out["d"]
+    assert d.n_entities == 0 and d.span_s == 0  # mention-free conv keeps 0
+
+
+def test_conversation_profiles_without_linked(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    turns = spark.createDataFrame(
+        [("c", 0, "user", "x", None, t0)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp")
+    out = analytics.conversation_profiles(turns).collect()
+    assert len(out) == 1 and "n_entities" not in out[0].asDict()

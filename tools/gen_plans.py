@@ -137,6 +137,50 @@ window sort is absent from the triple-build plan. Regenerate with
             "user_id; the rollup is a partial/final HashAggregate pair; "
             "JSON prop extraction (get_json_object) stays inside "
             "WholeStageCodegen.")
+
+    evt = spark.read.parquet(f"{sf}/events.parquet")
+    aj = ev.asof_join(
+        evt.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts"),
+        evt.filter(F.col("event_type") == "click"),
+        right_cols=("event_id", "value"), tiebreak="event_id")
+    aj.count()
+    section("as-of join (single-shuffle union+window)", aj,
+            "ONE Exchange (hash on user_id) and ZERO Join operators in "
+            "the whole plan — the union of tagged sides flows through "
+            "one Window carrying the last-right payload struct; the "
+            "naive emulation would need a range join plus an argmax "
+            "shuffle plus a re-join.")
+
+    from versa_spark.kg import analytics
+    lk = linked.select("conv_id", "turn_idx", "entity_iri")
+    pmi = analytics.cooccurrence_pmi(lk)
+    pmi.count()
+    section("entity co-occurrence + PMI", pmi,
+            "Pairs generate INSIDE per-turn arrays (nested transform/"
+            "slice — no corpus self-join anywhere in the plan); the two "
+            "aggregations are partial/final pairs; marginals and the "
+            "turn-count scalar enter as BroadcastHashJoin / "
+            "BroadcastNestedLoopJoin of 1-row/dictionary-sized sides.")
+
+    tri = analytics.triangle_stats(
+        pmi.select(F.col("a").alias("src"), F.col("b").alias("dst")))
+    tri.count()
+    section("triangle census (degree-oriented)", tri,
+            "Every edge is oriented from its (degree, id)-smaller "
+            "endpoint before the wedge join, bounding per-vertex "
+            "oriented out-degree by O(sqrt(m)) — the wedge join can "
+            "never square a celebrity vertex; the closing-edge probe is "
+            "an equi-join on the oriented pair.")
+
+    from versa_spark import textops
+    tf = textops.tfidf_top_terms(docs.select("doc_id", "text"), k=3)
+    tf.count()
+    section("TF-IDF top-k per document", tf,
+            "Tokenize→tf→df are partial/final HashAggregate pairs (hot "
+            "stopword terms arrive at reducers pre-combined); the tf⋈df "
+            "join runs under AQE; the top-k window partitions by doc_id "
+            "— bounded rows per partition, never a global sort.")
     out.close()
     print("PLANS.md written")
     spark.stop()

@@ -292,3 +292,35 @@ def negative_samples(triples: DataFrame, entities: DataFrame,
             .join(F.broadcast(vocab), "_ix")
             .select("origin", "rel", "target", "neg_ix",
                     F.col("_ent").alias("neg_target")))
+
+
+def conversation_profiles(turns: DataFrame,
+                          linked: DataFrame | None = None) -> DataFrame:
+    """Per-conversation rollup of the transcript table: turn counts by
+    role, tool-call count, total characters, active span in seconds,
+    and (when ``linked`` mention rows are supplied) the distinct-entity
+    count.
+
+    One groupBy keyed on conv_id (high cardinality, bounded turns per
+    conversation — the same key discipline as every other conv-keyed
+    stage, so at scale this shares partitioning with the KG job); the
+    mention rollup joins in narrow and left so mention-free
+    conversations keep a 0."""
+    prof = turns.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.sum((F.col("role") == "user").cast("long"))
+        .alias("n_user_turns"),
+        F.sum((F.col("role") == "assistant").cast("long"))
+        .alias("n_assistant_turns"),
+        F.sum(F.col("tool").isNotNull().cast("long"))
+        .alias("n_tool_turns"),
+        F.sum(F.length("text").cast("long")).alias("total_chars"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+        .alias("span_s"))
+    if linked is None:
+        return prof
+    ment = (linked.groupBy("conv_id")
+            .agg(F.countDistinct("entity_iri").alias("n_entities")))
+    return (prof.join(ment, "conv_id", "left")
+            .withColumn("n_entities",
+                        F.coalesce("n_entities", F.lit(0))))

@@ -288,3 +288,69 @@ def stratified_sample(df: DataFrame, fractions: dict,
     else:
         raise ValueError(f"unknown hash_family {hash_family!r}")
     return df.filter(h < (frac * float(1 << 48)))
+
+
+def tfidf_top_terms(df: DataFrame, k: int = 3, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Top-k terms per document by TF-IDF: (doc_id, term, tf, tfidf, rk).
+
+    tfidf = tf · ln(N / df) rounded to 4 dp; ranking happens on the
+    UNROUNDED score with (score desc, term asc) tie-break, and both
+    factors are computed with the identical expression shape the SQL
+    oracle uses (ln of the same double ratio), so rank order is
+    engine-independent even among ties.
+
+    Scale: tokenize → per-(doc, term) count (one shuffle, unique keys
+    per doc, map-side partial agg) → document frequency per term (second
+    shuffle, partial-agged so stopword-grade hot terms arrive as one row
+    per map partition) → join tf⋈df on term (AQE handles residual skew)
+    → per-doc top-k window.  The window partitions by doc_id — high
+    cardinality, bounded rows per doc, never a global sort."""
+    from pyspark.sql import Window
+    toks = (df.select(F.col(id_col).alias("doc_id"),
+                      F.explode(F.split(F.lower(F.col(text_col)),
+                                        "[^a-z0-9]+")).alias("term"))
+            .filter(F.col("term") != ""))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = F.broadcast(df.agg(F.count("*").alias("_n")))
+    score = (F.col("tf")
+             * F.log(F.col("_n").cast("double") / F.col("df")))
+    w = (Window.partitionBy("doc_id")
+         .orderBy(score.desc(), F.col("term").asc()))
+    return (tf.join(dfreq, "term").crossJoin(n_docs)
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("doc_id", "term", "tf",
+                    F.round(score, 4).alias("tfidf"), "rk"))
+
+
+def repeated_ngrams(df: DataFrame, n: int = 5, min_docs: int = 2,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Corpus-level repeated word n-grams — boilerplate / template
+    discovery (the discovery half of exact-substring dedup, Lee et al.
+    2022 "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499): (gram, n_docs, n_occurrences) for every n-gram
+    appearing in >= min_docs distinct documents.
+
+    Scale: grams build inside per-row array expressions (the
+    repetition_stats convention — no join), then ONE aggregation keyed
+    by gram.  COUNT(DISTINCT doc_id) plans as a two-phase aggregate
+    with map-side partials, so a boilerplate gram occurring in 10^9
+    docs arrives at its reducer as one partial row per map partition —
+    no hot-key blowup.  Downstream removal joins this (small, filtered)
+    table back to the corpus semi-joined on gram."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    words = F.split(norm, " ")
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(words) - n),
+                    lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+    ).otherwise(F.array().cast("array<string>"))
+    g = df.select(F.col(id_col).alias("doc_id"),
+                  F.explode(grams).alias("gram"))
+    return (g.groupBy("gram")
+            .agg(F.countDistinct("doc_id").alias("n_docs"),
+                 F.count("*").alias("n_occurrences"))
+            .filter(F.col("n_docs") >= min_docs))
