@@ -786,6 +786,17 @@ def _q_kg_conv_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "span_s", "n_entities")
 
 
+def _q_kg_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical topic segmentation (analytics.segment_conversations):
+    lag + running sum stacked on one (conv_id, turn_idx) exchange — the
+    sessionize plan discipline; boundaries are exact integer-ratio
+    Jaccard, replayed identically by the oracle."""
+    from versa_spark.kg import analytics
+    from versa_spark.kg.transcripts import transcripts_from_documents
+    tx = transcripts_from_documents(spark, sf_dir)
+    return analytics.segment_conversations(tx, threshold=0.5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "match_rel": _q_match_rel,
@@ -835,6 +846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_terms": _q_tfidf_terms,
         "repeated_ngrams": _q_repeated_ngrams,
         "kg_conv_profile": _q_kg_conv_profile,
+        "kg_segments": _q_kg_segments,
     }
 
 
@@ -1191,6 +1203,46 @@ def oracle_sql() -> dict[str, str]:
                    n_tool_turns, total_chars, span_s,
                    COALESCE(n_entities, 0) AS n_entities
             FROM prof LEFT JOIN ment ON ment.conv_id = prof.conv_id
+        """,
+        "kg_segments": kg + """
+            , tk AS (
+                SELECT conv_id, turn_idx,
+                       list_distinct(list_filter(
+                           regexp_split_to_array(lower(text),
+                                                 '[^a-z0-9]+'),
+                           x -> x <> '')) AS toks
+                FROM turns),
+            lagged AS (
+                SELECT conv_id, turn_idx, toks,
+                       lag(toks) OVER (PARTITION BY conv_id
+                                       ORDER BY turn_idx) AS prev
+                FROM tk),
+            j AS (
+                SELECT conv_id, turn_idx,
+                       CASE WHEN prev IS NULL THEN NULL
+                            ELSE len(list_intersect(toks, prev)) END
+                           AS inter,
+                       CASE WHEN prev IS NULL THEN NULL
+                            ELSE len(toks) + len(prev)
+                                 - len(list_intersect(toks, prev)) END
+                           AS un
+                FROM lagged),
+            b AS (
+                SELECT conv_id, turn_idx,
+                       CASE WHEN inter IS NULL OR un = 0
+                                 OR CAST(inter AS DOUBLE) / un < 0.5
+                            THEN 1 ELSE 0 END AS nb,
+                       CASE WHEN un > 0
+                            THEN round(CAST(inter AS DOUBLE) / un, 4) END
+                           AS prev_jaccard
+                FROM j)
+            SELECT conv_id, turn_idx,
+                   CAST(SUM(nb) OVER (PARTITION BY conv_id
+                                      ORDER BY turn_idx
+                                      ROWS UNBOUNDED PRECEDING) - 1
+                        AS BIGINT) AS segment_id,
+                   prev_jaccard
+            FROM b
         """,
     }
     from versa_spark.textops import _LANG_PROFILES, BPE_ISH_TOKEN, STOPWORDS

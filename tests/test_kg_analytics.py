@@ -288,3 +288,50 @@ def test_conversation_profiles_without_linked(spark):
         "tool string, ts timestamp")
     out = analytics.conversation_profiles(turns).collect()
     assert len(out) == 1 and "n_entities" not in out[0].asDict()
+
+
+# ---------------------------------------------------------------------------
+# conversation segmentation
+# ---------------------------------------------------------------------------
+
+def _seg_turns(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string")
+
+
+def test_segment_conversations_exact(spark):
+    turns = _seg_turns(spark, [
+        ("c", 0, "alpha beta gamma"),
+        ("c", 1, "alpha beta delta"),     # jacc 2/4 = 0.5 → same segment
+        ("c", 2, "omega psi chi"),        # jacc 0 → boundary
+        ("c", 3, "omega psi chi"),        # jacc 1 → same
+        ("d", 0, "anything"),
+    ])
+    out = {(r.conv_id, r.turn_idx): r for r in
+           analytics.segment_conversations(turns, threshold=0.5).collect()}
+    assert out[("c", 0)].segment_id == 0
+    assert out[("c", 0)].prev_jaccard is None
+    assert out[("c", 1)].segment_id == 0
+    assert out[("c", 1)].prev_jaccard == 0.5
+    assert out[("c", 2)].segment_id == 1
+    assert out[("c", 2)].prev_jaccard == 0.0
+    assert out[("c", 3)].segment_id == 1
+    assert out[("c", 3)].prev_jaccard == 1.0
+    assert out[("d", 0)].segment_id == 0
+
+
+def test_segment_conversations_empty_text_is_boundary(spark):
+    turns = _seg_turns(spark, [("c", 0, "words here"), ("c", 1, ""),
+                               ("c", 2, "words here")])
+    out = {r.turn_idx: r.segment_id for r in
+           analytics.segment_conversations(turns, threshold=0.2).collect()}
+    # empty token set → union 0 → boundary; next turn vs empty → boundary
+    assert out == {0: 0, 1: 1, 2: 2}
+
+
+def test_segment_conversations_single_exchange(spark):
+    turns = _seg_turns(spark, [("c", 0, "a b"), ("c", 1, "a c")])
+    out = analytics.segment_conversations(turns)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # sessionize discipline: lag + running sum share ONE exchange
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -324,3 +324,41 @@ def conversation_profiles(turns: DataFrame,
     return (prof.join(ment, "conv_id", "left")
             .withColumn("n_entities",
                         F.coalesce("n_entities", F.lit(0))))
+
+
+def segment_conversations(turns: DataFrame, threshold: float = 0.2,
+                          text_col: str = "text") -> DataFrame:
+    """Lexical topic segmentation: a new segment starts where the
+    token-set Jaccard similarity between a turn and its predecessor
+    (within the conversation, in stable turn order) drops below
+    *threshold*.  Returns (conv_id, turn_idx, segment_id, prev_jaccard)
+    — segment_id 0-based per conversation, prev_jaccard NULL on the
+    first turn (rounded 4 dp; the raw similarity drives the boundary).
+
+    Plan shape is the sessionize discipline (events.py): lag + running
+    sum are two stacked windows over the SAME (conv_id, turn_idx)
+    ordering, so Catalyst plans ONE exchange + one sort for the whole
+    operator.  Token sets build in-plan (split/filter/array_distinct —
+    JVM expressions); the Jaccard is exact integer-ratio arithmetic, so
+    a SQL engine replays the identical boundaries."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    toks = F.array_distinct(F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+        lambda x: x != ""))
+    base = turns.withColumn("_toks", toks)
+    prev = F.lag("_toks").over(w)
+    inter = F.size(F.array_intersect(F.col("_toks"), prev))
+    union = F.size("_toks") + F.size(prev) - inter
+    jacc = inter.cast("double") / union
+    boundary = F.when(prev.isNull() | (union == 0)
+                      | (jacc < F.lit(float(threshold))), 1).otherwise(0)
+    return (base
+            .withColumn("_nb", boundary)
+            .withColumn("_pj", F.when(union > 0, F.round(jacc, 4)))
+            .withColumn("segment_id",
+                        F.sum("_nb").over(
+                            w.rowsBetween(Window.unboundedPreceding,
+                                          Window.currentRow)) - 1)
+            .select("conv_id", "turn_idx", "segment_id",
+                    F.col("_pj").alias("prev_jaccard")))
