@@ -786,6 +786,29 @@ def _q_kg_conv_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "span_s", "n_entities")
 
 
+def _q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL nearest-neighbor image resize (multimodal.resize_images):
+    genuine PGM payloads decode → floor-scaled index map → re-encode in
+    the worker; the oracle recomputes the resized pixel mean
+    arithmetically from the generator formula (no decode in SQL)."""
+    from versa_spark import multimodal
+    media = multimodal.synthetic_codec_media(spark, sf_dir, limit=200)
+    out = multimodal.resize_images(
+        media.filter(F.col("kind") == "image"), new_w=2, new_h=2)
+    return out.select("media_id", "width", "height", "mean_value")
+
+
+def _q_media_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decimation (multimodal.resample_audio): WAV PCM-16
+    payloads decode → every-2nd-frame decimation → re-encode at half
+    rate; the oracle replays the kept indices arithmetically."""
+    from versa_spark import multimodal
+    media = multimodal.synthetic_codec_media(spark, sf_dir, limit=200)
+    out = multimodal.resample_audio(
+        media.filter(F.col("kind") == "audio"), factor=2)
+    return out.select("media_id", "n_samples", "sample_rate", "mean_abs")
+
+
 def _q_kg_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical topic segmentation (analytics.segment_conversations):
     lag + running sum stacked on one (conv_id, turn_idx) exchange — the
@@ -847,6 +870,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_ngrams": _q_repeated_ngrams,
         "kg_conv_profile": _q_kg_conv_profile,
         "kg_segments": _q_kg_segments,
+        "media_resize": _q_media_resize,
+        "media_resample": _q_media_resample,
     }
 
 
@@ -1862,6 +1887,39 @@ def oracle_sql() -> dict[str, str]:
                       WHERE node != component)
             SELECT u.vec_id FROM uni u
             WHERE u.vec_id NOT IN (SELECT vec_id FROM drops)
+        """,
+        "media_resize": """
+            WITH ids AS (SELECT doc_id AS id FROM
+                  (SELECT * FROM documents ORDER BY doc_id LIMIT 200)
+                  WHERE doc_id % 2 = 0),
+            dims AS (SELECT id, id % 8 + 2 AS w, id % 4 + 2 AS h
+                     FROM ids),
+            px AS (SELECT id,
+                          (id * 7 + ((ny * h) // 2) * w
+                           + ((nx * w) // 2)) % 256 AS v
+                   FROM dims
+                   CROSS JOIN unnest(range(0, 2)) AS a(ny)
+                   CROSS JOIN unnest(range(0, 2)) AS b(nx))
+            SELECT id AS media_id, CAST(2 AS INT) AS width,
+                   CAST(2 AS INT) AS height,
+                   round(AVG(CAST(v AS DOUBLE)), 6) AS mean_value
+            FROM px GROUP BY id
+        """,
+        "media_resample": """
+            WITH ids AS (SELECT doc_id AS id FROM
+                  (SELECT * FROM documents ORDER BY doc_id LIMIT 200)
+                  WHERE doc_id % 2 = 1),
+            dims AS (SELECT id, id % 32 + 8 AS n FROM ids),
+            s AS (SELECT id, n,
+                         abs((id * 131 + 17 * i) % 2003 - 1001) AS v
+                  FROM dims
+                  CROSS JOIN unnest(range(0, 40)) AS t(i)
+                  WHERE i < n AND i % 2 = 0)
+            SELECT id AS media_id,
+                   CAST((n + 1) // 2 AS INT) AS n_samples,
+                   CAST(500 AS INT) AS sample_rate,
+                   round(AVG(CAST(v AS DOUBLE)), 6) AS mean_abs
+            FROM s GROUP BY id, n
         """,
         "media_meta": """
             WITH m AS (

@@ -885,3 +885,49 @@ def test_repeated_ngrams_short_docs_excluded(spark):
     docs = spark.createDataFrame([(0, "too short"), (1, "too short")],
                                  ["doc_id", "text"])
     assert repeated_ngrams(docs, n=5, min_docs=2).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# multimodal resize / resample (round 4): REAL payload round trips
+# ---------------------------------------------------------------------------
+
+def test_resize_images_payload_roundtrip(spark):
+    import numpy as np
+    from versa_spark import multimodal as mm
+    # 4x2 gradient image; nearest (floor) to 2x2 picks (y*2//2*... )
+    px = np.arange(8, dtype=np.uint8).reshape(2, 4)  # h=2, w=4
+    media = spark.createDataFrame(
+        [(1, "image", mm.encode_pgm(4, 2, px.ravel()))],
+        "media_id long, kind string, payload binary")
+    out = mm.resize_images(media, new_w=2, new_h=2).collect()[0]
+    assert (out.width, out.height) == (2, 2)
+    w2, h2, arr = mm.decode_pgm_ppm(bytes(out.payload))
+    # ys = [0,1], xs = [0,2] → pixels [[0,2],[4,6]]
+    assert arr.tolist() == [[0, 2], [4, 6]]
+    assert out.mean_value == 3.0
+
+
+def test_resize_images_ppm_color(spark):
+    import numpy as np
+    from versa_spark import multimodal as mm
+    rgb = np.arange(2 * 2 * 3, dtype=np.uint8)  # 2x2 color
+    media = spark.createDataFrame(
+        [(1, "image", mm.encode_ppm(2, 2, rgb))],
+        "media_id long, kind string, payload binary")
+    out = mm.resize_images(media, new_w=1, new_h=1).collect()[0]
+    _, _, arr = mm.decode_pgm_ppm(bytes(out.payload))
+    assert arr.tolist() == [[[0, 1, 2]]]   # top-left pixel survives
+
+
+def test_resample_audio_payload_roundtrip(spark):
+    from versa_spark import multimodal as mm
+    samples = [0, 100, -200, 300, -400, 500, -600]
+    media = spark.createDataFrame(
+        [(1, "audio", mm.encode_wav(samples, sample_rate=1000))],
+        "media_id long, kind string, payload binary")
+    out = mm.resample_audio(media, factor=2).collect()[0]
+    assert out.n_samples == 4 and out.sample_rate == 500
+    rate, dec, n_ch = mm.decode_wav(bytes(out.payload))
+    assert rate == 500 and n_ch == 1
+    assert dec.tolist() == [0, -200, -400, -600]
+    assert out.mean_abs == round((0 + 200 + 400 + 600) / 4, 6)

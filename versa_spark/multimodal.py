@@ -347,3 +347,94 @@ def media_stats(media: DataFrame) -> DataFrame:
             .agg(F.count("*").alias("n"),
                  F.avg("width").alias("avg_width"),
                  F.avg("duration_ms").alias("avg_duration_ms")))
+
+
+RESIZE_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("width", IntegerType(), False),
+    StructField("height", IntegerType(), False),
+    StructField("payload", BinaryType(), False),
+    StructField("mean_value", DoubleType(), False),
+])
+
+
+def resize_images(media: DataFrame, new_w: int = 2,
+                  new_h: int = 2) -> DataFrame:
+    """REAL nearest-neighbor resize for netpbm payloads (numpy-only):
+    decode → integer index map → re-encode.  The sampling convention is
+    floor scaling, src = (dst · src_dim) // dst_dim — fully arithmetic,
+    so a SQL oracle recomputes the resized pixel statistics from the
+    synthetic generator formula without decoding anything.
+
+    mapInPandas, one Arrow batch per partition slice; the payload is
+    decoded and re-encoded inside the worker (bytes never round-trip
+    through the driver).  Codec formats (JPEG/PNG) raise the documented
+    NotImplementedError via decode_image.  At 100 TB the payload column
+    dominates — resize is the classic payload-shrinking projection, so
+    running it EARLY in a media pipeline cuts every downstream shuffle
+    by the area ratio."""
+    def _batches(pdf_iter):
+        import numpy as np
+        import pandas as pd
+        for pdf in pdf_iter:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr = decode_image(bytes(payload))
+                h, w = arr.shape[:2]
+                ys = (np.arange(new_h) * h) // new_h
+                xs = (np.arange(new_w) * w) // new_w
+                small = arr[ys][:, xs]
+                if small.ndim == 2:
+                    payload2 = encode_pgm(new_w, new_h, small.ravel())
+                else:
+                    payload2 = encode_ppm(new_w, new_h, small.ravel())
+                out.append((int(mid), new_w, new_h, payload2,
+                            round(float(small.astype(np.float64).mean()),
+                                  6)))
+            yield pd.DataFrame(out, columns=[
+                "media_id", "width", "height", "payload", "mean_value"])
+
+    import pandas as pd  # noqa: F401
+    from versa_spark.shipping import ensure_shipped
+    ensure_shipped(media.sparkSession)
+    return media.mapInPandas(_batches, RESIZE_SCHEMA)
+
+
+RESAMPLE_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("n_samples", IntegerType(), False),
+    StructField("sample_rate", IntegerType(), False),
+    StructField("payload", BinaryType(), False),
+    StructField("mean_abs", DoubleType(), False),
+])
+
+
+def resample_audio(media: DataFrame, factor: int = 2) -> DataFrame:
+    """REAL audio decimation for WAV PCM-16 payloads: keep every
+    *factor*-th frame and divide the sample rate by *factor* (duration
+    preserved; no anti-alias filter — plain decimation, the convention
+    a SQL oracle can replay index-by-index).  Multi-channel input keeps
+    channel 0 (documented mono output).  Same mapInPandas shape and
+    payload-shrinking rationale as resize_images."""
+    def _batches(pdf_iter):
+        import numpy as np
+        import pandas as pd
+        for pdf in pdf_iter:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, samples, n_ch = decode_audio(bytes(payload))
+                frames = samples.reshape(-1, n_ch)[:, 0]
+                dec = frames[::factor]
+                new_rate = max(1, rate // factor)
+                out.append((int(mid), int(dec.size), int(new_rate),
+                            encode_wav(dec, sample_rate=new_rate),
+                            round(float(np.abs(dec.astype(np.int64))
+                                        .mean()), 6)))
+            yield pd.DataFrame(out, columns=[
+                "media_id", "n_samples", "sample_rate", "payload",
+                "mean_abs"])
+
+    import pandas as pd  # noqa: F401
+    from versa_spark.shipping import ensure_shipped
+    ensure_shipped(media.sparkSession)
+    return media.mapInPandas(_batches, RESAMPLE_SCHEMA)
