@@ -809,6 +809,34 @@ def _q_media_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("media_id", "n_samples", "sample_rate", "mean_abs")
 
 
+def _q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel (events.funnel): signup → click → purchase,
+    each step at/after the previous step's first occurrence — k narrow
+    user-keyed joins over monotonically shrinking frontiers."""
+    from versa_spark import events as ev
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.funnel(e).select("stage_ix", "stage", "n_users")
+
+
+def _q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour rollup (events.windowed_rollup): integer-epoch
+    bucket arithmetic (tz-free), one partial/final aggregate pair,
+    DECIMAL-exact value sums."""
+    from versa_spark import events as ev
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.windowed_rollup(e, bucket_s=3600).select(
+        "bucket_us", "event_type", "n_events", "n_users", "value_sum")
+
+
+def _q_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact type-7 percentiles per event type (events.value_percentiles
+    — Spark `percentile` vs DuckDB `quantile_cont`, the same linear
+    interpolation), rounded 6 dp."""
+    from versa_spark import events as ev
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.value_percentiles(e).select("event_type", "p5", "p9", "p99")
+
+
 def _q_kg_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical topic segmentation (analytics.segment_conversations):
     lag + running sum stacked on one (conv_id, turn_idx) exchange — the
@@ -872,6 +900,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_segments": _q_kg_segments,
         "media_resize": _q_media_resize,
         "media_resample": _q_media_resample,
+        "event_funnel": _q_event_funnel,
+        "event_windows": _q_event_windows,
+        "event_percentiles": _q_event_percentiles,
     }
 
 
@@ -1578,6 +1609,40 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_occurrences
             FROM g GROUP BY gram
             HAVING COUNT(DISTINCT doc_id) >= 2
+        """,
+        "event_funnel": """
+            WITH s0 AS (SELECT user_id, MIN(ts) AS t FROM events
+                        WHERE event_type = 'signup' GROUP BY user_id),
+            s1 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+                   JOIN s0 ON s0.user_id = e.user_id
+                   WHERE e.event_type = 'click' AND e.ts >= s0.t
+                   GROUP BY e.user_id),
+            s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+                   JOIN s1 ON s1.user_id = e.user_id
+                   WHERE e.event_type = 'purchase' AND e.ts >= s1.t
+                   GROUP BY e.user_id)
+            SELECT 0 AS stage_ix, 'signup' AS stage,
+                   COUNT(*) AS n_users FROM s0
+            UNION ALL
+            SELECT 1, 'click', COUNT(*) FROM s1
+            UNION ALL
+            SELECT 2, 'purchase', COUNT(*) FROM s2
+        """,
+        "event_windows": """
+            SELECT CAST(epoch_us(ts) - epoch_us(ts) % 3600000000
+                        AS BIGINT) AS bucket_us,
+                   event_type, COUNT(*) AS n_events,
+                   COUNT(DISTINCT user_id) AS n_users,
+                   CAST(round(SUM(CAST(value AS DECIMAL(18,6))), 2)
+                        AS DOUBLE) AS value_sum
+            FROM events GROUP BY 1, 2
+        """,
+        "event_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p5,
+                   round(quantile_cont(value, 0.9), 6) AS p9,
+                   round(quantile_cont(value, 0.99), 6) AS p99
+            FROM events GROUP BY event_type
         """,
         "event_asof": """
             WITH l AS (SELECT event_id, user_id, ts FROM events

@@ -335,3 +335,53 @@ def test_segment_conversations_single_exchange(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # sessionize discipline: lag + running sum share ONE exchange
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# ---------------------------------------------------------------------------
+# event analytics: funnel / windowed rollup / percentiles (round 4)
+# ---------------------------------------------------------------------------
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, "
+              "ts timestamp, value double")
+
+
+def test_funnel_exact(spark):
+    from versa_spark.events import funnel
+    rows = [
+        # u1: full ordered funnel
+        (1, 1, "signup", _ts(0), 0.0), (2, 1, "click", _ts(5), 0.0),
+        (3, 1, "purchase", _ts(9), 0.0),
+        # u2: purchase BEFORE click → drops at stage 2
+        (4, 2, "signup", _ts(0), 0.0), (5, 2, "purchase", _ts(2), 0.0),
+        (6, 2, "click", _ts(5), 0.0),
+        # u3: click only (no signup) → never enters
+        (7, 3, "click", _ts(1), 0.0),
+        # u4: signup then click, no purchase
+        (8, 4, "signup", _ts(1), 0.0), (9, 4, "click", _ts(1), 0.0),
+    ]
+    out = {r.stage: r.n_users for r in funnel(_ev(spark, rows)).collect()}
+    assert out == {"signup": 3, "click": 3, "purchase": 1}
+    # u4's click at the SAME ts as signup counts (>= semantics)
+
+
+def test_windowed_rollup_exact(spark):
+    from versa_spark.events import windowed_rollup
+    rows = [(1, 1, "click", _ts(5), 1.5), (2, 2, "click", _ts(50), 2.5),
+            (3, 1, "click", dt.datetime(2024, 1, 1, 1, 10), 4.0)]
+    out = {(r.bucket_us, r.event_type): (r.n_events, r.n_users, r.value_sum)
+           for r in windowed_rollup(_ev(spark, rows)).collect()}
+    assert len(out) == 2
+    (b0, b1) = sorted(k[0] for k in out)
+    assert b1 - b0 == 3600 * 1_000_000
+    assert out[(b0, "click")] == (2, 2, 4.0)
+    assert out[(b1, "click")] == (1, 1, 4.0)
+
+
+def test_value_percentiles_exact(spark):
+    from versa_spark.events import value_percentiles
+    rows = [(i, 1, "view", _ts(i), float(i)) for i in range(11)]  # 0..10
+    r = value_percentiles(_ev(spark, rows)).collect()[0]
+    # type-7 on 0..10: p50 = 5.0, p90 = 9.0, p99 = 9.9
+    assert (r.p5, r.p9, r.p99) == (5.0, 9.0, 9.9)

@@ -121,3 +121,82 @@ def asof_join(left: DataFrame, right: DataFrame,
     return matched.select(
         *left_cols,
         *[F.col("_m")[c + suffix].alias(c + suffix) for c in right_cols])
+
+
+def funnel(events: DataFrame, steps: tuple[str, ...] = ("signup", "click",
+                                                        "purchase"),
+           user_col: str = "user_id", ts_col: str = "ts",
+           type_col: str = "event_type") -> DataFrame:
+    """Ordered funnel analysis: for each prefix of *steps*, how many
+    users performed every step in order (each step at or after the
+    previous step's FIRST qualifying occurrence — the standard
+    strict-order funnel).  Returns (stage_ix int, stage string,
+    n_users long), one row per step.
+
+    Plan: per step, filter → join to the previous frontier on the user
+    key → min-timestamp aggregate.  Every frame after the first filter
+    is user-keyed and frontier-sized (monotonically shrinking), all
+    joins co-partition on the same key, and the step count is a small
+    constant — at 10^12 events this is k narrow hash joins, never a
+    per-user sort of the full stream.  Counts ride a union of 1-row
+    aggregates."""
+    frontier = None
+    counts = []
+    for ix, step in enumerate(steps):
+        stage = events.filter(F.col(type_col) == step).select(
+            F.col(user_col).alias("_u"), F.col(ts_col).alias("_t"))
+        if frontier is not None:
+            stage = (stage.join(frontier, "_u")
+                     .filter(F.col("_t") >= F.col("_prev"))
+                     .select("_u", "_t"))
+        frontier = stage.groupBy("_u").agg(F.min("_t").alias("_prev"))
+        counts.append(frontier.agg(
+            F.lit(ix).alias("stage_ix"), F.lit(step).alias("stage"),
+            F.count("*").alias("n_users")))
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def windowed_rollup(events: DataFrame, bucket_s: int = 3600,
+                    user_col: str = "user_id", ts_col: str = "ts",
+                    type_col: str = "event_type",
+                    value_col: str = "value") -> DataFrame:
+    """Tumbling-window rollup: (bucket_us, event_type, n_events,
+    n_users, value_sum) per *bucket_s*-second window.  The batch twin
+    of the streaming watermarked windowed aggregation (streaming.py) —
+    identical semantics, one partial/final aggregate pair.  Bucket
+    boundaries come from INTEGER epoch arithmetic
+    (epoch_us // width * width), never `date_trunc`: local-time
+    truncation shifts with the session timezone (a +5:30 zone moves
+    every "hour" boundary), while epoch division is tz-free and
+    identical in any engine — the sessionize convention.  value_sum
+    accumulates in DECIMAL (exact, association-free), rounds to 2 dp."""
+    width_us = int(bucket_s) * 1_000_000
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    b = (us - (us % width_us))
+    return (events.groupBy(b.alias("bucket_us"),
+                           F.col(type_col).alias("event_type"))
+            .agg(F.count("*").alias("n_events"),
+                 F.countDistinct(user_col).alias("n_users"),
+                 F.round(F.sum(F.col(value_col).cast("decimal(18,6)")), 2)
+                 .cast("double").alias("value_sum")))
+
+
+def value_percentiles(events: DataFrame, ps: tuple[float, ...] =
+                      (0.5, 0.9, 0.99), type_col: str = "event_type",
+                      value_col: str = "value") -> DataFrame:
+    """Exact linear-interpolated percentiles of *value_col* per event
+    type (the type-7 quantile both Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` implement), rounded to 6 dp.
+
+    Exact percentile is a sort-based aggregate — fine per group when
+    group cardinality is bounded; for 10^12-row groups switch to
+    ``approx_percentile`` (t-digest, mergeable map-side) and accept the
+    documented error bound.  This operator is the exact-verification
+    twin the approximate path is validated against."""
+    aggs = [F.round(F.expr(f"percentile({value_col}, {p!r})"), 6)
+            .alias(f"p{str(p).replace('0.', '')}") for p in ps]
+    return (events.groupBy(F.col(type_col).alias("event_type"))
+            .agg(*aggs))
