@@ -139,8 +139,16 @@ def funnel(events: DataFrame, steps: tuple[str, ...] = ("signup", "click",
     joins co-partition on the same key, and the step count is a small
     constant — at 10^12 events this is k narrow hash joins, never a
     per-user sort of the full stream.  Counts ride a union of 1-row
-    aggregates."""
+    aggregates.
+
+    Each frontier feeds TWO consumers (its count and the next stage's
+    join), so frontiers are persisted for the duration and the k-row
+    result is eagerly checkpointed before the caches release — without
+    this, the single output action re-executes stage i's whole chain
+    once per later stage (the multiply-consumed-frame lifecycle, cf.
+    dedup.minhash_lsh_candidates)."""
     frontier = None
+    frontiers = []
     counts = []
     for ix, step in enumerate(steps):
         stage = events.filter(F.col(type_col) == step).select(
@@ -149,14 +157,20 @@ def funnel(events: DataFrame, steps: tuple[str, ...] = ("signup", "click",
             stage = (stage.join(frontier, "_u")
                      .filter(F.col("_t") >= F.col("_prev"))
                      .select("_u", "_t"))
-        frontier = stage.groupBy("_u").agg(F.min("_t").alias("_prev"))
+        frontier = stage.groupBy("_u").agg(
+            F.min("_t").alias("_prev")).persist()
+        frontiers.append(frontier)
         counts.append(frontier.agg(
             F.lit(ix).alias("stage_ix"), F.lit(step).alias("stage"),
             F.count("*").alias("n_users")))
     out = counts[0]
     for c in counts[1:]:
         out = out.unionByName(c)
-    return out
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        for f in frontiers:
+            f.unpersist()
 
 
 def windowed_rollup(events: DataFrame, bucket_s: int = 3600,
