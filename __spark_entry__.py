@@ -837,6 +837,16 @@ def _q_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.value_percentiles(e).select("event_type", "p5", "p9", "p99")
 
 
+def _q_event_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts (events.retention_cohorts): tz-free
+    integer-epoch buckets; first-event cohort per user; one user-keyed
+    join; bucket-pair-keyed rollup."""
+    from versa_spark import events as ev
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.retention_cohorts(e, bucket_s=86_400 * 7).select(
+        "cohort_us", "bucket_offset", "n_users")
+
+
 def _q_kg_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical topic segmentation (analytics.segment_conversations):
     lag + running sum stacked on one (conv_id, turn_idx) exchange — the
@@ -903,6 +913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": _q_event_funnel,
         "event_windows": _q_event_windows,
         "event_percentiles": _q_event_percentiles,
+        "event_retention": _q_event_retention,
     }
 
 
@@ -1643,6 +1654,21 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value, 0.9), 6) AS p9,
                    round(quantile_cont(value, 0.99), 6) AS p99
             FROM events GROUP BY event_type
+        """,
+        "event_retention": """
+            WITH activity AS (
+                SELECT DISTINCT user_id,
+                       CAST(epoch_us(ts) - epoch_us(ts) % 604800000000
+                            AS BIGINT) AS b
+                FROM events),
+            first AS (SELECT user_id, MIN(b) AS cohort FROM activity
+                      GROUP BY user_id)
+            SELECT cohort AS cohort_us,
+                   CAST((b - cohort) // 604800000000 AS INT)
+                       AS bucket_offset,
+                   COUNT(*) AS n_users
+            FROM activity JOIN first USING (user_id)
+            GROUP BY cohort, bucket_offset
         """,
         "event_asof": """
             WITH l AS (SELECT event_id, user_id, ts FROM events

@@ -385,3 +385,25 @@ def test_value_percentiles_exact(spark):
     r = value_percentiles(_ev(spark, rows)).collect()[0]
     # type-7 on 0..10: p50 = 5.0, p90 = 9.0, p99 = 9.9
     assert (r.p5, r.p9, r.p99) == (5.0, 9.0, 9.9)
+
+
+def test_retention_cohorts_exact(spark):
+    from versa_spark.events import retention_cohorts
+    d0 = dt.datetime(2024, 1, 1)
+    day = dt.timedelta(days=1)
+    rows = [
+        (1, 1, "view", d0, 0.0),              # u1 cohort day0
+        (2, 1, "view", d0 + 2 * day, 0.0),    # u1 active day2
+        (3, 1, "view", d0 + 2 * day, 0.0),    # dup activity, same bucket
+        (4, 2, "view", d0 + 1 * day, 0.0),    # u2 cohort day1
+        (5, 2, "view", d0 + 2 * day, 0.0),    # u2 active day2 (offset 1)
+    ]
+    out = {(r.cohort_us, r.bucket_offset): r.n_users for r in
+           retention_cohorts(_ev(spark, rows), bucket_s=86_400).collect()}
+    b0 = min(k[0] for k in out)
+    b1 = b0 + 86_400 * 1_000_000
+    assert out[(b0, 0)] == 1        # u1 cohort size
+    assert out[(b0, 2)] == 1        # u1 retained at offset 2 (deduped)
+    assert out[(b1, 0)] == 1        # u2 cohort size
+    assert out[(b1, 1)] == 1        # u2 retained at offset 1
+    assert len(out) == 4

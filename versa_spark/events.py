@@ -214,3 +214,37 @@ def value_percentiles(events: DataFrame, ps: tuple[float, ...] =
             .alias(f"p{str(p).replace('0.', '')}") for p in ps]
     return (events.groupBy(F.col(type_col).alias("event_type"))
             .agg(*aggs))
+
+
+def retention_cohorts(events: DataFrame, bucket_s: int = 86_400 * 7,
+                      user_col: str = "user_id",
+                      ts_col: str = "ts") -> DataFrame:
+    """Cohort retention: users grouped by the bucket of their FIRST
+    event (cohort), counted in every later bucket they were active.
+    Returns (cohort_us long, bucket_offset int, n_users long) —
+    bucket_offset 0 is the cohort bucket itself, so its n_users is the
+    cohort size.
+
+    Buckets use the same tz-free integer epoch arithmetic as
+    windowed_rollup.  Plan: one user-keyed aggregate finds first-event
+    buckets; distinct (user, bucket) activity joins it back on the user
+    key (co-partitioned); the final rollup is bucket-pair-keyed —
+    cardinality (n_buckets²), trivially small.  The user-activity frame
+    feeds two consumers → persisted, result eagerly checkpointed, cache
+    released (the multiply-consumed-frame lifecycle)."""
+    width_us = int(bucket_s) * 1_000_000
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    activity = (events
+                .select(F.col(user_col).alias("_u"),
+                        (us - us % width_us).alias("_b"))
+                .distinct().persist())
+    try:
+        first = activity.groupBy("_u").agg(F.min("_b").alias("_cohort"))
+        out = (activity.join(first, "_u")
+               .groupBy(F.col("_cohort").alias("cohort_us"),
+                        ((F.col("_b") - F.col("_cohort")) / width_us)
+                        .cast("int").alias("bucket_offset"))
+               .agg(F.count("*").alias("n_users")))
+        return out.localCheckpoint(eager=True)
+    finally:
+        activity.unpersist()
