@@ -720,11 +720,19 @@ def _q_kg_neg_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     triple; map-side only on the corpus side, vocabulary broadcast."""
     from versa_spark.kg import analytics
     _, linked = _kg_linked(spark, sf_dir)
-    pos = (linked.select(F.col("turn_iri").alias("origin"),
-                         F.lit(BASE + "v/mentions").alias("rel"),
-                         F.col("entity_iri").alias("target"))
-           .distinct())
-    return analytics.negative_samples(pos, linked, k=2, seed=42)
+    # linked feeds two consumers (positives + vocabulary) → persist for
+    # the call, eagerly checkpoint the sample, release the cache (the
+    # multiply-consumed-frame lifecycle)
+    linked = linked.select("turn_iri", "entity_iri").persist()
+    try:
+        pos = (linked.select(F.col("turn_iri").alias("origin"),
+                             F.lit(BASE + "v/mentions").alias("rel"),
+                             F.col("entity_iri").alias("target"))
+               .distinct())
+        return analytics.negative_samples(
+            pos, linked, k=2, seed=42).localCheckpoint(eager=True)
+    finally:
+        linked.unpersist()
 
 
 def _q_event_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
