@@ -183,6 +183,22 @@ window sort is absent from the triple-build plan. Regenerate with
             "stopword terms arrive at reducers pre-combined); the tf⋈df "
             "join runs under AQE; the top-k window partitions by doc_id "
             "— bounded rows per partition, never a global sort.")
+
+    fn = ev.funnel(evt)
+    section("strict-order funnel (post-checkpoint)", fn,
+            "The returned frame is the eagerly-checkpointed k-row "
+            "result (LogicalRDD) — each frontier is persisted during "
+            "the build so no stage chain re-executes; the per-stage "
+            "build is filter → user-keyed frontier join → min "
+            "aggregate, frontiers monotonically shrinking.")
+
+    rc = ev.retention_cohorts(evt, bucket_s=86_400)
+    section("retention cohorts (post-checkpoint)", rc,
+            "Same lifecycle: the distinct (user, bucket) activity "
+            "frame feeds the first-event aggregate AND the join, so it "
+            "persists for the call; buckets are integer epoch "
+            "arithmetic (tz-free); the returned rollup is "
+            "bucket-pair-sized and checkpointed.")
     out.close()
     print("PLANS.md written")
     spark.stop()
