@@ -153,3 +153,30 @@ def test_streaming_nt_ingest(spark, tmp_path):
     assert got == batch and len(got) == 4
     # rdf:type remapped to the versa type rel
     assert any(r[1].endswith("versa/type") for r in got)
+
+
+def test_streaming_event_rollup_matches_batch(spark, tmp_path):
+    """Batch/streaming parity: the streaming tumbling-window rollup
+    equals events.windowed_rollup on the same files, column for column
+    (epoch-aligned F.window == integer bucket arithmetic)."""
+    from versa_spark.events import windowed_rollup
+    from versa_spark.streaming import streaming_event_rollup
+
+    d = str(tmp_path / "events_in")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    (ev.select("event_id", "ts", "user_id", "event_type", "value",
+               "props").coalesce(2).write.parquet(d))
+
+    q = (streaming_event_rollup(spark, d, bucket_s=3600)
+         .writeStream.outputMode("complete")
+         .format("memory").queryName("ev_rollup")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, spark.sql(
+        "SELECT bucket_us, event_type, n_events, value_sum "
+        "FROM ev_rollup").collect()))
+    want = sorted(map(tuple, windowed_rollup(ev, bucket_s=3600)
+                      .select("bucket_us", "event_type", "n_events",
+                              "value_sum").collect()))
+    assert got == want and len(got) > 10

@@ -22,7 +22,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
-    IntegerType, StringType, StructField, StructType, TimestampType,
+    DoubleType, IntegerType, LongType, StringType, StructField,
+    StructType, TimestampType,
 )
 
 TRANSCRIPT_SCHEMA = StructType([
@@ -182,3 +183,43 @@ def streaming_nt_ingest(spark: SparkSession, input_dir: str,
             .dropDuplicatesWithinWatermark(
                 ["origin", "rel", "target", "t_iri"])
             .drop("_ingest_ts"))
+
+
+EVENT_SCHEMA = StructType([
+    StructField("event_id", LongType(), False),
+    StructField("ts", TimestampType(), True),
+    StructField("user_id", LongType(), True),
+    StructField("event_type", StringType(), True),
+    StructField("value", DoubleType(), True),
+    StructField("props", StringType(), True),
+])
+
+
+def streaming_event_rollup(spark: SparkSession, input_dir: str,
+                           bucket_s: int = 3600,
+                           watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of ``events.windowed_rollup``: watermarked
+    tumbling-window counts + DECIMAL-exact value sums per event type.
+    ``F.window`` tumbling windows are epoch-aligned, so
+    ``unix_micros(window.start)`` equals the batch operator's integer
+    bucket (``epoch_us − epoch_us % width``) exactly — the parity test
+    asserts batch == streaming on the same files.
+
+    The batch twin also reports exact ``n_users``
+    (COUNT(DISTINCT user_id)); streaming aggregation cannot hold exact
+    per-window distinct state bounded, so the streaming rollup omits it
+    (``approx_count_distinct`` is the streaming option when an estimate
+    suffices — deliberately not emitted here to keep every reported
+    column exactly engine-checkable).  Watermark bounds window state for
+    unbounded feeds; tests run complete-mode on a finite source."""
+    stream = (spark.readStream.schema(EVENT_SCHEMA)
+              .parquet(input_dir))
+    return (stream.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", f"{int(bucket_s)} seconds"),
+                     "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+                 .cast("double").alias("value_sum"))
+            .select(F.unix_micros(F.col("window.start"))
+                    .alias("bucket_us"),
+                    "event_type", "n_events", "value_sum"))
