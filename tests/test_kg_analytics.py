@@ -407,3 +407,19 @@ def test_retention_cohorts_exact(spark):
     assert out[(b1, 0)] == 1        # u2 cohort size
     assert out[(b1, 1)] == 1        # u2 retained at offset 1
     assert len(out) == 4
+
+
+def test_cooccurrence_from_sets_matches_linked_path(spark):
+    # the zero-collect_set variant must equal the mention-row path
+    rows = [("c", 0, "A"), ("c", 0, "B"), ("c", 1, "A"), ("c", 1, "C"),
+            ("d", 0, "B"), ("d", 0, "C"), ("d", 0, "B")]
+    linked = _linked(spark, rows)
+    via_linked = sorted(map(tuple,
+                            analytics.cooccurrence_pmi(linked).collect()))
+    sets = spark.createDataFrame(
+        [("c", 0, ["A", "B"]), ("c", 1, ["A", "C"]), ("d", 0, ["B", "C"])],
+        "conv_id string, turn_idx int, ents array<string>")
+    via_sets = sorted(map(tuple,
+                          analytics.cooccurrence_pmi_from_sets(sets)
+                          .collect()))
+    assert via_linked == via_sets
