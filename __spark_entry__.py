@@ -842,7 +842,8 @@ def _q_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolation), rounded 6 dp."""
     from versa_spark import events as ev
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return ev.value_percentiles(e).select("event_type", "p5", "p9", "p99")
+    return ev.value_percentiles(e).select("event_type", "p50", "p90",
+                                          "p99")
 
 
 def _q_event_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1615,9 +1616,10 @@ def oracle_sql() -> dict[str, str]:
         "repeated_ngrams": """
             WITH d AS (
                 SELECT doc_id,
-                       regexp_split_to_array(
+                       list_filter(regexp_split_to_array(
                            regexp_replace(lower(trim(text)), '\\s+', ' ',
-                                          'g'), ' ') AS words
+                                          'g'), ' '), x -> x <> '')
+                           AS words
                 FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 1000)),
             g AS (
                 SELECT doc_id,
@@ -1658,8 +1660,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "event_percentiles": """
             SELECT event_type,
-                   round(quantile_cont(value, 0.5), 6) AS p5,
-                   round(quantile_cont(value, 0.9), 6) AS p9,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.9), 6) AS p90,
                    round(quantile_cont(value, 0.99), 6) AS p99
             FROM events GROUP BY event_type
         """,

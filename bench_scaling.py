@@ -191,8 +191,16 @@ def main() -> None:
     local_cluster = (os.environ.get("SCALING_MASTER", "local-cluster")
                      == "local-cluster")
     # the canonical design (see module docstring): anything else is an
-    # explicitly-flagged experiment and must not refresh the snapshot
-    canonical = paired and weak and local_cluster and trials >= 5
+    # explicitly-flagged experiment and must not refresh the snapshot.
+    # Canonical means the WHOLE config is stock — design flags AND
+    # workload size AND core pairing AND executor memory: a toy turn
+    # count or a 1-vs-4-core pairing passing the old flags-only check
+    # could silently overwrite the snapshot BASELINE.md cites.
+    canonical = (paired and weak and local_cluster and trials >= 5
+                 and TURNS >= 2_000_000
+                 and (low_cpus, high_cpus) == (2, 8)
+                 and os.environ.get("SCALING_EXEC_MB", "3072") == "3072"
+                 and os.environ.get("SCALING_GC") is None)
     # Interleave levels across separate JVMs: the sandbox shares hardware,
     # so adjacent trials see comparable external load.  SCALING_PAIRED=1
     # goes further: both levels run simultaneously on disjoint pinned
@@ -221,7 +229,11 @@ def main() -> None:
                      + ("_paired_simultaneous" if paired else ""),
         "master": ("local-cluster[N,1,mem] per-executor JVMs"
                    if local_cluster else "local[N] threads"),
-        "design": ("weak (fixed work/core, equal walls)" if weak
+        # weak sizing only exists in the paired runner — an unpaired run
+        # always feeds TURNS to both levels, i.e. strong scaling,
+        # whatever SCALING_WEAK says
+        "design": ("weak (fixed work/core, equal walls)"
+                   if (weak and paired)
                    else "strong (same input both levels)"),
         "canonical": canonical,
         "gc": os.environ.get("SCALING_GC", "G1 default"),

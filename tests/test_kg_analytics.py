@@ -384,7 +384,7 @@ def test_value_percentiles_exact(spark):
     rows = [(i, 1, "view", _ts(i), float(i)) for i in range(11)]  # 0..10
     r = value_percentiles(_ev(spark, rows)).collect()[0]
     # type-7 on 0..10: p50 = 5.0, p90 = 9.0, p99 = 9.9
-    assert (r.p5, r.p9, r.p99) == (5.0, 9.0, 9.9)
+    assert (r.p50, r.p90, r.p99) == (5.0, 9.0, 9.9)
 
 
 def test_retention_cohorts_exact(spark):
@@ -423,3 +423,30 @@ def test_cooccurrence_from_sets_matches_linked_path(spark):
                           analytics.cooccurrence_pmi_from_sets(sets)
                           .collect()))
     assert via_linked == via_sets
+
+
+def test_cooccurrence_from_sets_normalizes_input(spark):
+    # unsorted arrays and mention-free turns must not corrupt pairs or N
+    messy = spark.createDataFrame(
+        [("c", 0, ["B", "A"]), ("c", 1, ["A", "B"]), ("c", 2, []),
+         ("d", 0, ["C", "A"])],
+        "conv_id string, turn_idx int, ents array<string>")
+    out = {(r.a, r.b): r for r in
+           analytics.cooccurrence_pmi_from_sets(messy).collect()}
+    ab = out[("A", "B")]
+    # one (A,B) row with count 2 — NOT split across (A,B)/(B,A)
+    assert ab.n_ab == 2
+    assert ("B", "A") not in out
+    # N excludes the empty turn: 3 mention-ful turns, pmi(A,B)=ln(2*3/(3*2))
+    assert ab.pmi == 0.0
+
+
+def test_cooccurrence_edges_weights(spark):
+    rows = [("c", 0, "A"), ("c", 0, "B"), ("c", 1, "A"), ("c", 1, "B"),
+            ("d", 0, "A"), ("d", 0, "C")]
+    out = {(r.src, r.dst): r.weight for r in
+           analytics.cooccurrence_edges(_linked(spark, rows)).collect()}
+    assert out == {("A", "B"): 2, ("A", "C"): 1}
+    plan = (analytics.cooccurrence_edges(_linked(spark, rows))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Join" not in plan   # no PMI marginal joins in the edge path

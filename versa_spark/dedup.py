@@ -618,6 +618,13 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                      "_bid", "text", n)
             .select(F.xxhash64("shingle").alias("_h")).distinct())
     if broadcast == "auto":
+        # materialize the (small) benchmark hash set ONCE: the size
+        # count and the semi-join below both read the checkpoint
+        # instead of re-shingling the benchmark (the multiply-consumed-
+        # frame lifecycle).  NOTE 'auto' therefore runs a job at call
+        # time; pass broadcast=True/False explicitly for a fully lazy
+        # plan (e.g. .explain audits).
+        b_sh = b_sh.localCheckpoint(eager=True)
         broadcast = b_sh.count() <= broadcast_max_rows
     if broadcast:
         b_sh = F.broadcast(b_sh)

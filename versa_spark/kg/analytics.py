@@ -103,9 +103,20 @@ def cooccurrence_pmi(linked: DataFrame, min_pairs: int = 1,
 def cooccurrence_pmi_from_sets(sets: DataFrame, min_pairs: int = 1,
                                materialize: bool = True) -> DataFrame:
     """cooccurrence_pmi for producers that already hold one row per
-    turn with a sorted DISTINCT entity array ``ents`` — no corpus
-    shuffle at all: pairs and marginals explode in-plan (map side) and
-    only the pair-sized / entity-sized aggregations exchange."""
+    turn with a DISTINCT entity array ``ents`` — no corpus shuffle at
+    all: pairs and marginals explode in-plan (map side) and only the
+    pair-sized / entity-sized aggregations exchange.
+
+    The input is normalized defensively (both map-side, costless next
+    to the exchange this path avoids): ``ents`` is re-sorted — pair
+    generation is positional, so an unsorted array would emit (b, a)
+    and split one pair's count across two rows — and zero-entity rows
+    are dropped so the PMI event space stays "turns with ≥ 1 mention",
+    matching the mention-row path (kg/extract.turn_entity_ids keeps
+    mention-free turns as empty arrays; map its tinyint indices to
+    labels first if label pairs are wanted)."""
+    sets = (sets.filter(F.size("ents") > 0)
+            .withColumn("ents", F.sort_array("ents")))
 
     def _assemble(sets):
         pair_counts = (_pairs_from_sets(sets)
@@ -141,10 +152,17 @@ def cooccurrence_pmi_from_sets(sets: DataFrame, min_pairs: int = 1,
 
 def cooccurrence_edges(linked: DataFrame,
                        min_pairs: int = 1) -> DataFrame:
-    """Undirected co-mention graph: (src, dst, weight=n_ab), src < dst."""
-    return (cooccurrence_pmi(linked, min_pairs=min_pairs)
-            .select(F.col("a").alias("src"), F.col("b").alias("dst"),
-                    F.col("n_ab").alias("weight")))
+    """Undirected co-mention graph: (src, dst, weight=n_ab), src < dst.
+
+    Pair counts only — skips the PMI machinery (marginal joins, N
+    cross-join, log) that cooccurrence_pmi would compute and this
+    output drops."""
+    pairs = (_pairs_from_sets(turn_entity_sets(linked))
+             .groupBy("a", "b")
+             .agg(F.count("*").alias("weight"))
+             .filter(F.col("weight") >= min_pairs))
+    return pairs.select(F.col("a").alias("src"),
+                        F.col("b").alias("dst"), "weight")
 
 
 def pagerank(edges: DataFrame, iterations: int = 3,
@@ -231,6 +249,20 @@ def triangle_stats(edges: DataFrame, src: str = "src",
            .filter(F.col("a") != F.col("b"))
            .distinct()
            .persist())
+    return _triangle_stats_body(und)
+
+
+def _triangle_stats_body(und: DataFrame) -> DataFrame:
+    try:
+        return _triangle_stats_assemble(und).localCheckpoint(eager=True)
+    finally:
+        # the deduped edge frame feeds FOUR consumers (degree, oriented
+        # edges, edge count, wedge count); the 1-row result checkpoints
+        # eagerly so the cache releases here instead of leaking per call
+        und.unpersist()
+
+
+def _triangle_stats_assemble(und: DataFrame) -> DataFrame:
     deg = (und.select(F.explode(F.array("a", "b")).alias("v"))
            .groupBy("v").agg(F.count("*").alias("d")))
     # orient: u -> w  iff  (d_u, u) < (d_w, w); carry (d_w, w) so the

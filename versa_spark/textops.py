@@ -342,7 +342,10 @@ def repeated_ngrams(df: DataFrame, n: int = 5, min_docs: int = 2,
     no hot-key blowup.  Downstream removal joins this (small, filtered)
     table back to the corpus semi-joined on gram."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    words = F.split(norm, " ")
+    # trim strips spaces only — a leading tab/newline normalizes to a
+    # leading space, so split would emit a phantom '' word that both
+    # inflates the >= n threshold and pollutes boundary grams
+    words = F.filter(F.split(norm, " "), lambda x: x != "")
     grams = F.when(
         F.size(words) >= n,
         F.transform(F.sequence(F.lit(0), F.size(words) - n),
