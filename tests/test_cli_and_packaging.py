@@ -161,3 +161,26 @@ def test_cli_mediameta(tmp_path, spark):
     kinds = {r.kind for r in meta.collect()}
     assert kinds == {"image", "audio"}
     assert "mean_value" in meta.columns
+
+
+def test_cli_graphstats(tmp_path, spark):
+    """graphstats over a small linked-mentions parquet writes the three
+    analytics outputs with consistent shapes."""
+    from versa_spark import cli
+    linked = spark.createDataFrame(
+        [("c", 0, "A"), ("c", 0, "B"), ("c", 1, "A"), ("c", 1, "C"),
+         ("d", 0, "B"), ("d", 0, "C"), ("d", 1, "A"), ("d", 1, "B")],
+        "conv_id string, turn_idx int, entity_iri string")
+    src = str(tmp_path / "linked_in"); linked.write.parquet(src)
+    out = str(tmp_path / "stats_out")
+    rc = cli.main(["graphstats", src, out, "--iterations", "2",
+                   "--cpus", "4"])
+    assert rc == 0
+    pmi = spark.read.parquet(f"{out}/cooccur")
+    assert set(pmi.columns) == {"a", "b", "n_ab", "n_a", "n_b", "pmi"}
+    assert pmi.count() == 3        # AB, AC, BC
+    pr = spark.read.parquet(f"{out}/pagerank")
+    assert pr.count() == 3 and abs(
+        sum(r.rank for r in pr.collect()) - 1.0) < 2e-6   # ranks round 6dp
+    tri = spark.read.parquet(f"{out}/triangles").collect()[0]
+    assert tri.n_triangles == 1    # A-B-C all co-occur pairwise

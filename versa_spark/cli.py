@@ -114,6 +114,29 @@ def _spark_dataop(args) -> int:
                          .getOrCreate())
     ensure_shipped(spark)
     df = spark.read.parquet(args.source)
+    if args.cmd == "graphstats":
+        # KG-analytics bundle over a linked-mentions parquet (the KG
+        # job's `linked` stage shape): co-occurrence/PMI, PageRank over
+        # the symmetrized co-mention graph, triangle census — three
+        # parquet outputs under --out
+        from pyspark.sql import functions as F
+        from versa_spark.kg import analytics
+        linked = df.select("conv_id", "turn_idx", "entity_iri")
+        pmi = analytics.cooccurrence_pmi(linked)
+        pmi.write.mode("overwrite").parquet(f"{args.out}/cooccur")
+        edges = pmi.select(F.col("a").alias("src"),
+                           F.col("b").alias("dst"))
+        sym = edges.unionByName(edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")))
+        pr = analytics.pagerank(sym, iterations=args.iterations)
+        pr.write.mode("overwrite").parquet(f"{args.out}/pagerank")
+        tri = analytics.triangle_stats(edges)
+        tri.write.mode("overwrite").parquet(f"{args.out}/triangles")
+        print(f"graphstats: {pmi.count()} pairs, {pr.count()} ranked "
+              f"nodes, triangle census -> {args.out}")
+        if existing is None:
+            spark.stop()
+        return 0
     if args.cmd == "dedup":
         from versa_spark.dedup import dedup_corpus
         out = dedup_corpus(df, threshold=args.threshold)
@@ -165,9 +188,17 @@ def main(argv=None) -> int:
     p_mm.add_argument("source", help="parquet with (media_id, kind, payload)")
     p_mm.add_argument("out")
     p_mm.add_argument("--cpus", default="4")
+    p_gs = sub.add_parser(
+        "graphstats", help="KG analytics over a linked-mentions parquet "
+                           "(conv_id, turn_idx, entity_iri): "
+                           "co-occurrence/PMI + PageRank + triangles")
+    p_gs.add_argument("source")
+    p_gs.add_argument("out", help="output dir (cooccur/pagerank/triangles)")
+    p_gs.add_argument("--iterations", type=int, default=3)
+    p_gs.add_argument("--cpus", default="4")
     args = ap.parse_args(argv)
 
-    if args.cmd in ("dedup", "sessionize", "mediameta"):
+    if args.cmd in ("dedup", "sessionize", "mediameta", "graphstats"):
         return _spark_dataop(args)
 
     with open(args.source) as f:
