@@ -450,3 +450,25 @@ def test_cooccurrence_edges_weights(spark):
     plan = (analytics.cooccurrence_edges(_linked(spark, rows))
             ._jdf.queryExecution().executedPlan().toString())
     assert "Join" not in plan   # no PMI marginal joins in the edge path
+
+
+def test_asof_join_null_right_ts_never_matches(spark):
+    left = spark.createDataFrame([(1, "u", _ts(5))],
+                                 "event_id long, user_id string, ts timestamp")
+    right = spark.createDataFrame(
+        [(9, "u", None, 7.0)],
+        "event_id long, user_id string, ts timestamp, value double")
+    r = asof_join(left, right, right_cols=("event_id", "value")).collect()[0]
+    # an unknown-time right row can never be "latest at or before"
+    assert (r.event_id_r, r.value_r) == (None, None)
+
+
+def test_session_stats_type_col_param(spark):
+    from versa_spark.events import session_stats
+    ev = spark.createDataFrame(
+        [(1, "u", dt.datetime(2024, 1, 1), 1.0, "{}", "a"),
+         (2, "u", dt.datetime(2024, 1, 1, 0, 1), 1.0, "{}", "b")],
+        "event_id long, user_id string, ts timestamp, value double, "
+        "props string, etype string")
+    out = session_stats(ev, type_col="etype").collect()[0]
+    assert out.n_types == 2

@@ -4,6 +4,7 @@ equality and exact counts."""
 
 import io
 
+import pytest
 from pyspark.sql import functions as F
 
 from versa_spark import I, VTYPE_REL
@@ -223,3 +224,69 @@ def test_remaining_util_ops(spark, rels1):
     assert size(removed) == size(df) - 2
     doubled = df.unionByName(df)
     assert size(ops.uniquify(doubled)) == size(df)
+
+
+# ---------------------------------------------------------------------------
+# round-4 core review fixes
+# ---------------------------------------------------------------------------
+
+def test_remove_links_keeps_null_predicate_rows(spark):
+    from pyspark.sql import functions as F
+    from versa_spark.model import from_quads
+    df = from_quads(spark, [
+        (I("http://x/a"), I("http://x/r"), "keep", {}),
+        (I("http://x/b"), I("http://x/r"), None, {}),      # null target
+        (I("http://x/c"), I("http://x/r"), "gone", {}),
+    ])
+    out = ops.remove_links(df, F.col("target") == "gone")
+    kept = {r.origin for r in out.collect()}
+    # the null-target row's predicate is NULL, not a match — it stays
+    assert kept == {"http://x/a", "http://x/b"}
+
+
+def test_replace_entity_resource_dedups_merged_links(spark):
+    from versa_spark.model import from_quads
+    df = from_quads(spark, [
+        (I("http://x/old"), I("http://x/r"), "t", {}),
+        (I("http://x/new"), I("http://x/r"), "t", {}),
+    ])
+    out = ops.replace_entity_resource(df, "http://x/old", "http://x/new")
+    # the rewrite collapses both into one quad (reference add refuses
+    # exact duplicates, memory.py:179-181)
+    assert out.count() == 1
+
+
+def test_replace_values_dedups_collisions(spark):
+    from versa_spark.model import from_quads
+    df = from_quads(spark, [
+        (I("http://x/o1"), I("http://x/r"), "t", {}),
+        (I("http://x/o2"), I("http://x/r"), "t", {}),
+    ])
+    out = ops.replace_values(df, {"http://x/o1": "http://x/m",
+                                  "http://x/o2": "http://x/m"})
+    assert out.count() == 1
+
+
+def test_zoom_in_does_not_traverse_illegal_uri_chars(spark):
+    # target 'a<b' is a single token but NOT a legal URI reference —
+    # the reference's matches_uri_ref_syntax check refuses to traverse
+    # it.  I() validation forbids such origins in models built via
+    # from_quads, so build the frame raw (the external-parquet case
+    # where unvalidated strings can appear).
+    from versa_spark.model import LINK_SCHEMA
+    rows = [("http://x/f", "http://x/r", "a<b", False, [], None),
+            ("a<b", "http://x/r", "leaked", False, [], None),
+            ("http://x/f", "http://x/r2", "http://x/g", True, [], None),
+            ("http://x/g", "http://x/r", "ok", False, [], None)]
+    df = spark.createDataFrame(rows, LINK_SCHEMA)
+    out = ops.zoom_in(df, "http://x/f", depth=1)
+    targets = {r.target for r in out.collect()}
+    assert "leaked" not in targets and "ok" in targets
+
+
+def test_follow_hops_empty_rels_raises(spark):
+    from versa_spark.model import from_quads
+    df = from_quads(spark, [(I("http://x/a"), I("http://x/r"), "t", {})])
+    start = spark.createDataFrame([("http://x/a",)], ["node"])
+    with pytest.raises(ValueError, match="at least one rel"):
+        ops.follow_hops(df, start, [])

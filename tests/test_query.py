@@ -99,3 +99,36 @@ def test_negation_parse_errors():
                 "?($a, H5 'title', *) or not ?($a, H5L 'see-also', *)"]:
         with pytest.raises(ValueError):
             parse(bad)
+
+
+def test_and_binds_tighter_than_or(model):
+    """Reference precedence (miniparser.py:79-82): OR lower than AND, so
+    'c1 or c2 and c3' is c1 OR (c2 AND c3)."""
+    # c2 AND c3 share $x and intersect to see-also origins that also
+    # have a title → only ndewo/; c1 unions in the title origin (same)
+    q = ("?($x, H5L 'author', *) or "
+         "?($x, H5L 'see-also', *) and ?($x, H5 'title', *)")
+    got = execute(model, q, VARIABLES)
+    # and-group: see-also origins ∩ title origins = {ndewo/}
+    # or with author origins {ndewo/} → {ndewo/}
+    assert got == {"x": {"http://uche.ogbuji.net/ndewo/"}}
+    # left-assoc equal precedence would compute (c1 OR c2) AND c3 with
+    # identical inputs here, so also pin the parse SHAPE:
+    from versa_spark.query import BoolOp, parse
+    ast = parse(q)
+    assert isinstance(ast, BoolOp) and ast.op == "or"
+    assert isinstance(ast.right, BoolOp) and ast.right.op == "and"
+
+
+def test_four_arg_clause_rejected(model):
+    with pytest.raises(ValueError, match="attr-constrained"):
+        parse("?($a, H5 'title', *, extra)")
+
+
+def test_repeated_var_unions_positions(model):
+    """Reference miniast.py:107-113: a var in two positions collects
+    values from BOTH (setdefault().add() union, no row constraint)."""
+    got = execute(model, "?($x, H5L 'see-also', $x)", VARIABLES)
+    assert got == {"x": {
+        "http://uche.ogbuji.net/", "http://uche.ogbuji.net/ndewo/",
+        "https://www.goodreads.com/book/show/18714145-ndewo-colorado"}}

@@ -410,3 +410,30 @@ def test_literate_write_df_parity(spark):
     doc = doc_header(schema=SCHEMA) + "".join(
         r.block for r in sorted(blocks, key=lambda r: r.origin))
     assert doc == buf.getvalue()
+
+
+def test_parse_df_drops_unsupported_object_shapes(spark, tmp_path):
+    """parse_df must not fabricate empty-string literals for lines whose
+    object is lang-tagged, typed, escaped, blank-node, or N-Quads — the
+    driver-side parse() skips those, and the two surfaces must agree."""
+    from versa_spark.serial import ntriples
+    lines = [
+        '<http://x/s> <http://x/p> <http://x/o> .',        # ok: IRI
+        '<http://x/s> <http://x/p> "lit" .',               # ok: literal
+        '<http://x/s> <http://x/p> "" .',                  # ok: EMPTY literal
+        '<http://x/s> <http://x/p> "foo"@en .',            # lang tag
+        '<http://x/s> <http://x/p> "1"^^<http://t> .',     # typed
+        '<http://x/s> <http://x/p> "a\\"b" .',             # escaped quote
+        '<http://x/s> <http://x/p> _:b0 .',                # blank node
+        '<http://x/s> <http://x/p> <http://x/o> <http://g> .',  # N-Quads
+    ]
+    f = tmp_path / "in.nt"
+    f.write_text("\n".join(lines) + "\n")
+    out = ntriples.parse_df(spark, str(f)).collect()
+    targets = sorted((r.target, r.t_iri) for r in out)
+    # exactly the three supported lines survive — including the LEGAL
+    # empty literal, which must be distinguishable from "no match"
+    assert targets == [("", False), ("http://x/o", True), ("lit", False)]
+    # parity: the driver-side parse keeps the same three
+    driver = ntriples.parse("\n".join(lines[:6] + lines[7:]))
+    assert len(driver) == 3

@@ -48,7 +48,8 @@ def sessionize(events: DataFrame, user_col: str = "user_id",
 def session_stats(events: DataFrame, user_col: str = "user_id",
                   ts_col: str = "ts", gap_minutes: int = 30,
                   value_col: str = "value",
-                  props_col: str = "props") -> DataFrame:
+                  props_col: str = "props",
+                  type_col: str = "event_type") -> DataFrame:
     """Per-session rollup: event count, span seconds, value sum, distinct
     event types, and the max of the JSON prop ``k`` (get_json_object —
     JVM-side semi-structured extraction)."""
@@ -63,7 +64,7 @@ def session_stats(events: DataFrame, user_col: str = "user_id",
                  # the rounded sum is engine-independent
                  F.round(F.sum(F.col(value_col).cast("decimal(18,6)")), 2)
                  .cast("double").alias("value_sum"),
-                 F.countDistinct("event_type").alias("n_types"),
+                 F.countDistinct(type_col).alias("n_types"),
                  F.max(k).alias("max_k")))
 
 
@@ -95,6 +96,11 @@ def asof_join(left: DataFrame, right: DataFrame,
     ``ASOF JOIN`` over a per-(by, on) deduped right side.
     """
     payload = F.struct(*[F.col(c).alias(c + suffix) for c in right_cols])
+    # a NULL right timestamp would sort nulls-first and poison every
+    # left row up to the first real right row with its payload; an
+    # unknown-time right row can never be "the latest at or before" —
+    # drop it (left rows with NULL `on` sort first and stay unmatched)
+    right = right.filter(F.col(on).isNotNull())
     r = right.select(
         F.col(by).alias(by), F.col(on).alias(on),
         F.lit(0).alias("_side"),

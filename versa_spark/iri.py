@@ -58,3 +58,10 @@ def absolutize(ref: str, base: str | None) -> str:
 def percent_encode(text: str) -> str:
     """Percent-encode characters not allowed raw in a URI reference."""
     return quote(text, safe=":/#?&=@[]!$&'()*+,;-._~%")
+
+
+# The same character class as _URI_REF_ILLEGAL, spelled for Java regex
+# (Spark ``rlike``): column-level traversability checks must agree with
+# the scalar ``matches_uri_ref_syntax`` above, so both derive from this
+# one definition of "may never appear raw in a URI reference".
+URI_REF_ILLEGAL_JAVA = '[\\x00-\\x20<>"{}|\\\\^`\\x7f]'

@@ -13,7 +13,7 @@ from typing import Iterable, Mapping
 from pyspark.sql import DataFrame, functions as F
 
 from versa_spark import VLABEL_REL, VTYPE_REL
-from versa_spark.iri import matches_uri_ref_syntax
+from versa_spark.iri import URI_REF_ILLEGAL_JAVA
 from versa_spark.model import QUAD_COLS, dedup_links, union_models
 
 
@@ -161,6 +161,11 @@ def follow_hops(df: DataFrame, start: DataFrame, rels: Iterable[str],
     ``follow`` action loop (pipeline/other_actions.py:295-329) as chained
     equi-joins; a 1-hop follow against a small model should pass
     ``F.broadcast(df)``."""
+    rels = list(rels)
+    if not rels:
+        raise ValueError("follow_hops needs at least one rel (an empty "
+                         "chain would reference hop columns that were "
+                         "never produced)")
     frontier = start.select(F.col(start_col).alias("node"),
                             F.col(start_col).alias("_cur"))
     for i, rel in enumerate(rels):
@@ -191,8 +196,14 @@ def zoom_in(df: DataFrame, focus, depth: int = 1,
     for _ in range(depth + 1):
         layer = df.join(F.broadcast(frontier), "origin", "left_semi")
         out = layer if out is None else union_models(out, layer)
+        # traversable iff it could be a URI reference — the COLUMN
+        # form of iri.matches_uri_ref_syntax (same character class the
+        # reference applies at util.py:247), not a mere no-whitespace
+        # test: 'a<b' or '{x}' must not be traversed
         frontier = (layer.filter(F.col("t_iri") |
-                                 F.col("target").rlike(r"^\S+$"))
+                                 ((F.col("target") != "") &
+                                  ~F.col("target")
+                                  .rlike(URI_REF_ILLEGAL_JAVA)))
                     .select(F.col("target").alias("origin")).distinct())
         if depth == 0:
             break
@@ -257,7 +268,7 @@ def replace_entity_resource(df: DataFrame, oldres, newres) -> DataFrame:
     entity linking; for bulk mappings use a broadcast-join variant in
     kg/job.py."""
     oldres, newres = str(oldres), str(newres)
-    return df.select(
+    out = df.select(
         F.when(F.col("origin") == oldres, F.lit(newres))
          .otherwise(F.col("origin")).alias("origin"),
         F.col("rel"),
@@ -269,6 +280,10 @@ def replace_entity_resource(df: DataFrame, oldres, newres) -> DataFrame:
             F.when(e["v"] == oldres, F.lit(newres)).otherwise(e["v"]).alias("v")
         )).alias("attrs"),
         F.col("link_ix"))
+    # merging two entities can collapse their links into exact
+    # duplicates; the reference model's add refuses those
+    # (memory.py:179-181), so dedup to keep parity
+    return dedup_links(out)
 
 
 def replace_values(df: DataFrame, mapping: Mapping) -> DataFrame:
@@ -277,9 +292,10 @@ def replace_values(df: DataFrame, mapping: Mapping) -> DataFrame:
     spark = df.sparkSession
     map_df = spark.createDataFrame(
         [(str(k), str(v)) for k, v in mapping.items()], "_from string, _to string")
-    return (df.join(F.broadcast(map_df), df.origin == map_df._from, "left")
-            .select(F.coalesce("_to", "origin").alias("origin"),
-                    "rel", "target", "t_iri", "attrs", "link_ix"))
+    out = (df.join(F.broadcast(map_df), df.origin == map_df._from, "left")
+           .select(F.coalesce("_to", "origin").alias("origin"),
+                   "rel", "target", "t_iri", "attrs", "link_ix"))
+    return dedup_links(out)  # remapped origins may collide — see above
 
 
 def duplicate_statements(df: DataFrame, oldorigin, neworigin) -> DataFrame:
@@ -292,8 +308,11 @@ def duplicate_statements(df: DataFrame, oldorigin, neworigin) -> DataFrame:
 
 def remove_links(df: DataFrame, condition) -> DataFrame:
     """Delete by predicate (reference ``remove`` by statement id,
-    memory.py:231-243 — anti-join semantics)."""
-    return df.filter(~condition)
+    memory.py:231-243 — anti-join semantics): rows NOT matching the
+    condition are kept, INCLUDING rows where the predicate evaluates to
+    SQL NULL (e.g. a null target compared with ==) — a bare
+    ``filter(~cond)`` would silently delete those."""
+    return df.filter(~F.coalesce(condition, F.lit(False)))
 
 
 def uniquify(df: DataFrame) -> DataFrame:

@@ -148,25 +148,44 @@ def parse(q: str):
         take("close")
         if len(args) < 3:
             raise ValueError("match clause needs (origin, rel, target)")
-        return Clause(args[:3])
+        if len(args) > 3:
+            # the reference grammar forwards a 4th positional straight
+            # into multimatch's attrs parameter, but the mini grammar
+            # has no dict-literal syntax to express a usable value —
+            # refuse loudly instead of silently dropping the constraint
+            raise ValueError(
+                "attr-constrained clauses (a 4th argument) are not "
+                "supported; filter attributes with ops.multimatch "
+                "directly")
+        return Clause(args)
+
+    def parse_and():
+        # 'and' binds tighter than 'or' (reference miniparser.py:79-82
+        # precedence: OR listed first = lower), so an and-chain is one
+        # unit inside the or-level loop below
+        node = parse_clause()
+        while peek() == ("name", "and"):
+            take("name")
+            if peek() == ("name", "not"):
+                take("name")
+                node = BoolOp("and", node, Negation(parse_clause()))
+            else:
+                node = BoolOp("and", node, parse_clause())
+        return node
 
     def parse_query():
         nonlocal ix
         if peek() == ("name", "not"):
             raise ValueError("negation needs a positive clause on its "
                              "left ('… and not ?(…)')")
-        node = parse_clause()
-        while peek() == ("name", "and") or peek() == ("name", "or"):
-            op = take("name")
+        node = parse_and()
+        while peek() == ("name", "or"):
+            take("name")
             if peek() == ("name", "not"):
-                take("name")
-                if op != "and":
-                    raise ValueError(
-                        "'or not' has no set to subtract from; negation "
-                        "is only supported as 'and not'")
-                node = BoolOp("and", node, Negation(parse_clause()))
-                continue
-            node = BoolOp(op, node, parse_clause())
+                raise ValueError(
+                    "'or not' has no set to subtract from; negation "
+                    "is only supported as 'and not'")
+            node = BoolOp("or", node, parse_and())
         return node
 
     node = parse_query()
@@ -205,8 +224,13 @@ def _eval_clause(df: DataFrame, clause: Clause, variables,
     out = {}
     for pos, arg in enumerate(clause.args):
         if isinstance(arg, Var):
-            out[arg.name] = (filtered.select(
-                F.col(_POS_COL[pos]).alias("value")).distinct())
+            # a variable repeated within one clause UNIONS its
+            # positions' values (reference miniast.py:107-113 —
+            # setdefault().add() per position; there is no row-wise
+            # equality constraint in the reference either)
+            vals = filtered.select(F.col(_POS_COL[pos]).alias("value"))
+            out[arg.name] = (out[arg.name].unionByName(vals).distinct()
+                             if arg.name in out else vals.distinct())
     return out
 
 

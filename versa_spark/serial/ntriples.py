@@ -86,7 +86,16 @@ def parse_df(spark, path_or_df, only_rel=None, exclude_rel=None,
         F.regexp_extract(line, NT_REGEX_OBJ_LIT, 1).alias("t_lit_val"),
         line.alias("_line"),
     ).filter((F.col("origin") != "") & (F.col("rel_raw") != "")
-             & (F.col("_line").rlike(r"\.\s*$")))
+             # the WHOLE line must match one of the two object shapes:
+             # regexp_extract alone returns '' for both "no match" and
+             # a legal empty literal, so without this a lang-tagged,
+             # typed-literal, escaped-quote, blank-node, or N-Quads
+             # line would silently fabricate an empty-string literal.
+             # Such lines are DROPPED — the same lines the driver-side
+             # parse() skips (blank nodes, which parse() raises on, are
+             # dropped too: a distributed filter cannot raise per row)
+             & (F.col("_line").rlike(NT_REGEX_OBJ_IRI)
+                | F.col("_line").rlike(NT_REGEX_OBJ_LIT)))
     out = parsed.select(
         "origin",
         F.when(F.col("rel_raw") == RDF_TYPE_REL, F.lit(str(VTYPE_REL)))
