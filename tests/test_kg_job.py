@@ -337,3 +337,20 @@ def test_write_distribution_bounds_file_count(spark, tmp_path):
     a = {(r.origin, r.rel, r.target) for r in out["graph"].collect()}
     b = {(r.origin, r.rel, r.target) for r in out2["graph"].collect()}
     assert a == b
+
+
+def test_link_entities_scored_partitioning_invariant(spark):
+    """The mention id is a deterministic row hash, so linking results
+    cannot depend on partition layout or plan-branch re-evaluation
+    (round-4 review: monotonically_increasing_id was branch-unstable)."""
+    from versa_spark.kg import linking
+    mentions = spark.createDataFrame(
+        [("c", 0, "http://t/0", "spark"), ("c", 1, "http://t/1", "Spark "),
+         ("d", 0, "http://t/2", "joins"), ("d", 1, "http://t/3", "nosuch")],
+        "conv_id string, turn_idx int, turn_iri string, surface string")
+    d = linking.canonical_dictionary(spark)
+    a = sorted(map(tuple, linking.link_entities_scored(mentions, d)
+                   .collect()))
+    b = sorted(map(tuple, linking.link_entities_scored(
+        mentions.repartition(7), d).collect()))
+    assert a == b and len(a) == 4

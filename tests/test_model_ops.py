@@ -290,3 +290,15 @@ def test_follow_hops_empty_rels_raises(spark):
     start = spark.createDataFrame([("http://x/a",)], ["node"])
     with pytest.raises(ValueError, match="at least one rel"):
         ops.follow_hops(df, start, [])
+
+
+def test_attrs_map_duplicate_keys_last_wins(spark):
+    """map_from_entries throws on duplicate keys under the default
+    mapKeyDedupPolicy; attrs_map dedups in-plan, last wins."""
+    from versa_spark.model import attrs_map
+    df = spark.createDataFrame(
+        [([{"k": "a", "v": "1"}, {"k": "a", "v": "2"},
+           {"k": "b", "v": "3"}],)],
+        "attrs array<struct<k:string,v:string>>")
+    assert df.select(attrs_map("attrs").alias("m")).collect()[0].m == {
+        "a": "2", "b": "3"}

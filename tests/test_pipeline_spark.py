@@ -113,3 +113,72 @@ def test_union_model_dedups_cross_group(spark, grouped_links):
         out.filter((out.rel == str(VTYPE_REL)) &
                    (out.target == str(BF("Person")))))
     assert persons.count() == 2
+
+
+def test_dummy_context_never_accumulates_state():
+    """Invariant behind worker-reuse safety: the module-global
+    DUMMY_CONTEXT's mutable containers stay EMPTY across pipeline runs —
+    context.__init__ re-freshens falsy containers at every derivation,
+    so per-run state (entity ledger, hooks, variables) can never attach
+    to the shared global (round-4 review finding, refuted and pinned)."""
+    from versa_spark.iriref import I
+    from versa_spark.local import LocalModel
+    from versa_spark.pipeline import (follow, generic_pipeline, link,
+                                      materialize)
+    from versa_spark.pipeline.core import DUMMY_CONTEXT
+
+    TYPE = I("http://bibfra.me/purl/versa/type")
+    B = lambda s: I("http://example.org/vocab/" + s)  # noqa: E731
+    S = lambda s: I("https://schema.org/" + s)        # noqa: E731
+    quads = [
+        (I("http://example.org/p/1"), TYPE, B("Book"), {}),
+        (I("http://example.org/p/1"), B("title"), "T", {}),
+        (I("http://example.org/p/1"), B("identifier"), "9", {}),
+    ]
+
+    def make():
+        return generic_pipeline(
+            {B("Book"): materialize(
+                S("Book"),
+                vars={"src": "fixed"},
+                fprint=[(S("isbn"), follow(B("identifier")))])},
+            {B("title"): link(rel=S("name"))},
+            {S("Book"): follow(S("name"))})
+
+    out1 = sorted(make().run(input_model=LocalModel(list(quads))))
+    assert len(DUMMY_CONTEXT.existing_ids) == 0
+    assert DUMMY_CONTEXT.variables == {} and DUMMY_CONTEXT.extras == {}
+    # a second run over the SAME entity (the reused-worker case) emits
+    # the identical links — nothing was suppressed by a shared ledger
+    out2 = sorted(make().run(input_model=LocalModel(list(quads))))
+    assert out1 == out2 and len(out1) > 0
+
+
+def test_foreach_action_evaluating_none_falls_back_to_context():
+    """Reference other_actions.py:265-274: the None check applies to the
+    EVALUATED value — var() on an unset variable behaves like an
+    omitted argument."""
+    from versa_spark.iriref import I
+    from versa_spark.local import LocalModel
+    from versa_spark.pipeline import foreach, link, var
+    from versa_spark.pipeline.core import context
+
+    ctx = context(
+        (I("http://x/o"), I("http://x/r"), "t", {}),
+        LocalModel(), output_model=LocalModel())
+    foreach(origin=var("unset"),
+            action=link(rel=I("http://x/r2")))(ctx)
+    out = list(ctx.output_model)
+    assert out == [(I("http://x/o"), I("http://x/r2"), "t", {})]
+
+
+def test_replace_from_list_order_is_first_occurrence():
+    import re
+    from versa_spark.local import LocalModel
+    from versa_spark.pipeline import replace_from
+    from versa_spark.pipeline.core import context
+
+    act = replace_from([(re.compile(r"x(\d)"), r"y\1")],
+                       ["x1", "x2", "x1", "plain"])
+    ctx = context((None, None, None, {}), LocalModel())
+    assert act(ctx) == ["y1", "y2", "plain"]   # deduped, stable order

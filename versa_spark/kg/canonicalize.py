@@ -47,7 +47,11 @@ def entity_mention_counts(linked_mentions: DataFrame, salt: int = 16,
             .agg(F.sum("_n").alias("n_mentions"),
                  F.size(F.array_distinct(
                      F.flatten(F.collect_list("_convs")))).alias("n_convs"))
-            .withColumn("n_mentions", F.col("n_mentions").cast("long")))
+            .withColumn("n_mentions", F.col("n_mentions").cast("long"))
+            # F.size yields int; the unsalted path's countDistinct yields
+            # long — cast so the two documented-equivalent forms agree in
+            # schema (unions/appends across them must not type-clash)
+            .withColumn("n_convs", F.col("n_convs").cast("long")))
 
 
 def entity_links(linked_mentions: DataFrame) -> DataFrame:

@@ -125,8 +125,18 @@ def link_entities_scored(mentions: DataFrame, dictionary: DataFrame,
 
     norm = F.regexp_replace(F.lower(F.trim(F.col("surface"))), r"\s+", " ")
     stem = F.regexp_replace(norm, r"(es|s)$", "")
+    # the mention id must be STABLE across plan branches: this frame
+    # feeds three candidate joins plus the final join-back, and each
+    # branch re-evaluates it — monotonically_increasing_id depends on
+    # partition layout and shuffle fetch order, so a retry or AQE
+    # re-plan could give the same row different ids per branch and
+    # mislink.  A deterministic row hash is branch-invariant; duplicate
+    # mention rows share an id and therefore (correctly) share the same
+    # best candidate.  (Requires hashable column types — no map
+    # columns — which every mention frame here satisfies.)
     m = (mentions
-         .withColumn("_mid", F.monotonically_increasing_id())
+         .withColumn("_mid", F.xxhash64(*[F.col(c)
+                                          for c in mentions.columns]))
          .withColumn("_norm", norm)
          .withColumn("_stem", stem))
 

@@ -123,16 +123,37 @@ def union_models(*dfs: DataFrame) -> DataFrame:
 def with_link_ix(df: DataFrame) -> DataFrame:
     """(Re)assign deterministic statement order by sorting on the canonical
     quad representation. Used where the reference relies on list order but
-    no explicit order exists."""
+    no explicit order exists.
+
+    SCALE CAVEAT: the unpartitioned Window funnels the whole model
+    through one task — a global total order is inherently serial.  Fine
+    for reference-semantics fixtures and serializer output (the only
+    callers); for bulk tables needing a stable per-row key at scale,
+    key on content (xxhash64 of the canonical quad) or order within an
+    origin bucket instead — a 10^12-row frame must never pass through
+    this function."""
     w = Window.orderBy("origin", "rel", "target", "t_iri",
                        F.to_json(F.col("attrs")))
     return df.withColumn("link_ix", F.row_number().over(w).cast("long") - 1)
 
 
 def attrs_map(col="attrs"):
-    """Expression: attrs entry array → map<string,string> (last wins for
-    repeated keys)."""
-    return F.map_from_entries(F.col(col) if isinstance(col, str) else col)
+    """Expression: attrs entry array → map<string,string>, last wins for
+    repeated keys.
+
+    Spark's default ``spark.sql.mapKeyDedupPolicy=EXCEPTION`` makes a
+    bare ``map_from_entries`` THROW on the duplicate keys that folded
+    list-valued attributes legitimately produce, so entries are deduped
+    in-plan first: keep entry i iff no later entry shares its key
+    (O(n²) over the handful of attrs on a link — array expressions,
+    no UDF, independent of the session's dedup policy)."""
+    c = F.col(col) if isinstance(col, str) else col
+    deduped = F.filter(
+        c, lambda e, i: ~F.exists(
+            F.slice(c, i + F.lit(2),
+                    F.greatest(F.size(c) - i - 1, F.lit(0))),
+            lambda later: later["k"] == e["k"]))
+    return F.map_from_entries(deduped)
 
 
 def size(df: DataFrame) -> int:

@@ -405,10 +405,16 @@ def foreach(origin=None, rel=None, target=None, attributes=None, action=None):
     @pipeline_action
     def _foreach(ctx):
         (co, cr, ct, ca) = ctx.current_link
-        o_ = [co] if origin is None else _listify(_ev(origin, ctx))
-        r_ = [cr] if rel is None else _listify(_ev(rel, ctx))
-        t_ = [ct] if target is None else _listify(_ev(target, ctx))
-        a_ = [ca] if attributes is None else _listify(_ev(attributes, ctx))
+        # the None check applies to the EVALUATED value, not the spec
+        # (other_actions.py:265-274): an action that evaluates to None —
+        # e.g. var() on an unset variable — falls back to the context
+        # link's component, exactly as an omitted argument does
+        _o, _r = _ev(origin, ctx), _ev(rel, ctx)
+        _t, _a = _ev(target, ctx), _ev(attributes, ctx)
+        o_ = [co] if _o is None else _listify(_o)
+        r_ = [cr] if _r is None else _listify(_r)
+        t_ = [ct] if _t is None else _listify(_t)
+        a_ = [ca] if _a is None else _listify(_a)
         subctxs = [ctx.copy(current_link=(o, r, t, a))
                    for o in o_ for r in r_ for t in t_ for a in a_ if o]
         if action:
@@ -524,14 +530,20 @@ def replace_from(patterns, old_text):
         old = _ev(old_text, ctx)
         was_list = isinstance(old, list)
         texts = old if was_list else [old] if old is not None else []
-        out = set()
+        # order-preserving dedup: the reference collects through a set
+        # (other_actions.py:483-493) whose list order varies with the
+        # process hash seed — first-occurrence order has the same
+        # CONTENTS but is deterministic across executors, which an
+        # order-bearing distributed output requires
+        seen = {}
         for text in texts:
             new = text
             for pat, repl in patterns:
                 if pat.match(text):
                     new = pat.sub(repl, text)
-            out.add(new)
-        return list(out) if was_list else (next(iter(out)) if out else None)
+            seen.setdefault(new, None)
+        vals = list(seen)
+        return vals if was_list else (vals[0] if vals else None)
     return _replace
 
 
