@@ -45,18 +45,13 @@ LEXICON = {
 _MENTION_PAT = r"\b(" + "|".join(sorted(LEXICON, key=len, reverse=True)) + r")\b"
 
 
-def extract_mentions_udf():
-    """pandas UDF: text → array of distinct lexicon surface forms, in
-    first-occurrence order (deterministic).
-
-    Vectorization: the whole Arrow batch is joined into one buffer with a
-    NUL separator (a non-word char, so \\b semantics are preserved at row
-    edges) and scanned with ONE C-level ``finditer``; match offsets map
-    back to rows via ``np.searchsorted`` over cumulative row offsets.
-    ~40× the per-row findall loop on 100-word texts."""
-    pat = re.compile(_MENTION_PAT)
-
-    @F.pandas_udf(ArrayType(StringType()))
+def _batch_extract_kernel(pat, mapper=None):
+    """The shared vectorized extraction kernel both mention UDFs wrap:
+    one C-level ``finditer`` over the NUL-joined Arrow batch blob, match
+    offsets mapped back to rows via ``np.searchsorted`` over cumulative
+    row offsets, per-row first-occurrence dedup.  ``mapper`` (a dict)
+    turns a matched surface into its emitted value — the surface index
+    for the compact UDF; ``None`` emits the surface string itself."""
     def _extract(texts):
         import numpy as np
         import pandas as pd
@@ -73,7 +68,8 @@ def extract_mentions_udf():
         matches = []
         positions = []
         for m in pat.finditer(blob):
-            matches.append(m.group())
+            g = m.group()
+            matches.append(g if mapper is None else mapper[g])
             positions.append(m.start())
         rows = np.searchsorted(
             starts, np.asarray(positions, dtype=np.int64),
@@ -89,6 +85,20 @@ def extract_mentions_udf():
                 out[row].append(w)
         return pd.Series(out)
     return _extract
+
+
+def extract_mentions_udf():
+    """pandas UDF: text → array of distinct lexicon surface forms, in
+    first-occurrence order (deterministic).
+
+    Vectorization: the whole Arrow batch is joined into one buffer with a
+    NUL separator (a non-word char, so \\b semantics are preserved at row
+    edges) and scanned with ONE C-level ``finditer``; match offsets map
+    back to rows via ``np.searchsorted`` over cumulative row offsets.
+    ~40× the per-row findall loop on 100-word texts."""
+    pat = re.compile(_MENTION_PAT)
+    return F.pandas_udf(_batch_extract_kernel(pat),
+                        ArrayType(StringType()))
 
 
 # deterministic index space for the compact mention encoding
@@ -114,43 +124,10 @@ def extract_mention_ids_udf():
     memory-traffic-bound once several workers share one bus.  The
     strings are reconstituted JVM-side by element_at over a 17-element
     literal array (turn_mentions)."""
-    import re as _re
-    pat = _re.compile(_MENTION_PAT)
-    ix = dict(_SURFACE_IX)
+    pat = re.compile(_MENTION_PAT)
     from pyspark.sql.types import ByteType
-
-    @F.pandas_udf(ArrayType(ByteType()))
-    def _extract(texts):
-        import numpy as np
-        import pandas as pd
-
-        vals = texts.fillna("").tolist()
-        n = len(vals)
-        if n == 0:
-            return pd.Series([], dtype=object)
-        blob = "\x00".join(vals)
-        lens = np.fromiter((len(v) for v in vals), dtype=np.int64, count=n)
-        starts = np.zeros(n, dtype=np.int64)
-        np.cumsum(lens[:-1] + 1, out=starts[1:])
-        matches = []
-        positions = []
-        for m in pat.finditer(blob):
-            matches.append(ix[m.group()])
-            positions.append(m.start())
-        rows = np.searchsorted(
-            starts, np.asarray(positions, dtype=np.int64),
-            side="right") - 1
-        out = [[] for _ in range(n)]
-        seen = [None] * n
-        for row, w in zip(rows.tolist(), matches):
-            s = seen[row]
-            if s is None:
-                s = seen[row] = set()
-            if w not in s:
-                s.add(w)
-                out[row].append(w)
-        return pd.Series(out)
-    return _extract
+    return F.pandas_udf(_batch_extract_kernel(pat, dict(_SURFACE_IX)),
+                        ArrayType(ByteType()))
 
 
 def turn_mentions(turns: DataFrame) -> DataFrame:

@@ -102,6 +102,31 @@ def resource_id_fallback_udf(etype: str, name_rel: str):
     return _rid
 
 
+def _unlinked_fallback_cols(ent_col: str, canon_col: str):
+    """The three output columns every linker shares: ``linked``,
+    ``canonical`` (surface fallback), ``entity_iri`` (dictionary hit, or
+    the deterministic fingerprint ID under entity/unlinked/).  Only
+    misses pay the hash UDF; non-ASCII surfaces route through the UDF's
+    json.dumps path so the \\uXXXX escaping matches the reference
+    byte-for-byte."""
+    ascii_safe = F.col("surface").rlike(_ASCII_SAFE)
+    miss = F.col(ent_col).isNull()
+    plaintext = F.when(
+        miss & ascii_safe,
+        fingerprint_plaintext_col(TYPE_CONCEPT, ENT + "name",
+                                  F.col("surface")))
+    raw_surface = F.when(miss & ~ascii_safe, F.col("surface"))
+    rid = resource_id_fallback_udf(TYPE_CONCEPT, ENT + "name")
+    return [
+        F.col(ent_col).isNotNull().alias("linked"),
+        F.coalesce(F.col(canon_col), F.col("surface")).alias("canonical"),
+        F.coalesce(
+            F.col(ent_col),
+            F.concat(F.lit(ENT + "unlinked/"), rid(plaintext, raw_surface))
+        ).alias("entity_iri"),
+    ]
+
+
 def link_entities_scored(mentions: DataFrame, dictionary: DataFrame,
                          broadcast: bool = True,
                          min_score: float = 0.5) -> DataFrame:
@@ -168,23 +193,11 @@ def link_entities_scored(mentions: DataFrame, dictionary: DataFrame,
                     F.col("entity_iri").alias("_e"), "score"))
 
     out = m.join(best, "_mid", "left")
-    ascii_safe = F.col("surface").rlike(_ASCII_SAFE)
-    miss = F.col("_e").isNull()
-    plaintext = F.when(
-        miss & ascii_safe,
-        fingerprint_plaintext_col(TYPE_CONCEPT, ENT + "name",
-                                  F.col("surface")))
-    raw_surface = F.when(miss & ~ascii_safe, F.col("surface"))
-    rid = resource_id_fallback_udf(TYPE_CONCEPT, ENT + "name")
+    linked_col, canon_col, ent_col = _unlinked_fallback_cols("_e", "_c")
     return out.select(
-        *mentions.columns,
-        F.col("_e").isNotNull().alias("linked"),
+        *mentions.columns, linked_col,
         F.coalesce(F.col("score"), F.lit(0.0)).alias("link_score"),
-        F.coalesce(F.col("_c"), F.col("surface")).alias("canonical"),
-        F.coalesce(
-            F.col("_e"),
-            F.concat(F.lit(ENT + "unlinked/"), rid(plaintext, raw_surface))
-        ).alias("entity_iri"))
+        canon_col, ent_col)
 
 
 def link_entities(mentions: DataFrame, dictionary: DataFrame,
@@ -194,23 +207,5 @@ def link_entities(mentions: DataFrame, dictionary: DataFrame,
     fingerprint ID under entity/unlinked/)."""
     dict_df = F.broadcast(dictionary) if broadcast else dictionary
     out = mentions.join(dict_df, "surface", "left")
-    # Only misses pay the hash UDF: hits get a NULL plaintext the kernel
-    # skips (vectorized branch, not a per-row conditional).  Non-ASCII
-    # surfaces route through the UDF's json.dumps path so the \uXXXX
-    # escaping matches the Python/reference plaintext byte-for-byte.
-    ascii_safe = F.col("surface").rlike(_ASCII_SAFE)
-    miss = F.col("entity_iri").isNull()
-    plaintext = F.when(
-        miss & ascii_safe,
-        fingerprint_plaintext_col(TYPE_CONCEPT, ENT + "name",
-                                  F.col("surface")))
-    raw_surface = F.when(miss & ~ascii_safe, F.col("surface"))
-    rid = resource_id_fallback_udf(TYPE_CONCEPT, ENT + "name")
-    return out.select(
-        *mentions.columns,
-        F.col("entity_iri").isNotNull().alias("linked"),
-        F.coalesce(F.col("canonical"), F.col("surface")).alias("canonical"),
-        F.coalesce(
-            F.col("entity_iri"),
-            F.concat(F.lit(ENT + "unlinked/"), rid(plaintext, raw_surface))
-        ).alias("entity_iri"))
+    return out.select(*mentions.columns,
+                      *_unlinked_fallback_cols("entity_iri", "canonical"))
