@@ -1427,11 +1427,16 @@ def oracle_sql() -> dict[str, str]:
         "token_quality": f"""
             WITH w AS (
                 SELECT doc_id, text,
-                       CASE WHEN length(trim(text)) = 0 THEN []
-                            ELSE regexp_split_to_array(trim(text), '\\s+')
+                       CASE WHEN length(ws_stripped) = 0 THEN []
+                            ELSE regexp_split_to_array(ws_stripped,
+                                                       '\\s+')
                        END AS words,
-                       length(text) AS n_chars
-                FROM documents),
+                       length(text) AS n_chars,
+                       length(regexp_replace(ws_stripped, '\\s+', ' ',
+                                             'g')) AS n_chars_norm
+                FROM (SELECT *, regexp_replace(text,
+                          '^\\s+|\\s+$', '', 'g') AS ws_stripped
+                      FROM documents)),
             feat AS (
                 SELECT doc_id,
                    CAST(len(words) AS INT) AS ws_tokens,
@@ -1442,7 +1447,7 @@ def oracle_sql() -> dict[str, str]:
                        x -> list_contains([{stop_list}], lower(x))))
                        AS n_stop,
                    len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
-                   n_chars
+                   n_chars, n_chars_norm
                 FROM w)
             SELECT doc_id, ws_tokens, bpe_tokens, n_words,
                    round(CASE WHEN n_words > 0
@@ -1459,9 +1464,11 @@ def oracle_sql() -> dict[str, str]:
                            CAST(n_stop AS DOUBLE)/n_words < 0.6
                            THEN 0.2 ELSE 0.0 END)
                    + (CASE WHEN n_words > 0 AND
-                           CAST(n_chars - n_words + 1 AS DOUBLE)/n_words > 2
+                           CAST(n_chars_norm - n_words + 1 AS DOUBLE)
+                               / n_words > 2
                            AND
-                           CAST(n_chars - n_words + 1 AS DOUBLE)/n_words < 12
+                           CAST(n_chars_norm - n_words + 1 AS DOUBLE)
+                               / n_words < 12
                            THEN 0.2 ELSE 0.0 END), 2) AS quality
             FROM feat
         """,

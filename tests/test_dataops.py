@@ -931,3 +931,48 @@ def test_resample_audio_payload_roundtrip(spark):
     assert rate == 500 and n_ch == 1
     assert dec.tolist() == [0, -200, -400, -600]
     assert out.mean_abs == round((0 + 200 + 400 + 600) / 4, 6)
+
+
+def test_minhash_bands_must_divide_num_hashes(spark):
+    import pytest
+    from versa_spark import dedup
+    docs = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="evenly divide"):
+        dedup.minhash_lsh_candidates(docs, bands=128, num_hashes=64)
+    with pytest.raises(ValueError, match="evenly divide"):
+        dedup.minhash_lsh_candidates(docs, bands=48, num_hashes=64)
+
+
+def test_simhash_banding_adapts_to_radius(spark):
+    """The band count is max_hamming+1, so the pigeonhole recall
+    guarantee holds for ANY radius (a fixed 4-band split silently
+    missed pairs beyond Hamming 3)."""
+    from versa_spark import dedup
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
+        ["doc_id", "text"])
+    # identical docs: one 64-bit band, exact-signature bucket — found
+    out0 = dedup.simhash_near_dups(docs, max_hamming=0).collect()
+    assert [(r.a, r.b, r.hamming) for r in out0] == [(1, 2, 0)]
+    # different docs at radius 0: no pair
+    docs2 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+        ["doc_id", "text"])
+    assert dedup.simhash_near_dups(docs2, max_hamming=0).count() == 0
+
+
+def test_ivf_assign_empty_centroids_raises(spark):
+    import pytest
+    from versa_spark import simsearch
+    emb = spark.createDataFrame([(1, [0.1, 0.2])], ["vec_id", "v"])
+    with pytest.raises(ValueError, match="at least one centroid"):
+        simsearch.ivf_assign(emb, [])
+
+
+def test_quality_mean_word_len_ignores_whitespace_padding(spark):
+    from versa_spark.textops import quality_score
+    df = spark.createDataFrame(
+        [(0, "hi there"), (1, "  hi    there  \n")], ["doc_id", "text"])
+    out = {r.doc_id: r.mean_word_len
+           for r in quality_score(df).collect()}
+    assert out[0] == out[1] == 3.5   # (8 - 2 + 1) / 2 on collapsed text

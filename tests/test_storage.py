@@ -101,3 +101,45 @@ def test_iceberg_ddl_spells_the_layout():
         assert order.startswith(f"ALTER TABLE kg.{kind} WRITE ORDERED BY")
     with pytest.raises(ValueError):
         storage.iceberg_ddl(kind="nope")
+
+
+def test_match_stored_reads_writer_bucket_count(tmp_path, spark):
+    """A reader with a mismatched n_buckets computes the wrong bucket and
+    silently prunes the data away — the layout sidecar prevents it."""
+    from versa_spark import storage
+    from versa_spark.model import from_quads
+    from versa_spark.iriref import I
+    df = from_quads(spark, [
+        (I(f"http://x/o{i}"), I("http://x/r"), f"t{i}", {})
+        for i in range(20)])
+    path = str(tmp_path / "m32")
+    storage.write_model(df, path, n_buckets=32)
+    assert storage.stored_n_buckets(path) == 32
+    model = storage.read_model(spark, path)
+    # wrong explicit n_buckets + path → sidecar wins → correct rows
+    out = storage.match_stored(model, origin="http://x/o7",
+                               n_buckets=64, path=path)
+    assert out.count() == 1
+    # falsy origin is a wildcard (ops.match truthiness), not a bucket key
+    assert storage.match_stored(model, origin="", path=path).count() == 20
+
+
+def test_stream_graph_epoch_replay_is_idempotent(tmp_path, spark):
+    """Re-writing the same epoch partition (the foreachBatch replay case)
+    must not duplicate triples — dynamic partition overwrite semantics."""
+    from versa_spark import streaming as st
+    from versa_spark.kg.transcripts import synthetic_transcripts
+
+    in_dir = str(tmp_path / "in"); out_dir = str(tmp_path / "out")
+    ck1 = str(tmp_path / "ck1"); ck2 = str(tmp_path / "ck2")
+    tx = synthetic_transcripts(spark, n_convs=4, turns_per_conv=5)
+    tx.write.parquet(in_dir)
+    q = st.stream_graph_query(spark, in_dir, out_dir, ck1)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(out_dir).count()
+    # fresh checkpoint over the same input replays epoch 0: the write
+    # must overwrite the epoch partition, not append a second copy
+    q = st.stream_graph_query(spark, in_dir, out_dir, ck2)
+    q.awaitTermination(120)
+    n2 = spark.read.parquet(out_dir).count()
+    assert n1 > 0 and n2 == n1

@@ -165,6 +165,14 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
     are counted per candidate pair, so the verify stage costs
     O(candidates), never the full-corpus all-pairs join it exists to
     avoid."""
+    if bands <= 0 or num_hashes % bands != 0:
+        # bands > num_hashes would give 0-row bands whose bucket is the
+        # same constant for every doc — the all-pairs quadratic join LSH
+        # exists to avoid; a non-divisor would silently drop trailing
+        # signature values and change recall
+        raise ValueError(
+            f"bands ({bands}) must evenly divide num_hashes "
+            f"({num_hashes})")
     rows_per = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, k, num_hashes,
                              hash_family)
@@ -268,22 +276,43 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text",
                       max_hamming: int = 3,
                       hash_family: str = "xxhash64") -> DataFrame:
-    """Near-dup pairs by SimHash: candidates bucket on 16-bit bands (any
-    identical band → candidate; Hamming ≤ 3 over 4 bands guarantees one
-    matching band by pigeonhole), then exact Hamming filter."""
+    """Near-dup pairs by SimHash: candidates bucket on bit bands (any
+    identical band → candidate), then exact Hamming filter.
+
+    The band count ADAPTS to the radius: max_hamming + 1 bands
+    partitioning the 64 signature bits guarantee, by pigeonhole, that a
+    pair within the radius leaves at least one band untouched and so
+    shares a bucket — a FIXED 4-band split would silently miss pairs
+    beyond Hamming 3 (4 differing bits can land one per band).  Wider
+    radii therefore mean narrower bands → more candidate pairs for the
+    exact filter, the standard recall/cost trade."""
+    n_bands = max(1, min(64, int(max_hamming) + 1))
+    base, extra = divmod(64, n_bands)
+    # band b covers [offsets[b], offsets[b+1]) — first `extra` bands one
+    # bit wider so the widths partition all 64 bits exactly
+    offsets = [0]
+    for b in range(n_bands):
+        offsets.append(offsets[-1] + base + (1 if b < extra else 0))
     sig = simhash_signatures(df, id_col, text_col, hash_family)
     if hash_family == "xxhash64":
+        # a full-64-bit band's mask is all ones = -1 as a signed long
+        # ((1<<64)-1 would overflow the Java long literal)
+        def _mask(width):
+            return -1 if width == 64 else (1 << width) - 1
         band_cols = [
             F.struct(F.lit(b).alias("band"),
-                     F.shiftrightunsigned(F.col("simhash"), b * 16)
-                     .bitwiseAND(F.lit(0xFFFF)).cast("string")
-                     .alias("bucket"))
-            for b in range(4)]
+                     F.shiftrightunsigned(F.col("simhash"), offsets[b])
+                     .bitwiseAND(
+                         F.lit(_mask(offsets[b + 1] - offsets[b])))
+                     .cast("string").alias("bucket"))
+            for b in range(n_bands)]
     else:
         band_cols = [
             F.struct(F.lit(b).alias("band"),
-                     F.substring("simhash", b * 16 + 1, 16).alias("bucket"))
-            for b in range(4)]
+                     F.substring("simhash", offsets[b] + 1,
+                                 offsets[b + 1] - offsets[b])
+                     .alias("bucket"))
+            for b in range(n_bands)]
     banded = sig.select("doc_id", "simhash",
                         F.explode(F.array(*band_cols)).alias("bb")) \
                 .select("doc_id", "simhash", "bb.band", "bb.bucket")

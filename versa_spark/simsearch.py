@@ -144,12 +144,23 @@ def random_hyperplane_signatures(df: DataFrame, vec_col: str,
 
 
 def ivf_assign(emb: DataFrame, centroids, vec_col: str = "v") -> DataFrame:
-    """Adds ``cell``: index of the nearest centroid by cosine.  Small
-    centroid sets inline as literals (argmax over per-centroid dot
-    products, JVM-side); large dim × cells matrices route through a
+    """Adds ``cell``: index of the centroid with the LARGEST INNER
+    PRODUCT (the standard IVF-IP coarse quantizer).  Note this is NOT
+    cosine when centroid norms differ — Lloyd means have unequal norms,
+    so a large-norm centroid can win at a wider angle; for true
+    cosine-cell geometry, L2-normalize the centroids (and vectors)
+    before calling.  ivf_topk's downstream rerank scores candidates by
+    exact cosine either way, which bounds the recall impact; the
+    tested recall floor in test_dataops covers this quantizer as-is.
+    Small centroid sets inline as literals (argmax over per-centroid
+    dot products, JVM-side); large dim × cells matrices route through a
     vectorized pandas UDF (argmax of one matmul per Arrow batch) so the
     Catalyst tree stays constant-size."""
     import numpy as np
+    if not centroids:
+        raise ValueError(
+            "ivf_assign needs at least one centroid (empty corpus? "
+            "bruteforce_topk handles the degenerate case)")
     n_elems = len(centroids) * (len(centroids[0]) if centroids else 0)
     if n_elems <= _LITERAL_BUDGET:
         best_ix = None

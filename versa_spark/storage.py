@@ -17,19 +17,52 @@ encoding for free.  At Iceberg scale the same layout is
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from versa_spark.model import LINK_COLS
 
+# sidecar recording the layout parameters a reader MUST use: a
+# match_stored with a different n_buckets than the writer's computes a
+# different bucket for ~ (N-1)/N of origins and silently prunes away
+# the partition that actually holds the rows
+_META_FILE = "_versa_layout.json"
+
+
+def _write_meta(path: str, n_buckets: int) -> None:
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, _META_FILE), "w") as f:
+        json.dump({"n_buckets": n_buckets, "bucket_hash": "xxhash64"}, f)
+
+
+def stored_n_buckets(path: str) -> int | None:
+    """The bucket count a model at *path* was written with (None for
+    tables predating the sidecar)."""
+    try:
+        with open(os.path.join(path, _META_FILE)) as f:
+            return int(json.load(f)["n_buckets"])
+    except (OSError, ValueError, KeyError):
+        return None
+
 
 def write_model(df: DataFrame, path: str, n_buckets: int = 64,
                 mode: str = "overwrite") -> None:
-    """Write a link DataFrame as an origin-bucketed Parquet model table."""
+    """Write a link DataFrame as an origin-bucketed Parquet model table.
+
+    The in-partition sort leads with ``obucket`` so the dynamic-
+    partition writer's required ordering is already satisfied — without
+    it Spark inserts a SECOND full sort keyed on obucket alone, both
+    paying the sort twice and voiding any guarantee that (origin, rel)
+    order survives into the files (the property the row-group-skipping
+    claim above rests on)."""
     out = (df.select(*[c for c in LINK_COLS if c in df.columns])
            .withColumn("obucket",
                        F.pmod(F.xxhash64("origin"), F.lit(n_buckets)))
-           .sortWithinPartitions("origin", "rel"))
+           .sortWithinPartitions("obucket", "origin", "rel"))
     out.write.mode(mode).partitionBy("obucket").parquet(path)
+    _write_meta(path, n_buckets)
 
 
 def read_model(spark: SparkSession, path: str) -> DataFrame:
@@ -62,20 +95,33 @@ def write_graph_tables(graph: DataFrame, edges: DataFrame, base_path: str,
     e = (edges
          .withColumn("sbucket", F.pmod(F.xxhash64("src"),
                                        F.lit(n_buckets)))
-         .sortWithinPartitions("src", "rel"))
+         # lead with the partition column — see write_model
+         .sortWithinPartitions("sbucket", "src", "rel"))
     e.write.mode(mode).partitionBy("sbucket").parquet(paths["edges"])
+    _write_meta(paths["edges"], n_buckets)
     return paths
 
 
 def match_stored(model: DataFrame, origin=None, rel=None, target=None,
-                 attrs=None, n_buckets: int = 64) -> DataFrame:
+                 attrs=None, n_buckets: int = 64,
+                 path: str | None = None) -> DataFrame:
     """match() over a stored model: when *origin* is given, add the
     equivalent obucket predicate so Catalyst prunes to one partition
     (partition pruning needs the literal bucket value — computed
-    driver-side with the same hash)."""
+    driver-side with the same hash).
+
+    Pass *path* to read the writer's bucket count from the layout
+    sidecar — a mismatched *n_buckets* computes the WRONG bucket for
+    most origins and silently prunes away the data.  Truthiness
+    wildcard semantics follow ops.match: a falsy origin (None or '')
+    applies no origin predicate at all."""
     from versa_spark import ops
     out = model
-    if origin is not None and "obucket" in model.columns:
+    if path is not None:
+        stored = stored_n_buckets(path)
+        if stored is not None:
+            n_buckets = stored
+    if origin and "obucket" in model.columns:
         bucket = _bucket_of(model.sparkSession, str(origin), n_buckets)
         out = out.filter(F.col("obucket") == bucket)
     return ops.match(out, origin=origin, rel=rel, target=target,

@@ -64,10 +64,27 @@ def stream_graph_query(spark: SparkSession, input_dir: str,
         # dedup, tiny next to the build itself
         batch_df = batch_df.dropDuplicates(["conv_id", "turn_idx"])
         turns = ordered_turns(batch_df)
-        parts = build_graph(batch_df.sparkSession, turns)
-        (parts["graph"]
-         .withColumn("epoch", F.lit(epoch_id))
-         .write.mode("append").parquet(output_dir))
+        spark_b = batch_df.sparkSession
+        parts = build_graph(spark_b, turns)
+        # IDEMPOTENT sink: foreachBatch gives at-least-once epochs — a
+        # crash between the parquet commit and the streaming checkpoint
+        # re-runs the SAME epoch_id on restart.  Writing each epoch as
+        # its own partition with dynamic-partition overwrite makes the
+        # replay overwrite epoch=E in place instead of appending the
+        # triples twice (the documented foreachBatch exactly-once
+        # recipe: epoch_id as the dedup key).
+        prev = spark_b.conf.get("spark.sql.sources.partitionOverwriteMode",
+                                "static")
+        spark_b.conf.set("spark.sql.sources.partitionOverwriteMode",
+                         "dynamic")
+        try:
+            (parts["graph"]
+             .withColumn("epoch", F.lit(epoch_id))
+             .write.mode("overwrite").partitionBy("epoch")
+             .parquet(output_dir))
+        finally:
+            spark_b.conf.set("spark.sql.sources.partitionOverwriteMode",
+                             prev)
         parts["linked"].unpersist()
         parts["turns"].unpersist()
 

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from versa_spark.dedup import normalized_text
+
 # A BPE-ish token regex: word pieces, numbers, or single non-space symbols
 # (the GPT-2 pre-tokenizer shape, simplified to ASCII classes).
 BPE_ISH_TOKEN = r"[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]"
@@ -18,11 +20,20 @@ STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
              "for", "on", "with", "as", "at", "by", "this", "that")
 
 
+def _ws_strip(t):
+    r"""Strip LEADING/TRAILING whitespace of any kind — F.trim strips
+    spaces only, so '...there  
+' keeps its tail and a \s+ split then
+    emits a phantom empty token that inflates every word count."""
+    return F.regexp_replace(t, r"^\s+|\s+$", "")
+
+
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace and BPE-ish token counts as pure expressions."""
     t = F.col(text_col)
-    ws = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(
-        F.size(F.split(F.trim(t), r"\s+")))
+    tt = _ws_strip(t)
+    ws = F.when(F.length(tt) == 0, F.lit(0)).otherwise(
+        F.size(F.split(tt, r"\s+")))
     bpe = F.size(F.regexp_extract_all(t, F.lit(BPE_ISH_TOKEN), 0))
     return df.withColumn("ws_tokens", ws.cast("int")) \
              .withColumn("bpe_tokens", bpe.cast("int"))
@@ -34,16 +45,23 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     web-scale corpus cleaning (C4/Gopher-style rules, public recipes)."""
     t = F.col(text_col)
     n_chars = F.length(t)
-    words = F.split(F.trim(t), r"\s+")
-    n_words = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(
+    tt = _ws_strip(t)
+    words = F.split(tt, r"\s+")
+    n_words = F.when(F.length(tt) == 0, F.lit(0)).otherwise(
         F.size(words))
     n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[^\w\s]"), 0))
     n_stop = F.size(F.filter(words, lambda w: F.lower(w).isin(
         list(STOPWORDS))))
     punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
     stop_ratio = F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0))
+    # mean word length must use the COLLAPSED char count: with the raw
+    # length, leading/trailing/multiple whitespace inflates the metric
+    # (e.g. '  hi    there  ' -> 7.0 instead of the true 3.5) and can
+    # cost a doc the quality bonus purely for formatting
+    n_chars_norm = F.length(F.regexp_replace(tt, r"\s+", " "))
     mean_wlen = F.when(n_words > 0,
-                       (n_chars - n_words + 1) / n_words).otherwise(F.lit(0.0))
+                       (n_chars_norm - n_words + 1) / n_words) \
+        .otherwise(F.lit(0.0))
     length_ok = (n_words >= 10) & (n_words <= 100000)
     score = (F.when(length_ok, F.lit(0.4)).otherwise(F.lit(0.0))
              + F.when(punct_ratio < 0.2, F.lit(0.2)).otherwise(F.lit(0.0))
@@ -105,7 +123,7 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit content fingerprint: xxhash64 of the whitespace-normalized
     text (JVM-side; for exact-dup detection where cross-engine parity
     doesn't matter) plus md5 (cross-engine verifiable)."""
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    norm = normalized_text(text_col)
     return (df.withColumn("fp_xx64", F.xxhash64(norm))
             .withColumn("fp_md5", F.md5(norm)))
 
@@ -137,7 +155,7 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
     guard drops partial windows so the guarantee stays exact both ways —
     matching the oracle SQL)."""
     from pyspark.sql import Window
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    norm = normalized_text(text_col)
     g = (df.select(F.col(id_col).alias("doc_id"), norm.alias("_norm"))
          .filter(F.length("_norm") >= k)
          .select("doc_id",
@@ -176,7 +194,7 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
     aggregation; keys are unique per doc so there is no hot key.  Filter
     thresholds are the caller's policy (Gopher drops docs with
     top-2-gram > 0.20 or dup-3-gram occupancy > 0.18 etc.)."""
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    norm = normalized_text(text_col)
     words = F.split(norm, " ")
     base = df.select(F.col(id_col).alias("doc_id"), words.alias("_w"))
     dup_word = (F.lit(1.0) - F.size(F.array_distinct("_w"))
@@ -341,7 +359,7 @@ def repeated_ngrams(df: DataFrame, n: int = 5, min_docs: int = 2,
     docs arrives at its reducer as one partial row per map partition —
     no hot-key blowup.  Downstream removal joins this (small, filtered)
     table back to the corpus semi-joined on gram."""
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    norm = normalized_text(text_col)
     # trim strips spaces only — a leading tab/newline normalizes to a
     # leading space, so split would emit a phantom '' word that both
     # inflates the >= n threshold and pollutes boundary grams
