@@ -126,6 +126,22 @@ def _q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linked.select("conv_id", "turn_idx", "surface", "entity_iri")
 
 
+def _q_kg_mentions_bigdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-dictionary mention detection (extract.turn_mentions_bigdict):
+    token 1..2-grams built inside per-row array expressions
+    (array_distinct BEFORE the explode — no post-join dedup shuffle),
+    then ONE broadcast hash join against a generated 20k-surface
+    gazetteer, fusing detection + linking map-side.  The scale path for
+    10^5+-surface dictionaries, where the fused-regex small-lexicon path
+    (kg_mentions) stops compiling usefully."""
+    from versa_spark.kg import extract
+    from versa_spark.kg.transcripts import transcripts_from_documents
+    tx = transcripts_from_documents(spark, sf_dir)
+    m = extract.turn_mentions_bigdict(
+        tx, extract.synthetic_big_dictionary(spark), max_ngram=2)
+    return m.select("conv_id", "turn_idx", "surface", "entity_iri")
+
+
 def _q_kg_entity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted-key canonicalization rollup (kg.canonicalize)."""
     from versa_spark.kg import canonicalize, extract, linking
@@ -877,6 +893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resourcetypes": _q_resourcetypes,
         "kg_turn_order": _q_kg_turn_order,
         "kg_mentions": _q_kg_mentions,
+        "kg_mentions_bigdict": _q_kg_mentions_bigdict,
         "kg_entity_stats": _q_kg_entity_stats,
         "kg_graph_triples": _q_kg_graph_triples,
         "kg_adjacency": _q_kg_adjacency,
@@ -964,6 +981,15 @@ def _kg_ctes() -> str:
         FROM turns JOIN lex
           ON (' ' || text || ' ') LIKE ('% ' || surface || ' %'))
     """
+
+
+def _bigdict_values() -> str:
+    """VALUES list regenerating extract.synthetic_big_dictionary's
+    non-padding rows (LEXICON + BIGDICT_PHRASES) with their entity IRIs."""
+    from versa_spark.kg.extract import BIGDICT_PHRASES, ENT, LEXICON
+    rows = [(s, ENT + c) for s, c in sorted(LEXICON.items())]
+    rows += [(p, ENT + p.replace(" ", "_")) for p in BIGDICT_PHRASES]
+    return ", ".join(f"('{s}', '{e}')" for s, e in rows)
 
 
 # Shared co-occurrence derivation appended to the kg CTEs: distinct
@@ -1142,6 +1168,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_mentions": kg + """
             SELECT conv_id, turn_idx, surface, entity_iri FROM mentions
+        """,
+        # Mirror of extract.turn_mentions_bigdict over the regenerated
+        # 20k-surface gazetteer (extract.synthetic_big_dictionary):
+        # identical tokenization ([^A-Za-z0-9_]+ split, empties dropped),
+        # 1..2-gram candidates deduped per turn, inner join on surface.
+        "kg_mentions_bigdict": kg + f"""
+            , toks AS (
+                SELECT conv_id, turn_idx,
+                       list_filter(regexp_split_to_array(
+                           text, '[^A-Za-z0-9_]+'), x -> x <> '') AS t
+                FROM tx),
+            bigdict(surface, entity_iri) AS (
+                SELECT * FROM (VALUES {_bigdict_values()}) v
+                UNION ALL
+                SELECT 'xsurf_' || i,
+                       'http://example.org/entity/xsurf_' || i
+                FROM range(20000) r(i)),
+            cand AS (
+                SELECT conv_id, turn_idx,
+                       unnest(list_distinct(flatten([
+                           t,
+                           list_transform(range(1, len(t)),
+                                          i -> t[i] || ' ' || t[i + 1])
+                       ]))) AS surface
+                FROM toks)
+            SELECT c.conv_id, c.turn_idx, c.surface, d.entity_iri
+            FROM cand c JOIN bigdict d USING (surface)
         """,
         "kg_entity_stats": kg + """
             SELECT entity_iri, canonical,

@@ -42,6 +42,71 @@ def test_turn_ordering_invariant(spark, tx):
     assert turns.count() == tx.count()
 
 
+def test_bigdict_parity_with_regex_path(spark, tx):
+    """turn_mentions_bigdict over the LEXICON-only dictionary emits the
+    exact row set of the fused-regex path (all-word-char surfaces ⇒ the
+    token-n-gram semantics coincide with \\b regex semantics), on both
+    the broadcast and the shuffle-degrade join plans."""
+    turns = ordered_turns(tx)
+    small = {(r.conv_id, r.turn_idx, r.surface)
+             for r in extract.turn_mentions(turns).collect()}
+    lexdict = linking.canonical_dictionary(spark).select("surface")
+    for bc in (True, False, "auto"):
+        big = {(r.conv_id, r.turn_idx, r.surface)
+               for r in extract.turn_mentions_bigdict(
+                   turns, lexdict, broadcast=bc).collect()}
+        assert big == small, f"broadcast={bc}"
+
+
+def test_bigdict_multiword_and_padding(spark):
+    """Multi-word surfaces match consecutive-token runs (up to max_ngram),
+    never-present padding surfaces match nothing, and dictionary payload
+    columns (canonical, entity_iri) ride through the fused join."""
+    rows = [("c0", 0, "alpha beta gamma delta x"),
+            ("c0", 1, "beta gamma beta gamma"),       # dup mention → 1 row
+            ("c1", 0, "alpha, beta-gamma; delta"),    # separators ≠ space
+            ("c1", 1, ""), ("c1", 2, None)]
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string")
+    d = spark.createDataFrame(
+        [("beta gamma", "bg", "e:bg"),
+         ("alpha beta gamma", "abg", "e:abg"),
+         ("delta", "delta", "e:d"),
+         ("xsurf_0", "x", "e:x")],
+        "surface string, canonical string, entity_iri string")
+    got = {(r.conv_id, r.turn_idx, r.surface, r.entity_iri)
+           for r in extract.turn_mentions_bigdict(
+               turns, d, max_ngram=3).collect()}
+    assert got == {
+        ("c0", 0, "beta gamma", "e:bg"),
+        ("c0", 0, "alpha beta gamma", "e:abg"),
+        ("c0", 0, "delta", "e:d"),
+        ("c0", 1, "beta gamma", "e:bg"),
+        # tokens ignore the punctuation separators (documented semantics)
+        ("c1", 0, "beta gamma", "e:bg"),
+        ("c1", 0, "alpha beta gamma", "e:abg"),
+        ("c1", 0, "delta", "e:d"),
+    }
+
+
+def test_bigdict_synthetic_dictionary_scale(spark, tx):
+    """The generated ≥20k-surface gazetteer: padding never matches, the
+    LEXICON subset reproduces the regex path, phrase hits only from the
+    n≥2 gram stream."""
+    bd = extract.synthetic_big_dictionary(spark)
+    assert bd.count() == len(extract.LEXICON) + len(
+        extract.BIGDICT_PHRASES) + 20_000
+    turns = ordered_turns(tx)
+    m = extract.turn_mentions_bigdict(turns, bd).cache()
+    assert m.filter(F.col("surface").startswith("xsurf_")).count() == 0
+    uni = {(r.conv_id, r.turn_idx, r.surface)
+           for r in m.filter(~F.col("surface").contains(" ")).collect()}
+    small = {(r.conv_id, r.turn_idx, r.surface)
+             for r in extract.turn_mentions(turns).collect()}
+    assert uni == small
+    m.unpersist()
+
+
 def test_mentions_against_plain_sql(spark, tx):
     """Pandas-UDF mention extraction equals the declarative containment
     check (documents text is space-separated words)."""

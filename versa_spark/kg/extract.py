@@ -180,6 +180,104 @@ def turn_entity_ids(turns: DataFrame) -> DataFrame:
                 .cast("tinyint"))).alias("eids")))
 
 
+# Multi-word surfaces for the big-dictionary fixtures: phrases that occur
+# in the driver documents corpus, so detection of n>1 token grams is
+# exercised with real hits (padding surfaces never match by construction).
+BIGDICT_PHRASES = ("batch window", "big vector", "fast merge", "hash value",
+                   "sort table", "stream fast", "value table")
+
+
+def synthetic_big_dictionary(spark, n_pad: int = 20_000) -> DataFrame:
+    """Deterministic large gazetteer fixture: the 17-surface LEXICON, the
+    multi-word BIGDICT_PHRASES, plus ``n_pad`` generated never-matching
+    surfaces (``xsurf_<i>``) — ≥20k surfaces total, far past where the
+    fused-regex small-lexicon path stops being viable.  Pure
+    ``spark.range`` + column expressions, reproducible 1:1 in SQL
+    (the driver oracle regenerates it with a VALUES list + range())."""
+    rows = [(s, c, ENT + c) for s, c in sorted(LEXICON.items())]
+    rows += [(p, p, ENT + p.replace(" ", "_")) for p in BIGDICT_PHRASES]
+    base = spark.createDataFrame(
+        rows, "surface string, canonical string, entity_iri string")
+    pad = spark.range(n_pad).select(
+        F.concat(F.lit("xsurf_"), F.col("id")).alias("surface"),
+        F.concat(F.lit("xsurf_"), F.col("id")).alias("canonical"),
+        F.concat(F.lit(ENT + "xsurf_"), F.col("id")).alias("entity_iri"))
+    return base.unionByName(pad)
+
+
+def turn_mentions_bigdict(turns: DataFrame, dictionary: DataFrame,
+                          max_ngram: int = 2,
+                          broadcast: bool | str = "auto",
+                          broadcast_max_rows: int = 10_000_000) -> DataFrame:
+    """Large-dictionary mention detection: token n-grams hash-joined
+    against a dictionary TABLE — the reference's own ``lookup()`` join
+    discipline (other_actions.py:366-404) applied to *detection*, for
+    gazetteers of 10^5–10^7 surfaces where a fused regex alternation
+    (turn_mentions' small-lexicon fast path) no longer compiles usefully
+    and literal index arrays would blow the plan.
+
+    Semantics: a mention is a run of 1..max_ngram consecutive word
+    tokens (maximal ``[A-Za-z0-9_]+`` runs, case-sensitive — the \\b
+    semantics of the regex path) whose single-space join equals a
+    dictionary surface.  For all-word-char surfaces this is exactly the
+    ``\\b(surface)\\b`` regex semantics; multi-word surfaces match their
+    token sequence regardless of the separator characters between the
+    tokens (the one documented divergence: the regex path would demand a
+    literal single space).  Dictionary contract: ``surface`` unique;
+    extra dictionary columns (canonical, entity_iri, …) ride through the
+    detection join, fusing detection + linking into ONE map-side join.
+
+    Plan shape at 100 TB: tokens and candidate n-grams build inside
+    per-row array expressions (array_distinct BEFORE the explode, so
+    output rows are unique per (turn, surface) with no post-join dedup
+    shuffle), then one hash join on ``surface``.  ``broadcast='auto'``
+    counts the dictionary (one narrow scan, same counted-degrade idiom
+    as dedup.decontaminate) and hints ``F.broadcast`` below
+    ``broadcast_max_rows`` — the join is then map-side with ZERO
+    exchange of the turn stream; above it the join degrades to an
+    AQE-planned shuffle, and the auto pass also harvests min/max surface
+    length so obviously-unmatchable candidates are pruned JVM-side
+    before they reach the exchange.  Hot surfaces are harmless in the
+    broadcast regime (no shuffle by surface ever happens)."""
+    length_bounds = None
+    if broadcast == "auto":
+        stats = dictionary.agg(
+            F.count("*").alias("n"),
+            F.min(F.length("surface")).alias("lo"),
+            F.max(F.length("surface")).alias("hi")).first()
+        broadcast = (stats["n"] or 0) <= broadcast_max_rows
+        if stats["lo"] is not None:
+            length_bounds = (int(stats["lo"]), int(stats["hi"]))
+    d = F.broadcast(dictionary) if broadcast else dictionary
+
+    toks = F.filter(F.split(F.col("text"), r"[^A-Za-z0-9_]+"),
+                    lambda t: t != "")
+    def _grams(n):
+        # NB the transform lambda must be UNARY — pyspark dispatches a
+        # binary lambda as (element, index), so e.g. a `n=n` default
+        # would silently bind n to the array index
+        return F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - n + 1),
+            lambda i: F.array_join(F.slice("_toks", i, n), " "))
+
+    grams = [F.col("_toks")]
+    for n in range(2, max_ngram + 1):
+        # guard: F.sequence(1, size-n+1) DESCENDS when size < n
+        grams.append(F.when(F.size("_toks") >= n, _grams(n))
+                     .otherwise(F.array().cast("array<string>")))
+    cand = F.array_distinct(F.flatten(F.array(*grams)))
+
+    keep = [c for c in ("conv_id", "turn_idx", "turn_iri")
+            if c in turns.columns]
+    out = (turns.withColumn("_toks", toks)
+           .select(*keep, F.explode(cand).alias("surface")))
+    if length_bounds is not None:
+        out = out.filter(
+            F.length("surface").between(*length_bounds))
+    payload = [c for c in dictionary.columns if c != "surface"]
+    return out.join(d, "surface", "inner").select(*keep, "surface", *payload)
+
+
 def conversation_links(turns: DataFrame) -> DataFrame:
     """Structural triples: conversation/turn typing + hasTurn edges with
     turn metadata attrs. Pure column expressions + explode."""
