@@ -1659,7 +1659,7 @@ def oracle_sql() -> dict[str, str]:
             tf AS (SELECT doc_id, term, COUNT(*) AS tf
                    FROM tok2 GROUP BY 1, 2),
             dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-            nd AS (SELECT COUNT(*) AS n FROM documents),
+            nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
             scored AS (
                 SELECT doc_id, term, tf,
                        tf * ln(CAST((SELECT n FROM nd) AS DOUBLE) / df)

@@ -41,6 +41,49 @@ def test_stream_graph_foreachbatch(spark, tmp_path, input_dir):
     assert spark.read.parquet(out).count() == n
 
 
+def test_stream_restart_replays_epoch_without_duplicates(
+        spark, tmp_path, input_dir):
+    """Crash-replay idempotence of the epoch-partition-overwrite sink:
+    foreachBatch is at-least-once, so a crash AFTER the parquet write
+    but BEFORE the streaming commit re-runs the SAME epoch_id on
+    restart.  Simulated exactly: clone the checkpoint minus its last
+    commit marker (offsets present, commit absent — the crash window;
+    the clone sidesteps Spark 4's same-JVM concurrent-checkpoint guard,
+    which reads in-place commit-log deletion as a second live query)
+    and restart against the SAME output dir; the replayed epoch must
+    overwrite its own partition, not append the triples twice."""
+    import os
+    import shutil
+    out = str(tmp_path / "graph")
+    ckpt = str(tmp_path / "ckpt")
+    q = streaming.stream_graph_query(spark, input_dir, out, ckpt)
+    q.awaitTermination(300)
+    first = spark.read.parquet(out)
+    n = first.count()
+    triples = {(r.origin, r.rel, r.target)
+               for r in first.select("origin", "rel", "target").collect()}
+    assert n > 1000
+
+    ckpt2 = str(tmp_path / "ckpt-crashed")
+    shutil.copytree(ckpt, ckpt2)
+    commits = sorted(f for f in os.listdir(os.path.join(ckpt2, "commits"))
+                     if not f.startswith("."))
+    os.remove(os.path.join(ckpt2, "commits", commits[-1]))
+    crc = os.path.join(ckpt2, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):  # stale checksum blocks the commit rewrite
+        os.remove(crc)
+
+    q2 = streaming.stream_graph_query(spark, input_dir, out, ckpt2)
+    q2.awaitTermination(300)
+    # the replay really ran: the restarted query processed input rows
+    assert any(p["numInputRows"] > 0 for p in q2.recentProgress)
+    replayed = spark.read.parquet(out)
+    assert replayed.count() == n
+    assert {(r.origin, r.rel, r.target)
+            for r in replayed.select("origin", "rel", "target").collect()
+            } == triples
+
+
 def test_streaming_windowed_mention_counts(spark, input_dir):
     agg = streaming.streaming_mention_counts(spark, input_dir,
                                              window="10 minutes")

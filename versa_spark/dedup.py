@@ -651,8 +651,15 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame,
         # count and the semi-join below both read the checkpoint
         # instead of re-shingling the benchmark (the multiply-consumed-
         # frame lifecycle).  NOTE 'auto' therefore runs a job at call
-        # time; pass broadcast=True/False explicitly for a fully lazy
-        # plan (e.g. .explain audits).
+        # time, and the checkpoint's blocks (≤ 8 B/row of the benchmark
+        # hash set) STAY PINNED for the returned plan's lifetime — the
+        # result is lazy, so an in-function release_checkpoint would
+        # free blocks the caller's plan still reads.  Callers that want
+        # no retained blocks (or a fully lazy plan for .explain audits)
+        # pass broadcast=True/False explicitly, which skips the
+        # checkpoint entirely; otherwise cacheutil.release_checkpoint
+        # on any frame derived from the result after its last job frees
+        # the set.
         b_sh = b_sh.localCheckpoint(eager=True)
         broadcast = b_sh.count() <= broadcast_max_rows
     if broadcast:

@@ -159,9 +159,15 @@ def link_entities_scored(mentions: DataFrame, dictionary: DataFrame,
     # mention rows share an id and therefore (correctly) share the same
     # best candidate.  (Requires hashable column types — no map
     # columns — which every mention frame here satisfies.)
+    # The id is 128-bit (two independently-seeded xxhash64 halves): a
+    # single 64-bit key silently merges colliding mention rows — one of
+    # them inherits the other's best candidate — and at the 10^12-mention
+    # target birthday collisions are expected (~n²/2⁶⁵); at 2⁻¹²⁸ they
+    # are not.
+    cols = [F.col(c) for c in mentions.columns]
     m = (mentions
-         .withColumn("_mid", F.xxhash64(*[F.col(c)
-                                          for c in mentions.columns]))
+         .withColumn("_mid", F.xxhash64(*cols))
+         .withColumn("_mid2", F.xxhash64(F.lit("versa-mid2"), *cols))
          .withColumn("_norm", norm)
          .withColumn("_stem", stem))
 
@@ -178,21 +184,21 @@ def link_entities_scored(mentions: DataFrame, dictionary: DataFrame,
 
     def _cand(key_col, dict_key, score):
         return (m.join(dict_keys, F.col(key_col) == F.col(dict_key))
-                .select("_mid", "canonical", "entity_iri",
+                .select("_mid", "_mid2", "canonical", "entity_iri",
                         F.lit(score).alias("score")))
 
     cands = (_cand("surface", "_k_exact", 1.0)
              .unionByName(_cand("_norm", "_k_norm", 0.9))
              .unionByName(_cand("_stem", "_k_stem", 0.7))
              .filter(F.col("score") >= min_score))
-    w = Window.partitionBy("_mid").orderBy(
+    w = Window.partitionBy("_mid", "_mid2").orderBy(
         F.col("score").desc(), F.col("canonical"), F.col("entity_iri"))
     best = (cands.withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") == 1)
-            .select("_mid", F.col("canonical").alias("_c"),
+            .select("_mid", "_mid2", F.col("canonical").alias("_c"),
                     F.col("entity_iri").alias("_e"), "score"))
 
-    out = m.join(best, "_mid", "left")
+    out = m.join(best, ["_mid", "_mid2"], "left")
     linked_col, canon_col, ent_col = _unlinked_fallback_cols("_e", "_c")
     return out.select(
         *mentions.columns, linked_col,

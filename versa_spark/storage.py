@@ -31,19 +31,53 @@ from versa_spark.model import LINK_COLS
 _META_FILE = "_versa_layout.json"
 
 
-def _write_meta(path: str, n_buckets: int) -> None:
-    os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, _META_FILE), "w") as f:
-        json.dump({"n_buckets": n_buckets, "bucket_hash": "xxhash64"}, f)
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for *path* via Hadoop's FileSystem API — the
+    sidecar must land next to the data on whatever filesystem the model
+    path names (hdfs://, s3a://, file:/…), not on the driver's local
+    disk; a driver-local sidecar would silently disable the
+    n_buckets-mismatch protection exactly where buckets matter most."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
 
 
-def stored_n_buckets(path: str) -> int | None:
-    """The bucket count a model at *path* was written with (None for
-    tables predating the sidecar)."""
+def _write_meta(spark: SparkSession, path: str, n_buckets: int) -> None:
+    fs, hpath = _hadoop_fs(spark, os.path.join(path, _META_FILE))
+    out = fs.create(hpath, True)
     try:
-        with open(os.path.join(path, _META_FILE)) as f:
-            return int(json.load(f)["n_buckets"])
-    except (OSError, ValueError, KeyError):
+        out.write(json.dumps({"n_buckets": n_buckets,
+                              "bucket_hash": "xxhash64"}).encode("ascii"))
+    finally:
+        out.close()
+
+
+def stored_n_buckets(path: str,
+                     spark: SparkSession | None = None) -> int | None:
+    """The bucket count a model at *path* was written with (None for
+    tables predating the sidecar).  Reads through the Hadoop FileSystem
+    API of the active session, so non-local model paths (hdfs://,
+    s3a://) resolve; with no session it falls back to the local
+    filesystem."""
+    if spark is None:
+        spark = SparkSession.getActiveSession()
+    if spark is None:
+        try:
+            with open(os.path.join(path, _META_FILE)) as f:
+                return int(json.load(f)["n_buckets"])
+        except (OSError, ValueError, KeyError):
+            return None
+    try:
+        fs, hpath = _hadoop_fs(spark, os.path.join(path, _META_FILE))
+        stream = fs.open(hpath)
+        try:
+            raw = spark._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8")
+        finally:
+            stream.close()
+        return int(json.loads(raw)["n_buckets"])
+    except Exception:  # missing file surfaces as Py4JJavaError
         return None
 
 
@@ -62,7 +96,7 @@ def write_model(df: DataFrame, path: str, n_buckets: int = 64,
                        F.pmod(F.xxhash64("origin"), F.lit(n_buckets)))
            .sortWithinPartitions("obucket", "origin", "rel"))
     out.write.mode(mode).partitionBy("obucket").parquet(path)
-    _write_meta(path, n_buckets)
+    _write_meta(df.sparkSession, path, n_buckets)
 
 
 def read_model(spark: SparkSession, path: str) -> DataFrame:
@@ -98,7 +132,7 @@ def write_graph_tables(graph: DataFrame, edges: DataFrame, base_path: str,
          # lead with the partition column — see write_model
          .sortWithinPartitions("sbucket", "src", "rel"))
     e.write.mode(mode).partitionBy("sbucket").parquet(paths["edges"])
-    _write_meta(paths["edges"], n_buckets)
+    _write_meta(edges.sparkSession, paths["edges"], n_buckets)
     return paths
 
 
@@ -118,7 +152,7 @@ def match_stored(model: DataFrame, origin=None, rel=None, target=None,
     from versa_spark import ops
     out = model
     if path is not None:
-        stored = stored_n_buckets(path)
+        stored = stored_n_buckets(path, model.sparkSession)
         if stored is not None:
             n_buckets = stored
     if origin and "obucket" in model.columns:

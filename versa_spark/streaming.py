@@ -72,19 +72,16 @@ def stream_graph_query(spark: SparkSession, input_dir: str,
         # its own partition with dynamic-partition overwrite makes the
         # replay overwrite epoch=E in place instead of appending the
         # triples twice (the documented foreachBatch exactly-once
-        # recipe: epoch_id as the dedup key).
-        prev = spark_b.conf.get("spark.sql.sources.partitionOverwriteMode",
-                                "static")
-        spark_b.conf.set("spark.sql.sources.partitionOverwriteMode",
-                         "dynamic")
-        try:
-            (parts["graph"]
-             .withColumn("epoch", F.lit(epoch_id))
-             .write.mode("overwrite").partitionBy("epoch")
-             .parquet(output_dir))
-        finally:
-            spark_b.conf.set("spark.sql.sources.partitionOverwriteMode",
-                             prev)
+        # recipe: epoch_id as the dedup key).  The overwrite mode is a
+        # per-WRITER option, not a session-conf toggle: mutating
+        # spark.sql.sources.partitionOverwriteMode around the write
+        # would leak dynamic mode to concurrent queries sharing the
+        # session (the shared-context safety invariant).
+        (parts["graph"]
+         .withColumn("epoch", F.lit(epoch_id))
+         .write.mode("overwrite").partitionBy("epoch")
+         .option("partitionOverwriteMode", "dynamic")
+         .parquet(output_dir))
         parts["linked"].unpersist()
         parts["turns"].unpersist()
 

@@ -331,7 +331,11 @@ def tfidf_top_terms(df: DataFrame, k: int = 3, id_col: str = "doc_id",
             .filter(F.col("term") != ""))
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    n_docs = F.broadcast(df.agg(F.count("*").alias("_n")))
+    # N = DISTINCT documents: id_col is normally unique per row, but a
+    # multi-row-per-doc input must not inflate IDF (df counts each doc
+    # once via the (doc, term) rollup, so N has to match that universe)
+    n_docs = F.broadcast(
+        df.agg(F.countDistinct(id_col).alias("_n")))
     score = (F.col("tf")
              * F.log(F.col("_n").cast("double") / F.col("df")))
     w = (Window.partitionBy("doc_id")
