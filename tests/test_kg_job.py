@@ -107,6 +107,37 @@ def test_bigdict_synthetic_dictionary_scale(spark, tx):
     m.unpersist()
 
 
+def test_build_graph_detect_dictionary_parity(spark, tx):
+    """build_graph(detect='dictionary') over the canonical dictionary
+    emits the exact triple set of the default lexicon path (same
+    surfaces, alias collapse via the dictionary's canonical column); a
+    larger gazetteer strictly adds the phrase-entity triples."""
+    from versa_spark.kg.graph import build_graph
+    turns = ordered_turns(tx)
+    base = {(r.origin, r.rel, r.target)
+            for r in build_graph(spark, turns)["graph"].collect()}
+    via_dict = {(r.origin, r.rel, r.target)
+                for r in build_graph(
+                    spark, turns, dictionary=linking.canonical_dictionary(
+                        spark), detect="dictionary")["graph"].collect()}
+    assert via_dict == base
+    big = {(r.origin, r.rel, r.target)
+           for r in build_graph(
+               spark, turns, dictionary=extract.synthetic_big_dictionary(
+                   spark), detect="dictionary")["graph"].collect()}
+    assert base < big
+    extra = {t for t in big - base}
+    assert extra and all(
+        ("entity/" in t[0] and "_" in t[0].rsplit("/", 1)[-1])
+        or ("entity/" in t[2] and "_" in t[2].rsplit("/", 1)[-1])
+        or " " in t[2]
+        for t in extra), sorted(extra)[:5]
+    with pytest.raises(ValueError):
+        build_graph(spark, turns, detect="dictionary")
+    with pytest.raises(ValueError):
+        build_graph(spark, turns, detect="nope")
+
+
 def test_mentions_against_plain_sql(spark, tx):
     """Pandas-UDF mention extraction equals the declarative containment
     check (documents text is space-separated words)."""

@@ -96,6 +96,17 @@ window sort is absent from the triple-build plan. Regenerate with
             "boundary; the triple build's former dominant dedup shuffle "
             "is gone.")
 
+    df = e.queries()["kg_mentions_bigdict"](spark, sf); df.count()
+    section("large-dictionary mention detection (token n-gram ⋈ gazetteer)",
+            df,
+            "Candidate 1..2-grams build inside per-row array expressions "
+            "(array_distinct BEFORE the explode — output rows unique per "
+            "(turn, surface), no post-join dedup shuffle); the 20k-surface "
+            "dictionary arrives as BroadcastExchange so the exploded turn "
+            "stream never exchanges; min/max surface-length pruning "
+            "(harvested by the counted broadcast guard) filters "
+            "candidates before the join.")
+
     from pyspark.sql import functions as F
     cap = (docs.orderBy("doc_id").limit(200)
            .select("doc_id", "text"))

@@ -32,7 +32,8 @@ from versa_spark.kg import canonicalize, extract, linking
 
 def build_graph(spark: SparkSession, turns: DataFrame,
                 persist: bool = True,
-                dictionary: DataFrame | None = None) -> dict[str, DataFrame]:
+                dictionary: DataFrame | None = None,
+                detect: str = "lexicon") -> dict[str, DataFrame]:
     """ordered turns → {turns, linked, graph, edges} DataFrames.
 
     ``turns`` may or may not carry ``turn_rank``; no link family consumes
@@ -47,7 +48,30 @@ def build_graph(spark: SparkSession, turns: DataFrame,
     per surface mention.  Graph triples are identical either way
     (``mention_links`` dedups before counting) — only consumers counting
     raw ``linked`` rows see the difference, and they should prefer the
-    generic path or ``extract.turn_mentions`` for per-mention rows."""
+    generic path or ``extract.turn_mentions`` for per-mention rows.
+
+    ``detect`` picks the DETECTION surface set (independent of linking):
+
+    * ``'lexicon'`` (default): the compiled-regex LEXICON scan — mention
+      candidates are always the built-in surfaces; an explicit
+      ``dictionary`` only affects how they link (misses fall back to
+      fingerprint IDs).  The right path when the lexicon IS the
+      vocabulary.
+    * ``'dictionary'``: detection joins token n-grams against
+      ``dictionary`` itself (extract.turn_mentions_bigdict) — the
+      10^5+-surface gazetteer path where a regex alternation stops
+      compiling.  Detection and linking fuse into one map-side join, so
+      every mention is a dictionary hit by construction (no unlinked-
+      fallback entities; surfaces outside the dictionary are simply not
+      mentions).  Requires ``dictionary`` with (surface, canonical,
+      entity_iri)."""
+    if detect == "dictionary":
+        if dictionary is None:
+            raise ValueError("detect='dictionary' requires a dictionary")
+        return _build_graph_bigdict(spark, turns, persist, dictionary)
+    if detect != "lexicon":
+        raise ValueError(f"unknown detect {detect!r} "
+                         "(use 'lexicon' or 'dictionary')")
     if dictionary is not None:
         return _build_graph_generic(spark, turns, persist, dictionary)
     te = extract.turn_entity_ids(turns.drop("turn_rank"))
@@ -69,6 +93,26 @@ def build_graph(spark: SparkSession, turns: DataFrame,
                       F.element_at(iri_arr, F.col("_e").cast("int") + 1)
                       .alias("entity_iri")))
     return {"turns": te, "linked": linked, "graph": graph,
+            "edges": canonicalize.adjacency_edges(graph)}
+
+
+def _build_graph_bigdict(spark: SparkSession, turns: DataFrame,
+                         persist: bool,
+                         dictionary: DataFrame) -> dict[str, DataFrame]:
+    """Gazetteer-driven assembly: ONE fused detection+linking join
+    (turn_mentions_bigdict) replaces regex-detect + link_entities; the
+    rest of the build is byte-identical to the generic path."""
+    m = extract.turn_mentions_bigdict(turns.drop("turn_rank", "turn_iri"),
+                                      dictionary)
+    linked = m.select("conv_id", "turn_idx", "canonical", "entity_iri")
+    turns_slim = turns.drop("text", "turn_rank")
+    if persist:
+        linked = linked.persist()
+        turns_slim = turns_slim.persist()
+    graph = (extract.conversation_links(turns_slim)
+             .unionByName(canonicalize.mention_links(linked))
+             .unionByName(canonicalize.entity_links(linked)))
+    return {"turns": turns_slim, "linked": linked, "graph": graph,
             "edges": canonicalize.adjacency_edges(graph)}
 
 
