@@ -194,6 +194,34 @@ def test_checkpoint_resume(spark, tx, tmp_path):
     assert not any(m.get("resumed") for m in job3.metrics.values())
 
 
+def test_kgjob_detect_dictionary(spark, tx, tmp_path):
+    """The checkpointed job on detect='dictionary' with the canonical
+    dictionary reproduces the lexicon job's triple set; resume skips all
+    stages; construction rejects a missing dictionary."""
+    base = KGJob(spark, str(tmp_path / "lex")).run(
+        tx, input_fingerprint="v1")
+    want = {(r.origin, r.rel, r.target)
+            for r in base["graph"].select(
+                "origin", "rel", "target").collect()}
+
+    wd = str(tmp_path / "dict")
+    d = linking.canonical_dictionary(spark)
+    job = KGJob(spark, wd, dictionary=d, detect="dictionary")
+    out = job.run(tx, input_fingerprint="dictv1")
+    got = {(r.origin, r.rel, r.target)
+           for r in out["graph"].select(
+               "origin", "rel", "target").collect()}
+    assert got == want
+    assert all(r.linked for r in out["linked"].limit(50).collect())
+
+    job2 = KGJob(spark, wd, dictionary=d, detect="dictionary")
+    job2.run(tx, input_fingerprint="dictv1")
+    assert all(m.get("resumed") for m in job2.metrics.values())
+
+    with pytest.raises(ValueError):
+        KGJob(spark, wd, detect="dictionary")
+
+
 def test_salted_equals_unsalted_canonicalization(spark):
     tx = synthetic_transcripts(spark, n_convs=50, turns_per_conv=10)
     turns = ordered_turns(tx)

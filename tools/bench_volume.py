@@ -95,13 +95,22 @@ def lap_dedup(spark: SparkSession) -> dict:
 def lap_bigdict(spark: SparkSession) -> dict:
     from versa_spark.kg import extract
     from versa_spark.kg.transcripts import synthetic_transcripts
+    from versa_spark.kg.transcripts import TURN_IRI_PREFIX
     n_pad = 100_000
     tx = synthetic_transcripts(spark, n_convs=max(1, N_TURNS // 25),
                                turns_per_conv=25)
+    tx = tx.withColumn(
+        "turn_iri", F.concat(F.lit(TURN_IRI_PREFIX), F.col("conv_id"),
+                             F.lit("/"), F.col("turn_idx")))
     bd = extract.synthetic_big_dictionary(spark, n_pad=n_pad)
     t0 = time.time()
     n_mentions = extract.turn_mentions_bigdict(tx, bd).count()
     wall = round(time.time() - t0, 3)
+    # the small-lexicon fused-regex path on the SAME turns, for the
+    # documented fast-path/scale-path trade-off
+    t0 = time.time()
+    n_lex = extract.turn_mentions(tx).count()
+    lex_wall = round(time.time() - t0, 3)
     return {
         "n_turns": N_TURNS,
         "dict_surfaces": n_pad + len(extract.LEXICON)
@@ -109,6 +118,9 @@ def lap_bigdict(spark: SparkSession) -> dict:
         "bigdict_sec": wall,
         "turns_per_sec": round(N_TURNS / wall, 1),
         "mentions": n_mentions,
+        "lexicon_regex_sec": lex_wall,
+        "lexicon_turns_per_sec": round(N_TURNS / lex_wall, 1),
+        "lexicon_mentions": n_lex,
     }
 
 

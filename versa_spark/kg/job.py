@@ -55,12 +55,28 @@ class KGJob:
 
     def __init__(self, spark: SparkSession, workdir: str,
                  n_buckets: int = 32, salt: int = 16,
-                 write_distribution: str = "auto"):
+                 write_distribution: str = "auto",
+                 dictionary: DataFrame | None = None,
+                 detect: str = "lexicon"):
+        if detect not in ("lexicon", "dictionary"):
+            raise ValueError(f"unknown detect {detect!r} "
+                             "(use 'lexicon' or 'dictionary')")
+        if detect == "dictionary" and dictionary is None:
+            raise ValueError("detect='dictionary' requires a dictionary")
         self.spark = spark
         self.workdir = workdir
         self.n_buckets = n_buckets
         self.salt = salt
         self.write_distribution = write_distribution
+        # detect='dictionary' routes the mentions stage through the
+        # token-n-gram gazetteer join (extract.turn_mentions_bigdict) —
+        # detection+linking fuse into one map-side join and the linked
+        # stage becomes a pure projection of the mentions checkpoint.
+        # NB the dictionary's CONTENT is part of the job's input: callers
+        # must fold a dictionary version into input_fingerprint, or a
+        # resume after a dictionary change would wrongly skip stages.
+        self.dictionary = dictionary
+        self.detect = detect
         os.makedirs(workdir, exist_ok=True)
         self.metrics: dict[str, dict] = {}
 
@@ -133,11 +149,23 @@ class KGJob:
             lambda: T.ordered_turns(transcripts_df, with_rank=False))
         turn_order = self._run_stage(
             "turn_order", fp, lambda: T.turn_order(transcripts_df))
-        mentions = self._run_stage(
-            "mentions", fp, lambda: extract.turn_mentions(turns))
-        linked = self._run_stage(
-            "linked", fp, lambda: linking.link_entities(
-                mentions, linking.canonical_dictionary(self.spark)))
+        if self.detect == "dictionary":
+            # one fused detect+link join; the checkpointed mentions rows
+            # already carry (canonical, entity_iri)
+            mentions = self._run_stage(
+                "mentions", fp, lambda: extract.turn_mentions_bigdict(
+                    turns, self.dictionary))
+            linked = self._run_stage(
+                "linked", fp, lambda: mentions.select(
+                    "conv_id", "turn_idx", "turn_iri", "surface",
+                    F.lit(True).alias("linked"), "canonical",
+                    "entity_iri"))
+        else:
+            mentions = self._run_stage(
+                "mentions", fp, lambda: extract.turn_mentions(turns))
+            linked = self._run_stage(
+                "linked", fp, lambda: linking.link_entities(
+                    mentions, linking.canonical_dictionary(self.spark)))
         graph = self._run_stage(
             "graph", fp, lambda:
             extract.conversation_links(turns)
