@@ -120,6 +120,38 @@ def test_spark_submit_py_files(tmp_path):
     assert n > 100
 
 
+@pytest.mark.slow
+def test_spark_submit_kg_job_gazetteer(tmp_path, spark):
+    """The production job entry (versa_spark.jobs kg) through real
+    spark-submit --py-files with --detect dictionary: the gazetteer
+    parquet drives detection, the checkpointed job completes, metrics
+    come back as one JSON line."""
+    import json
+    from versa_spark.kg.extract import synthetic_big_dictionary
+    from versa_spark.shipping import package_zip
+    spark_submit = os.path.join(os.environ.get("SPARK_HOME", "/opt/spark"),
+                                "bin", "spark-submit")
+    if not os.path.exists(spark_submit):
+        pytest.skip("spark-submit not on this machine")
+    dict_path = str(tmp_path / "gazetteer")
+    synthetic_big_dictionary(spark, n_pad=1000).write.parquet(dict_path)
+    zpath = package_zip(str(tmp_path))
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    out = subprocess.run(
+        [spark_submit, "--master", "local[4]",
+         "--conf", "spark.ui.enabled=false",
+         "--py-files", zpath, os.path.join(REPO, "versa_spark", "jobs.py"),
+         "kg", "--synthetic-turns", "2000",
+         "--workdir", str(tmp_path / "wd"),
+         "--dictionary", dict_path, "--detect", "dictionary"],
+        capture_output=True, text=True, env=env, cwd=str(tmp_path),
+        timeout=420)
+    assert out.returncode == 0, out.stderr[-3000:]
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["graph_rows"] > 1000
+    assert rec["metrics"]["mentions"]["rows"] > 0
+
+
 def test_cli_dedup_and_sessionize(tmp_path, spark):
     """The data-op subcommands run end-to-end: parquet in → op → parquet
     out (same-process main(), not a subprocess, to reuse the session)."""

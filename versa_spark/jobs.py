@@ -32,6 +32,14 @@ def kg_main(argv) -> int:
                     help="input lineage fingerprint; unchanged = resume")
     ap.add_argument("--buckets", type=int, default=32)
     ap.add_argument("--salt", type=int, default=16)
+    ap.add_argument("--dictionary", default=None,
+                    help="parquet gazetteer (surface, canonical, "
+                         "entity_iri); with --detect dictionary, mention "
+                         "detection joins token n-grams against it "
+                         "instead of the built-in lexicon regex")
+    ap.add_argument("--detect", default="lexicon",
+                    choices=("lexicon", "dictionary"),
+                    help="detection surface set (see kg.graph.build_graph)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -48,7 +56,10 @@ def kg_main(argv) -> int:
     else:
         raise SystemExit("one of --input / --synthetic-turns is required")
 
-    job = KGJob(spark, args.workdir, n_buckets=args.buckets, salt=args.salt)
+    dictionary = (spark.read.parquet(args.dictionary)
+                  if args.dictionary else None)
+    job = KGJob(spark, args.workdir, n_buckets=args.buckets, salt=args.salt,
+                dictionary=dictionary, detect=args.detect)
     out = job.run(tx, input_fingerprint=args.fingerprint)
     print(json.dumps({"metrics": job.metrics,
                       "graph_rows": out["graph"].count(),
