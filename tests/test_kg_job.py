@@ -59,9 +59,12 @@ def test_bigdict_parity_with_regex_path(spark, tx):
 
 
 def test_bigdict_multiword_and_padding(spark):
-    """Multi-word surfaces match consecutive-token runs (up to max_ngram),
-    never-present padding surfaces match nothing, and dictionary payload
-    columns (canonical, entity_iri) ride through the fused join."""
+    """Multi-word surfaces match consecutive-token runs (max_ngram sized
+    automatically from the dictionary's own max token count),
+    never-present padding surfaces match nothing, dictionary payload
+    columns (canonical, entity_iri) ride through the fused join, and a
+    surface with non-space separators ('beta-gamma') matches its token
+    sequence under its original spelling."""
     rows = [("c0", 0, "alpha beta gamma delta x"),
             ("c0", 1, "beta gamma beta gamma"),       # dup mention → 1 row
             ("c1", 0, "alpha, beta-gamma; delta"),    # separators ≠ space
@@ -69,24 +72,28 @@ def test_bigdict_multiword_and_padding(spark):
     turns = spark.createDataFrame(
         rows, "conv_id string, turn_idx int, text string")
     d = spark.createDataFrame(
-        [("beta gamma", "bg", "e:bg"),
+        [("beta-gamma", "bg", "e:bg"),
          ("alpha beta gamma", "abg", "e:abg"),
          ("delta", "delta", "e:d"),
          ("xsurf_0", "x", "e:x")],
         "surface string, canonical string, entity_iri string")
     got = {(r.conv_id, r.turn_idx, r.surface, r.entity_iri)
-           for r in extract.turn_mentions_bigdict(
-               turns, d, max_ngram=3).collect()}
+           for r in extract.turn_mentions_bigdict(turns, d).collect()}
     assert got == {
-        ("c0", 0, "beta gamma", "e:bg"),
+        ("c0", 0, "beta-gamma", "e:bg"),
         ("c0", 0, "alpha beta gamma", "e:abg"),
         ("c0", 0, "delta", "e:d"),
-        ("c0", 1, "beta gamma", "e:bg"),
+        ("c0", 1, "beta-gamma", "e:bg"),
         # tokens ignore the punctuation separators (documented semantics)
-        ("c1", 0, "beta gamma", "e:bg"),
+        ("c1", 0, "beta-gamma", "e:bg"),
         ("c1", 0, "alpha beta gamma", "e:abg"),
         ("c1", 0, "delta", "e:d"),
     }
+    # explicit max_ngram CAPS the candidate grammar: 3-token surfaces
+    # are then deliberately out of scope
+    capped = {r.surface for r in extract.turn_mentions_bigdict(
+        turns, d, max_ngram=2).collect()}
+    assert capped == {"beta-gamma", "delta"}
 
 
 def test_bigdict_synthetic_dictionary_scale(spark, tx):
@@ -218,8 +225,59 @@ def test_kgjob_detect_dictionary(spark, tx, tmp_path):
     job2.run(tx, input_fingerprint="dictv1")
     assert all(m.get("resumed") for m in job2.metrics.values())
 
+    # dictionary CONTENT is part of the lineage: a changed gazetteer
+    # under the same caller fingerprint must recompute, not resume
+    d2 = d.filter(F.col("surface") != "spark")
+    job3 = KGJob(spark, wd, dictionary=d2, detect="dictionary")
+    out3 = job3.run(tx, input_fingerprint="dictv1")
+    assert not job3.metrics["mentions"].get("resumed")
+    gone = extract.ENT + "spark"
+    assert not any(r.origin == gone or r.target == gone
+                   for r in out3["graph"].collect())
+
     with pytest.raises(ValueError):
         KGJob(spark, wd, detect="dictionary")
+
+
+def test_kgjob_empty_mentions_stage_and_resume(spark, tx, tmp_path):
+    """A gazetteer with zero hits in the corpus yields an EMPTY mentions
+    stage: the job must still complete (structural links only), write a
+    readable checkpoint (no part files — schema pinned from the
+    manifest), and resume cleanly."""
+    d = spark.createDataFrame([("zzz_nowhere", "z", "e:z")],
+                              "surface string, canonical string, "
+                              "entity_iri string")
+    wd = str(tmp_path / "empty")
+    job = KGJob(spark, wd, dictionary=d, detect="dictionary")
+    out = job.run(tx, input_fingerprint="v1")
+    assert job.metrics["mentions"]["rows"] == 0
+    rels = {r.rel for r in out["graph"].select("rel").distinct().collect()}
+    assert not any(r.endswith("/mentions") for r in rels) and rels
+
+    job2 = KGJob(spark, wd, dictionary=d, detect="dictionary")
+    out2 = job2.run(tx, input_fingerprint="v1")
+    assert all(m.get("resumed") for m in job2.metrics.values())
+    assert out2["mentions"].count() == 0
+    assert out2["graph"].count() == out["graph"].count()
+
+
+def test_kgjob_lexicon_with_custom_linking_dictionary(spark, tx, tmp_path):
+    """detect='lexicon' + an explicit dictionary drives the LINKING
+    stage (build_graph semantics): custom entity IRIs appear, and
+    surfaces absent from the custom dictionary fall back to
+    deterministic unlinked fingerprints."""
+    d = (linking.canonical_dictionary(spark)
+         .withColumn("entity_iri", F.concat(F.lit("custom:"),
+                                            F.col("canonical")))
+         .filter(F.col("surface") != "spark"))
+    out = KGJob(spark, str(tmp_path / "lexdict"),
+                dictionary=d).run(tx, input_fingerprint="v1")
+    linked = out["linked"].collect()
+    assert any(r.entity_iri.startswith("custom:") for r in linked)
+    spark_rows = [r for r in linked if r.surface == "spark"]
+    assert spark_rows and all(
+        not r.linked and "entity/unlinked/" in r.entity_iri
+        for r in spark_rows)
 
 
 def test_salted_equals_unsalted_canonicalization(spark):

@@ -122,6 +122,16 @@ def test_match_stored_reads_writer_bucket_count(tmp_path, spark):
     assert out.count() == 1
     # falsy origin is a wildcard (ops.match truthiness), not a bucket key
     assert storage.match_stored(model, origin="", path=path).count() == 20
+    # absent sidecar (pre-sidecar table) degrades to None…
+    assert storage.stored_n_buckets(str(tmp_path / "nowhere"),
+                                    spark) is None
+    # …but a CORRUPT sidecar raises instead of silently disabling the
+    # wrong-bucket-count guard
+    import os
+    with open(os.path.join(path, "_versa_layout.json"), "w") as f:
+        f.write("not json")
+    with pytest.raises(Exception):
+        storage.stored_n_buckets(path, spark)
 
 
 def test_stream_graph_epoch_replay_is_idempotent(tmp_path, spark):

@@ -97,6 +97,9 @@ def lap_bigdict(spark: SparkSession) -> dict:
     from versa_spark.kg.transcripts import synthetic_transcripts
     from versa_spark.kg.transcripts import TURN_IRI_PREFIX
     n_pad = 100_000
+    # the generator emits whole conversations — report the ACTUAL row
+    # count, not the requested target, or tps overstates on non-multiples
+    n_turns = max(1, N_TURNS // 25) * 25
     tx = synthetic_transcripts(spark, n_convs=max(1, N_TURNS // 25),
                                turns_per_conv=25)
     tx = tx.withColumn(
@@ -112,14 +115,14 @@ def lap_bigdict(spark: SparkSession) -> dict:
     n_lex = extract.turn_mentions(tx).count()
     lex_wall = round(time.time() - t0, 3)
     return {
-        "n_turns": N_TURNS,
+        "n_turns": n_turns,
         "dict_surfaces": n_pad + len(extract.LEXICON)
         + len(extract.BIGDICT_PHRASES),
         "bigdict_sec": wall,
-        "turns_per_sec": round(N_TURNS / wall, 1),
+        "turns_per_sec": round(n_turns / wall, 1),
         "mentions": n_mentions,
         "lexicon_regex_sec": lex_wall,
-        "lexicon_turns_per_sec": round(N_TURNS / lex_wall, 1),
+        "lexicon_turns_per_sec": round(n_turns / lex_wall, 1),
         "lexicon_mentions": n_lex,
     }
 

@@ -206,9 +206,9 @@ def synthetic_big_dictionary(spark, n_pad: int = 20_000) -> DataFrame:
 
 
 def turn_mentions_bigdict(turns: DataFrame, dictionary: DataFrame,
-                          max_ngram: int = 2,
+                          max_ngram: int | None = None,
                           broadcast: bool | str = "auto",
-                          broadcast_max_rows: int = 10_000_000) -> DataFrame:
+                          broadcast_max_rows: int = 2_000_000) -> DataFrame:
     """Large-dictionary mention detection: token n-grams hash-joined
     against a dictionary TABLE — the reference's own ``lookup()`` join
     discipline (other_actions.py:366-404) applied to *detection*, for
@@ -218,40 +218,71 @@ def turn_mentions_bigdict(turns: DataFrame, dictionary: DataFrame,
 
     Semantics: a mention is a run of 1..max_ngram consecutive word
     tokens (maximal ``[A-Za-z0-9_]+`` runs, case-sensitive — the \\b
-    semantics of the regex path) whose single-space join equals a
-    dictionary surface.  For all-word-char surfaces this is exactly the
-    ``\\b(surface)\\b`` regex semantics; multi-word surfaces match their
-    token sequence regardless of the separator characters between the
-    tokens (the one documented divergence: the regex path would demand a
-    literal single space).  Dictionary contract: ``surface`` unique;
-    extra dictionary columns (canonical, entity_iri, …) ride through the
+    semantics of the regex path) whose single-space join equals the
+    dictionary surface's OWN token sequence (the surface is normalized
+    to the same token/space form for the join key; the emitted
+    ``surface`` column is the dictionary's original spelling).  For
+    all-word-char surfaces this is exactly the ``\\b(surface)\\b`` regex
+    semantics; surfaces containing other separators ("k-means",
+    "new  york") match their token sequence regardless of the separator
+    characters between the tokens (the one documented divergence: the
+    regex path would demand the literal separators).  Two surfaces that
+    normalize identically both match the same occurrences (one output
+    row each).  Dictionary contract: ``surface`` unique; extra
+    dictionary columns (canonical, entity_iri, …) ride through the
     detection join, fusing detection + linking into ONE map-side join.
+
+    ``max_ngram=None`` (default) sizes the candidate grammar from the
+    dictionary itself — the max token count over surfaces, harvested by
+    the same tiny aggregation the ``broadcast='auto'`` pass runs — so
+    multi-word surfaces can never be silently undetectable; pass an
+    explicit ``max_ngram`` to cap the candidate stream (surfaces with
+    more tokens are then deliberately out of scope) or to keep the plan
+    fully lazy when ``broadcast`` is also explicit.
 
     Plan shape at 100 TB: tokens and candidate n-grams build inside
     per-row array expressions (array_distinct BEFORE the explode, so
-    output rows are unique per (turn, surface) with no post-join dedup
-    shuffle), then one hash join on ``surface``.  ``broadcast='auto'``
-    counts the dictionary (one narrow scan, same counted-degrade idiom
-    as dedup.decontaminate) and hints ``F.broadcast`` below
-    ``broadcast_max_rows`` — the join is then map-side with ZERO
-    exchange of the turn stream; above it the join degrades to an
-    AQE-planned shuffle, and the auto pass also harvests min/max surface
-    length so obviously-unmatchable candidates are pruned JVM-side
-    before they reach the exchange.  Hot surfaces are harmless in the
-    broadcast regime (no shuffle by surface ever happens)."""
+    output rows are unique per (turn, dictionary row) with no post-join
+    dedup shuffle), then one hash join on the normalized key.
+    ``broadcast='auto'`` counts the dictionary (one narrow scan, same
+    counted-degrade idiom as dedup.decontaminate) and hints
+    ``F.broadcast`` below ``broadcast_max_rows`` (default 2M rows ≈ a
+    few hundred MB of strings — the broadcast-relation budget, NOT the
+    decontaminate 10M-hash budget: these are full string rows, not 8-byte
+    hashes) — the join is then map-side with ZERO exchange of the turn
+    stream; above it the join degrades to an AQE-planned shuffle, and
+    the auto pass also harvests min/max normalized-surface length so
+    obviously-unmatchable candidates are pruned JVM-side before they
+    reach the exchange.  Hot surfaces are harmless in the broadcast
+    regime (no shuffle by surface ever happens)."""
+    def _norm(col):
+        return F.array_join(
+            F.filter(F.split(col, r"[^A-Za-z0-9_]+"), lambda t: t != ""),
+            " ")
+
     length_bounds = None
-    if broadcast == "auto":
+    if broadcast == "auto" or max_ngram is None:
+        norm = _norm(F.col("surface"))
         stats = dictionary.agg(
             F.count("*").alias("n"),
-            F.min(F.length("surface")).alias("lo"),
-            F.max(F.length("surface")).alias("hi")).first()
-        broadcast = (stats["n"] or 0) <= broadcast_max_rows
+            F.min(F.length(norm)).alias("lo"),
+            F.max(F.length(norm)).alias("hi"),
+            F.max(F.size(F.filter(
+                F.split(F.col("surface"), r"[^A-Za-z0-9_]+"),
+                lambda t: t != ""))).alias("toks")).first()
+        if broadcast == "auto":
+            broadcast = (stats["n"] or 0) <= broadcast_max_rows
+        if max_ngram is None:
+            max_ngram = max(1, int(stats["toks"] or 1))
         if stats["lo"] is not None:
             length_bounds = (int(stats["lo"]), int(stats["hi"]))
-    d = F.broadcast(dictionary) if broadcast else dictionary
+    d = dictionary.withColumn("_k", _norm(F.col("surface")))
+    if broadcast:
+        d = F.broadcast(d)
 
     toks = F.filter(F.split(F.col("text"), r"[^A-Za-z0-9_]+"),
                     lambda t: t != "")
+
     def _grams(n):
         # NB the transform lambda must be UNARY — pyspark dispatches a
         # binary lambda as (element, index), so e.g. a `n=n` default
@@ -270,12 +301,12 @@ def turn_mentions_bigdict(turns: DataFrame, dictionary: DataFrame,
     keep = [c for c in ("conv_id", "turn_idx", "turn_iri")
             if c in turns.columns]
     out = (turns.withColumn("_toks", toks)
-           .select(*keep, F.explode(cand).alias("surface")))
+           .select(*keep, F.explode(cand).alias("_cand")))
     if length_bounds is not None:
-        out = out.filter(
-            F.length("surface").between(*length_bounds))
+        out = out.filter(F.length("_cand").between(*length_bounds))
     payload = [c for c in dictionary.columns if c != "surface"]
-    return out.join(d, "surface", "inner").select(*keep, "surface", *payload)
+    return (out.join(d, out["_cand"] == d["_k"], "inner")
+            .select(*keep, "surface", *payload))
 
 
 def conversation_links(turns: DataFrame) -> DataFrame:

@@ -33,7 +33,8 @@ from versa_spark.kg import canonicalize, extract, linking
 def build_graph(spark: SparkSession, turns: DataFrame,
                 persist: bool = True,
                 dictionary: DataFrame | None = None,
-                detect: str = "lexicon") -> dict[str, DataFrame]:
+                detect: str = "lexicon",
+                detect_opts: dict | None = None) -> dict[str, DataFrame]:
     """ordered turns → {turns, linked, graph, edges} DataFrames.
 
     ``turns`` may or may not carry ``turn_rank``; no link family consumes
@@ -68,7 +69,8 @@ def build_graph(spark: SparkSession, turns: DataFrame,
     if detect == "dictionary":
         if dictionary is None:
             raise ValueError("detect='dictionary' requires a dictionary")
-        return _build_graph_bigdict(spark, turns, persist, dictionary)
+        return _build_graph_bigdict(spark, turns, persist, dictionary,
+                                    detect_opts or {})
     if detect != "lexicon":
         raise ValueError(f"unknown detect {detect!r} "
                          "(use 'lexicon' or 'dictionary')")
@@ -97,13 +99,15 @@ def build_graph(spark: SparkSession, turns: DataFrame,
 
 
 def _build_graph_bigdict(spark: SparkSession, turns: DataFrame,
-                         persist: bool,
-                         dictionary: DataFrame) -> dict[str, DataFrame]:
+                         persist: bool, dictionary: DataFrame,
+                         detect_opts: dict) -> dict[str, DataFrame]:
     """Gazetteer-driven assembly: ONE fused detection+linking join
     (turn_mentions_bigdict) replaces regex-detect + link_entities; the
-    rest of the build is byte-identical to the generic path."""
+    rest of the build is byte-identical to the generic path.
+    ``detect_opts`` forwards to turn_mentions_bigdict (max_ngram,
+    broadcast, broadcast_max_rows)."""
     m = extract.turn_mentions_bigdict(turns.drop("turn_rank", "turn_iri"),
-                                      dictionary)
+                                      dictionary, **detect_opts)
     linked = m.select("conv_id", "turn_idx", "canonical", "entity_iri")
     turns_slim = turns.drop("text", "turn_rank")
     if persist:

@@ -57,7 +57,8 @@ class KGJob:
                  n_buckets: int = 32, salt: int = 16,
                  write_distribution: str = "auto",
                  dictionary: DataFrame | None = None,
-                 detect: str = "lexicon"):
+                 detect: str = "lexicon",
+                 detect_opts: dict | None = None):
         if detect not in ("lexicon", "dictionary"):
             raise ValueError(f"unknown detect {detect!r} "
                              "(use 'lexicon' or 'dictionary')")
@@ -71,14 +72,31 @@ class KGJob:
         # detect='dictionary' routes the mentions stage through the
         # token-n-gram gazetteer join (extract.turn_mentions_bigdict) —
         # detection+linking fuse into one map-side join and the linked
-        # stage becomes a pure projection of the mentions checkpoint.
-        # NB the dictionary's CONTENT is part of the job's input: callers
-        # must fold a dictionary version into input_fingerprint, or a
-        # resume after a dictionary change would wrongly skip stages.
+        # view becomes a pure projection of the mentions checkpoint.
+        # With detect='lexicon' an explicit dictionary still drives the
+        # LINKING stage (the build_graph semantics).  The dictionary's
+        # CONTENT is part of the job's input: run() folds an
+        # order-insensitive content digest into the effective stage
+        # fingerprint, so a resume after a dictionary change recomputes
+        # instead of silently serving stale stages.
         self.dictionary = dictionary
         self.detect = detect
+        self.detect_opts = dict(detect_opts or {})
         os.makedirs(workdir, exist_ok=True)
         self.metrics: dict[str, dict] = {}
+
+    def _dictionary_digest(self) -> str:
+        """Cheap order-insensitive content digest of the dictionary: row
+        count + sum of row hashes over one narrow scan.  Collision-safe
+        enough for change DETECTION (a resume-invalidation signal, not
+        an identity)."""
+        cols = [F.col(c) for c in self.dictionary.columns]
+        # decimal sum: a long sum of 64-bit hashes overflows under ANSI
+        row = self.dictionary.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("h")
+        ).first()
+        return f"{row['n']}:{row['h']}"
 
     # -- manifest / lineage ------------------------------------------------
 
@@ -113,7 +131,14 @@ class KGJob:
                 and prior.get("input_fingerprint") == input_fingerprint
                 and os.path.isdir(path)):
             self.metrics[stage] = {**prior, "resumed": True}
-            return self.spark.read.parquet(path)
+            reader = self.spark.read
+            if prior.get("schema"):
+                # manifest-pinned schema: lets a legitimately EMPTY
+                # stage (no part files to infer from) resume cleanly
+                from pyspark.sql.types import StructType
+                reader = reader.schema(
+                    StructType.fromJson(json.loads(prior["schema"])))
+            return reader.parquet(path)
         t0 = time.time()
         df = build()
         if "conv_id" in df.columns:
@@ -127,9 +152,14 @@ class KGJob:
             (df.write.mode("overwrite").partitionBy("pt").parquet(path))
         else:
             df.write.mode("overwrite").parquet(path)
-        out = self.spark.read.parquet(path)
+        # read back with the WRITER's schema pinned: a legitimately empty
+        # stage (e.g. a gazetteer with no hits in this corpus) writes no
+        # part files, and schema inference over the bare directory would
+        # throw UNABLE_TO_INFER_SCHEMA instead of yielding 0 rows
+        out = self.spark.read.schema(df.schema).parquet(path)
         rec = {"stage": stage, "status": "ok", "rows": out.count(),
                "input_fingerprint": input_fingerprint,
+               "schema": df.schema.json(),
                "wall_s": round(time.time() - t0, 3), "ts": time.time()}
         self._append_manifest(rec)
         self.metrics[stage] = rec
@@ -140,6 +170,8 @@ class KGJob:
     def run(self, transcripts_df: DataFrame,
             input_fingerprint: str = "default") -> dict[str, DataFrame]:
         fp = input_fingerprint
+        if self.dictionary is not None:
+            fp = f"{fp}/dict={self._dictionary_digest()}"
         # turns: pure projection (turn IRI), NO window — the rank
         # exchange would shuffle + sort full rows including the fat text
         # column, and no downstream link family consumes turn_rank.  The
@@ -151,21 +183,28 @@ class KGJob:
             "turn_order", fp, lambda: T.turn_order(transcripts_df))
         if self.detect == "dictionary":
             # one fused detect+link join; the checkpointed mentions rows
-            # already carry (canonical, entity_iri)
+            # already carry (canonical, entity_iri), so `linked` is a
+            # pure PROJECTION of the mentions checkpoint — writing it as
+            # its own stage would re-shuffle and duplicate the job's
+            # largest output on disk for a constant column
             mentions = self._run_stage(
                 "mentions", fp, lambda: extract.turn_mentions_bigdict(
-                    turns, self.dictionary))
-            linked = self._run_stage(
-                "linked", fp, lambda: mentions.select(
-                    "conv_id", "turn_idx", "turn_iri", "surface",
-                    F.lit(True).alias("linked"), "canonical",
-                    "entity_iri"))
+                    turns, self.dictionary, **self.detect_opts))
+            linked = mentions.select(
+                "conv_id", "turn_idx", "turn_iri", "surface",
+                F.lit(True).alias("linked"), "canonical", "entity_iri")
+            self.metrics["linked"] = {
+                "stage": "linked", "status": "view-of-mentions",
+                "rows": self.metrics["mentions"].get("rows"),
+                "resumed": self.metrics["mentions"].get("resumed", False)}
         else:
             mentions = self._run_stage(
                 "mentions", fp, lambda: extract.turn_mentions(turns))
+            link_dict = (self.dictionary if self.dictionary is not None
+                         else linking.canonical_dictionary(self.spark))
             linked = self._run_stage(
                 "linked", fp, lambda: linking.link_entities(
-                    mentions, linking.canonical_dictionary(self.spark)))
+                    mentions, link_dict))
         graph = self._run_stage(
             "graph", fp, lambda:
             extract.conversation_links(turns)

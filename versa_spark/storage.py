@@ -68,17 +68,21 @@ def stored_n_buckets(path: str,
                 return int(json.load(f)["n_buckets"])
         except (OSError, ValueError, KeyError):
             return None
-    try:
-        fs, hpath = _hadoop_fs(spark, os.path.join(path, _META_FILE))
-        stream = fs.open(hpath)
-        try:
-            raw = spark._jvm.org.apache.commons.io.IOUtils.toString(
-                stream, "UTF-8")
-        finally:
-            stream.close()
-        return int(json.loads(raw)["n_buckets"])
-    except Exception:  # missing file surfaces as Py4JJavaError
+    fs, hpath = _hadoop_fs(spark, os.path.join(path, _META_FILE))
+    # ONLY a genuinely-absent sidecar degrades to None (pre-sidecar
+    # table).  Read/parse/transport failures PROPAGATE: swallowing e.g.
+    # a transient S3 error here would silently disable the
+    # wrong-bucket-count guard and turn a retryable fault into an
+    # empty (wrongly pruned) query result.
+    if not fs.exists(hpath):
         return None
+    stream = fs.open(hpath)
+    try:
+        raw = spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8")
+    finally:
+        stream.close()
+    return int(json.loads(raw)["n_buckets"])
 
 
 def write_model(df: DataFrame, path: str, n_buckets: int = 64,
