@@ -216,3 +216,24 @@ def test_cli_graphstats(tmp_path, spark):
         sum(r.rank for r in pr.collect()) - 1.0) < 2e-6   # ranks round 6dp
     tri = spark.read.parquet(f"{out}/triangles").collect()[0]
     assert tri.n_triangles == 1    # A-B-C all co-occur pairwise
+
+
+def test_cli_graphstats_sets_shape(tmp_path, spark):
+    """graphstats auto-routes a sets-shaped parquet (per-turn `ents`
+    array) through cooccurrence_pmi_from_sets — same outputs as the
+    equivalent mention-row input."""
+    from versa_spark import cli
+    sets = spark.createDataFrame(
+        [("c", 0, ["A", "B"]), ("c", 1, ["A", "C"]),
+         ("d", 0, ["B", "C"]), ("d", 1, ["A", "B"])],
+        "conv_id string, turn_idx int, ents array<string>")
+    src = str(tmp_path / "sets_in"); sets.write.parquet(src)
+    out = str(tmp_path / "stats_out2")
+    rc = cli.main(["graphstats", src, out, "--iterations", "2",
+                   "--cpus", "4"])
+    assert rc == 0
+    pmi = {(r.a, r.b): r.n_ab for r in
+           spark.read.parquet(f"{out}/cooccur").collect()}
+    assert pmi == {("A", "B"): 2, ("A", "C"): 1, ("B", "C"): 1}
+    tri = spark.read.parquet(f"{out}/triangles").collect()[0]
+    assert tri.n_triangles == 1

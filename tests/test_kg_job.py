@@ -536,3 +536,23 @@ def test_link_entities_scored_partitioning_invariant(spark):
     b = sorted(map(tuple, linking.link_entities_scored(
         mentions.repartition(7), d).collect()))
     assert a == b and len(a) == 4
+
+
+def test_turn_entity_iri_sets_parity_and_plan(spark):
+    """turn_entity_iri_sets (the sets-shaped producer for
+    cooccurrence_pmi_from_sets) must equal collect_set over the linked
+    mention rows, and plan ZERO exchanges — the whole point of the
+    variant is skipping the collect_set corpus shuffle."""
+    tx = synthetic_transcripts(spark, n_convs=40, turns_per_conv=10)
+    turns = ordered_turns(tx, with_rank=False)
+    sets = extract.turn_entity_iri_sets(turns)
+    assert _exchange_inputs(sets) == []          # fully map-side
+    via_sets = {(r.conv_id, r.turn_idx): frozenset(r.ents)
+                for r in sets.filter(F.size("ents") > 0).collect()}
+    linked = linking.link_entities(
+        extract.turn_mentions(turns), linking.canonical_dictionary(spark))
+    via_linked = {(r.conv_id, r.turn_idx): frozenset(r.ents) for r in
+                  linked.groupBy("conv_id", "turn_idx")
+                  .agg(F.collect_set("entity_iri").alias("ents"))
+                  .collect()}
+    assert via_sets == via_linked and len(via_sets) > 100
