@@ -472,3 +472,17 @@ def test_session_stats_type_col_param(spark):
         "props string, etype string")
     out = session_stats(ev, type_col="etype").collect()[0]
     assert out.n_types == 2
+
+
+def test_cooccurrence_from_sets_dedupes_entries(spark):
+    # arbitrary external parquet (the CLI boundary) may carry repeats in
+    # `ents`; they must not create self-pairs or double-counts — parity
+    # with what collect_set over the same mentions would produce
+    dup = spark.createDataFrame(
+        [("c", 0, ["A", "A", "B"]), ("c", 1, ["B", "A", "B"])],
+        "conv_id string, turn_idx int, ents array<string>")
+    out = {(r.a, r.b): r for r in
+           analytics.cooccurrence_pmi_from_sets(dup).collect()}
+    assert set(out) == {("A", "B")}          # no (A, A) self-pair
+    ab = out[("A", "B")]
+    assert (ab.n_ab, ab.n_a, ab.n_b) == (2, 2, 2)

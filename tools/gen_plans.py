@@ -176,20 +176,21 @@ window sort is absent from the triple-build plan. Regenerate with
             "turn-count scalar enter as BroadcastHashJoin / "
             "BroadcastNestedLoopJoin of 1-row/dictionary-sized sides.")
 
-    from versa_spark.kg.transcripts import (
-        ordered_turns as _ot, transcripts_from_documents as _tfd)
-    sets = (extract.turn_entity_iri_sets(
-        _ot(_tfd(spark, sf), with_rank=False))
-            .select("conv_id", "turn_idx", "ents"))
-    pmi_s = analytics.cooccurrence_pmi_from_sets(sets, materialize=False)
+    pmi_s = analytics.cooccurrence_pmi_from_sets(
+        e._kg_entity_sets(spark, sf), materialize=False)
     pmi_s.count()
     section("co-occurrence from zero-exchange entity sets", pmi_s,
-            "The sets producer (turn_entity_iri_sets) is pure map-side "
-            "— the mention UDF, tinyint canonicalization, and IRI "
-            "mapping all happen in-row, so the collect_set corpus "
-            "Exchange of the mention-row path vanishes entirely; the "
-            "only exchanges left are the pair-sized and entity-sized "
-            "aggregations.  This is the default driver/CLI path since "
+            "The sets producer (turn_entity_iri_sets, audited here "
+            "through the driver's own _kg_entity_sets derivation) is "
+            "pure map-side — the mention UDF, tinyint canonicalization, "
+            "and IRI mapping all happen in-row, so the collect_set "
+            "corpus Exchange of the mention-row path vanishes entirely; "
+            "the only exchanges the OPERATOR adds are the pair-sized "
+            "and entity-sized aggregations.  (The REPARTITION_BY_COL "
+            "exchange visible in the scan subtree is the documents→"
+            "transcripts FIXTURE shuffle, same as the mention-links "
+            "section above — a real transcript table is read already "
+            "partitioned.)  This is the default driver/CLI path since "
             "round 5 (37.5 s → 5.1 s at 4M turns).")
 
     tri = analytics.triangle_stats(

@@ -107,8 +107,11 @@ def cooccurrence_pmi_from_sets(sets: DataFrame, min_pairs: int = 1,
     all: pairs and marginals explode in-plan (map side) and only the
     pair-sized / entity-sized aggregations exchange.
 
-    The input is normalized defensively (both map-side, costless next
-    to the exchange this path avoids): ``ents`` is re-sorted — pair
+    The input is normalized defensively (all map-side, costless next
+    to the exchange this path avoids): ``ents`` is DEDUPED — an array
+    with repeats would emit self-pairs and double-count n_ab/marginals
+    where the mention-row path's collect_set cannot (the CLI feeds this
+    function arbitrary external parquet) — then re-sorted — pair
     generation is positional, so an unsorted array would emit (b, a)
     and split one pair's count across two rows — and zero-entity rows
     are dropped so the PMI event space stays "turns with ≥ 1 mention",
@@ -116,7 +119,7 @@ def cooccurrence_pmi_from_sets(sets: DataFrame, min_pairs: int = 1,
     mention-free turns as empty arrays; map its tinyint indices to
     labels first if label pairs are wanted)."""
     sets = (sets.filter(F.size("ents") > 0)
-            .withColumn("ents", F.sort_array("ents")))
+            .withColumn("ents", F.sort_array(F.array_distinct("ents"))))
 
     def _assemble(sets):
         pair_counts = (_pairs_from_sets(sets)
