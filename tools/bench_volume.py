@@ -10,8 +10,12 @@ Two one-shot laps whose numbers land in BASELINE.md (round-5 judge items):
   ~100k-surface generated gazetteer: evidences that token-n-gram
   detection + the broadcast dictionary join scale past the fused-regex
   lexicon path.
+* ``cooccur`` — co-occurrence/PMI at 4M turns, BOTH derivations on the
+  same input: the zero-exchange sets path (turn_entity_iri_sets →
+  cooccurrence_pmi_from_sets — the driver/CLI default since round 5)
+  vs the mention-row collect_set path, with an output-equality check.
 
-Usage: python tools/bench_volume.py [dedup|bigdict|all]
+Usage: python tools/bench_volume.py [dedup|bigdict|cooccur|all]
 Deterministic synthetic inputs (xxhash64-seeded column expressions, no
 Python in the row path, no external data).
 """
@@ -127,6 +131,43 @@ def lap_bigdict(spark: SparkSession) -> dict:
     }
 
 
+def lap_cooccur(spark: SparkSession) -> dict:
+    from versa_spark.kg import analytics, extract, linking
+    from versa_spark.kg.transcripts import ordered_turns, \
+        synthetic_transcripts
+    n_turns = max(1, N_TURNS // 25) * 25
+    tx = synthetic_transcripts(spark, n_convs=max(1, N_TURNS // 25),
+                               turns_per_conv=25)
+    turns = ordered_turns(tx, with_rank=False)
+
+    t0 = time.time()
+    pmi_sets = analytics.cooccurrence_pmi_from_sets(
+        extract.turn_entity_iri_sets(turns)
+        .select("conv_id", "turn_idx", "ents"))
+    n_sets = pmi_sets.count()
+    sets_wall = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    linked = linking.link_entities(extract.turn_mentions(turns),
+                                   linking.canonical_dictionary(spark))
+    pmi_rows = analytics.cooccurrence_pmi(
+        linked.select("conv_id", "turn_idx", "entity_iri"))
+    n_rows = pmi_rows.count()
+    rows_wall = round(time.time() - t0, 3)
+
+    equal = (sorted(map(tuple, pmi_sets.collect()))
+             == sorted(map(tuple, pmi_rows.collect())))
+    return {
+        "n_turns": n_turns,
+        "sets_path_sec": sets_wall,
+        "sets_turns_per_sec": round(n_turns / sets_wall, 1),
+        "mention_row_path_sec": rows_wall,
+        "mention_row_turns_per_sec": round(n_turns / rows_wall, 1),
+        "pairs": n_sets,
+        "outputs_equal": equal and n_sets == n_rows,
+    }
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = build_spark()
@@ -135,6 +176,8 @@ def main() -> None:
         out["dedup"] = lap_dedup(spark)
     if which in ("bigdict", "all"):
         out["bigdict"] = lap_bigdict(spark)
+    if which in ("cooccur", "all"):
+        out["cooccur"] = lap_cooccur(spark)
     print(json.dumps(out, separators=(",", ":")))
     spark.stop()
 
