@@ -223,3 +223,28 @@ def test_streaming_event_rollup_matches_batch(spark, tmp_path):
                       .select("bucket_us", "event_type", "n_events",
                               "value_sum").collect()))
     assert got == want and len(got) > 10
+
+
+def test_stream_graph_detect_dictionary(spark, tmp_path, input_dir):
+    """Streaming ingest supports the large-gazetteer detection path:
+    detect='dictionary' threads through to build_graph per micro-batch
+    (stream-static token-n-gram join) and the streamed triples equal
+    the batch run with the identical dictionary."""
+    from versa_spark.kg import extract
+    from versa_spark.kg.graph import build_graph
+    from versa_spark.kg.transcripts import ordered_turns
+    bd = extract.synthetic_big_dictionary(spark, n_pad=500)
+    out = str(tmp_path / "graph_bd")
+    ckpt = str(tmp_path / "ckpt_bd")
+    q = streaming.stream_graph_query(spark, input_dir, out, ckpt,
+                                     dictionary=bd, detect="dictionary")
+    q.awaitTermination(300)
+    got = {(r.origin, r.rel, r.target) for r in
+           spark.read.parquet(out)
+           .select("origin", "rel", "target").collect()}
+    batch = build_graph(
+        spark, ordered_turns(spark.read.parquet(input_dir)),
+        dictionary=bd, detect="dictionary")["graph"]
+    b = {(r.origin, r.rel, r.target)
+         for r in batch.select("origin", "rel", "target").collect()}
+    assert got == b and len(got) > 1000

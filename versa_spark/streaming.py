@@ -46,9 +46,20 @@ def read_transcript_stream(spark: SparkSession, input_dir: str,
 
 def stream_graph_query(spark: SparkSession, input_dir: str,
                        output_dir: str, checkpoint_dir: str,
-                       available_now: bool = True):
+                       available_now: bool = True,
+                       dictionary: DataFrame | None = None,
+                       detect: str = "lexicon",
+                       detect_opts: dict | None = None):
     """Start the stream: per micro-batch, run the batch KG construction
-    and append triples to ``output_dir``.  Returns the StreamingQuery."""
+    and append triples to ``output_dir``.  Returns the StreamingQuery.
+
+    ``dictionary`` / ``detect`` / ``detect_opts`` pass through to
+    ``build_graph`` unchanged, so streaming ingest supports the same
+    large-gazetteer path as batch: ``detect='dictionary'`` routes each
+    micro-batch's mention detection through the token-n-gram join
+    against ``dictionary`` (a stream-static join — the static side is
+    built once on the driver and broadcast per batch under the same
+    size guard as batch)."""
     from versa_spark.kg.graph import build_graph
     from versa_spark.kg.transcripts import ordered_turns
 
@@ -65,7 +76,8 @@ def stream_graph_query(spark: SparkSession, input_dir: str,
         batch_df = batch_df.dropDuplicates(["conv_id", "turn_idx"])
         turns = ordered_turns(batch_df)
         spark_b = batch_df.sparkSession
-        parts = build_graph(spark_b, turns)
+        parts = build_graph(spark_b, turns, dictionary=dictionary,
+                            detect=detect, detect_opts=detect_opts)
         # IDEMPOTENT sink: foreachBatch gives at-least-once epochs — a
         # crash between the parquet commit and the streaming checkpoint
         # re-runs the SAME epoch_id on restart.  Writing each epoch as
