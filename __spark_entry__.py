@@ -555,6 +555,28 @@ def _q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.select("doc_id", "contaminated")
 
 
+def _q_decontam_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (near-dup) benchmark decontamination
+    (dedup.decontaminate_fuzzy): the benchmark set is every 9th corpus
+    doc with one word appended — NOT exact copies, so the 13-gram exact
+    recipe's whole-doc hash would miss nothing but a paraphrase detector
+    is required; cross-corpus MinHash+LSH (md5 family) finds them and
+    the candidate-scoped exact-Jaccard verify scores them.  The oracle
+    replays signatures, banding, candidate join, and verification in
+    SQL over the unioned doc set (ids disjoint by construction), so
+    this is a full value check including the jaccard scores."""
+    from versa_spark import dedup
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .orderBy("doc_id").limit(200).select("doc_id", "text"))
+    bench = (docs.filter(F.col("doc_id") % 9 == 0)
+             .select((F.col("doc_id") + 5000000).alias("doc_id"),
+                     F.concat(F.col("text"), F.lit(" tail")).alias("text")))
+    pairs = dedup.decontaminate_fuzzy(docs, bench, hash_family="md5",
+                                      mode="pairs")
+    return pairs.select("corpus_id", "bench_id",
+                        F.round("jaccard", 4).alias("jaccard"))
+
+
 def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-threshold stratified sampling
     (textops.stratified_sample, md5 family): the exact kept set is
@@ -935,6 +957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_stats": _q_pii_stats,
         "emb_dedup": _q_emb_dedup,
         "decontam": _q_decontam,
+        "decontam_fuzzy": _q_decontam_fuzzy,
         "stratified_sample": _q_stratified_sample,
         "dup_components": _q_dup_components,
         "dup_chain_components": _q_dup_chain_components,
@@ -1967,6 +1990,69 @@ def oracle_sql() -> dict[str, str]:
                      FROM csh JOIN bsh USING (shingle))
             SELECT c.doc_id, (cont.doc_id IS NOT NULL) AS contaminated
             FROM corpus c LEFT JOIN cont ON cont.doc_id = c.doc_id
+        """,
+        "decontam_fuzzy": """
+            WITH corpus AS (SELECT doc_id, text FROM documents
+                            ORDER BY doc_id LIMIT 200),
+            alldocs AS (
+                SELECT doc_id, text FROM corpus
+                UNION ALL
+                SELECT doc_id + 5000000, text || ' tail' FROM corpus
+                WHERE doc_id % 9 = 0),
+            norm AS (
+                SELECT doc_id,
+                       regexp_split_to_array(
+                           regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                          'g'), ' ') AS words
+                FROM alldocs),
+            sh AS (
+                SELECT DISTINCT doc_id, shingle FROM (
+                    SELECT doc_id,
+                           unnest([array_to_string(words[i:i+2], ' ')
+                                   for i in range(1, len(words) - 1)])
+                               AS shingle
+                    FROM norm WHERE len(words) >= 3
+                    UNION ALL
+                    SELECT doc_id, array_to_string(words, ' ')
+                    FROM norm WHERE len(words) < 3)),
+            hv AS (
+                SELECT doc_id,
+                       CAST(concat('0x', substr(md5(shingle), 1, 12))
+                            AS BIGINT) AS ha,
+                       CAST(concat('0x', substr(md5('b:' || shingle), 1,
+                                                12))
+                            AS BIGINT) AS hb
+                FROM sh),
+            hs AS (
+                SELECT doc_id, i,
+                       MIN((ha + i * hb) & ((1::BIGINT << 48) - 1)) AS h
+                FROM hv CROSS JOIN range(64) t(i)
+                GROUP BY doc_id, i),
+            bands AS (
+                SELECT doc_id, CAST(i // 4 AS INT) AS band,
+                       md5(string_agg(h::VARCHAR, ',' ORDER BY i))
+                           AS bucket
+                FROM hs GROUP BY doc_id, i // 4),
+            cands AS (
+                SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                FROM bands x JOIN bands y USING (band, bucket)
+                WHERE x.doc_id < 5000000 AND y.doc_id >= 5000000),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh
+                      GROUP BY doc_id),
+            inter AS (
+                SELECT c.a, c.b, COUNT(*) AS n_inter
+                FROM cands c
+                JOIN sh sa ON sa.doc_id = c.a
+                JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+                GROUP BY c.a, c.b)
+            SELECT a AS corpus_id, b AS bench_id,
+                   round(CAST(n_inter AS DOUBLE)
+                         / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE CAST(n_inter AS DOUBLE)
+                  / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
         """,
         "stratified_sample": """
             SELECT doc_id, source FROM documents

@@ -237,3 +237,33 @@ def test_cli_graphstats_sets_shape(tmp_path, spark):
     assert pmi == {("A", "B"): 2, ("A", "C"): 1, ("B", "C"): 1}
     tri = spark.read.parquet(f"{out}/triangles").collect()[0]
     assert tri.n_triangles == 1
+
+
+def test_cli_decontaminate(tmp_path, spark):
+    """The decontaminate subcommand runs both recipes end-to-end: exact
+    13-gram removal and --fuzzy near-dup flagging/pairs."""
+    from pyspark.sql import functions as F
+    from versa_spark import cli
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .limit(30).select("doc_id", "text"))
+    bench = (docs.filter(F.col("doc_id") % 5 == 0)
+             .select((F.col("doc_id") + 1000).alias("doc_id"),
+                     F.concat("text", F.lit(" tail")).alias("text")))
+    src = str(tmp_path / "corpus_in"); docs.write.parquet(src)
+    bsrc = str(tmp_path / "bench_in"); bench.write.parquet(bsrc)
+
+    out = str(tmp_path / "fuzzy_pairs")
+    rc = cli.main(["decontaminate", src, bsrc, out, "--fuzzy",
+                   "--mode", "pairs", "--cpus", "4"])
+    assert rc == 0
+    pairs = spark.read.parquet(out)
+    n_bench = bench.count()
+    assert pairs.count() == n_bench
+    assert set(pairs.columns) == {"corpus_id", "bench_id", "jaccard"}
+
+    out2 = str(tmp_path / "exact_removed")
+    rc = cli.main(["decontaminate", src, bsrc, out2, "--cpus", "4"])
+    assert rc == 0
+    kept = spark.read.parquet(out2)
+    # every bench doc shares its (long) source doc's 13-grams
+    assert kept.count() == docs.count() - n_bench

@@ -976,3 +976,72 @@ def test_quality_mean_word_len_ignores_whitespace_padding(spark):
     out = {r.doc_id: r.mean_word_len
            for r in quality_score(df).collect()}
     assert out[0] == out[1] == 3.5   # (8 - 2 + 1) / 2 on collapsed text
+
+
+def test_decontaminate_fuzzy(spark):
+    """Cross-corpus near-dup decontamination: an exact copy and a
+    lightly-edited copy of benchmark docs are flagged; a low-overlap doc
+    and an unrelated doc survive; remove/flag/pairs agree; both hash
+    families produce the identical verified pair set."""
+    base = " ".join(f"w{i}" for i in range(30))
+    edited = base + " extra"                       # J = 28/29 ≈ 0.9655
+    low = " ".join(f"w{i}" for i in range(15)) + " " + \
+        " ".join(f"q{i}" for i in range(15))       # J ≈ 0.30 < 0.8
+    other = " ".join(f"z{i}" for i in range(30))
+    corpus = spark.createDataFrame(
+        [(1, base), (2, edited), (3, low), (4, other)],
+        ["doc_id", "text"])
+    bench = spark.createDataFrame([(100, base)], ["doc_id", "text"])
+    kept = {r.doc_id for r in
+            dedup.decontaminate_fuzzy(corpus, bench).collect()}
+    assert kept == {3, 4}
+    flags = {r.doc_id: r.contaminated for r in
+             dedup.decontaminate_fuzzy(corpus, bench,
+                                       mode="flag").collect()}
+    assert flags == {1: True, 2: True, 3: False, 4: False}
+    pairs = {(r.corpus_id, r.bench_id): r.jaccard for r in
+             dedup.decontaminate_fuzzy(corpus, bench,
+                                       mode="pairs").collect()}
+    assert set(pairs) == {(1, 100), (2, 100)}
+    assert pairs[(1, 100)] == 1.0
+    assert abs(pairs[(2, 100)] - 28 / 29) < 1e-6
+    md5_pairs = {(r.corpus_id, r.bench_id): r.jaccard for r in
+                 dedup.decontaminate_fuzzy(corpus, bench, mode="pairs",
+                                           hash_family="md5").collect()}
+    assert md5_pairs == pairs
+    with pytest.raises(ValueError):
+        dedup.decontaminate_fuzzy(corpus, bench, mode="nope")
+    with pytest.raises(ValueError):
+        dedup.decontaminate_fuzzy(corpus, bench, bands=7)
+
+
+def test_decontaminate_fuzzy_broadcast_guard(spark):
+    """The 'auto' path hints an EXPLICIT broadcast of the benchmark
+    banded table into the discovery join (never a sort-merge join
+    shuffling the corpus banding stream); broadcast=False degrades to
+    the shuffled join and returns identical rows."""
+    base = " ".join(f"w{i}" for i in range(30))
+    corpus = spark.createDataFrame(
+        [(1, base), (2, " ".join(f"x{i}" for i in range(30)))],
+        ["doc_id", "text"])
+    bench = spark.createDataFrame([(100, base)], ["doc_id", "text"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        flagged = dedup.decontaminate_fuzzy(corpus, bench, mode="flag")
+        # discovery happened while building `flagged` (the verified pair
+        # set is eagerly checkpointed); assert the broadcast on a fresh
+        # lazy candidate plan with the same inputs instead
+        c_b = dedup._banded_signatures(
+            corpus, "doc_id", "text", 3, 64, 16, "xxhash64")
+        b_b = F.broadcast(dedup._banded_signatures(
+            bench, "doc_id", "text", 3, 64, 16, "xxhash64"))
+        cands = c_b.join(b_b, ["band", "bucket"])
+        plan = cands._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan
+        shuffled = dedup.decontaminate_fuzzy(corpus, bench, mode="flag",
+                                             broadcast=False)
+        assert sorted(map(tuple, flagged.collect())) == \
+            sorted(map(tuple, shuffled.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -148,6 +148,15 @@ def _spark_dataop(args) -> int:
     if args.cmd == "dedup":
         from versa_spark.dedup import dedup_corpus
         out = dedup_corpus(df, threshold=args.threshold)
+    elif args.cmd == "decontaminate":
+        from versa_spark.dedup import decontaminate, decontaminate_fuzzy
+        bench = spark.read.parquet(args.benchmark)
+        if args.fuzzy:
+            out = decontaminate_fuzzy(df, bench,
+                                      threshold=args.threshold,
+                                      mode=args.mode)
+        else:
+            out = decontaminate(df, bench, n=args.ngram, mode=args.mode)
     elif args.cmd == "mediameta":
         from versa_spark.multimodal import extract_media_metadata
         out = extract_media_metadata(df)
@@ -183,6 +192,23 @@ def main(argv=None) -> int:
     p_dd.add_argument("out", help="output parquet path")
     p_dd.add_argument("--threshold", type=float, default=0.8)
     p_dd.add_argument("--cpus", default="4")
+    p_dc = sub.add_parser(
+        "decontaminate",
+        help="benchmark decontamination of a parquet corpus: exact "
+             "13-gram (GPT-3/PaLM) by default, --fuzzy for cross-corpus "
+             "near-dup (MinHash+LSH -> scoped Jaccard verify)")
+    p_dc.add_argument("source", help="corpus parquet with (doc_id, text)")
+    p_dc.add_argument("benchmark", help="benchmark parquet with (text)")
+    p_dc.add_argument("out", help="output parquet path")
+    p_dc.add_argument("--fuzzy", action="store_true")
+    p_dc.add_argument("--ngram", type=int, default=13,
+                      help="exact-mode n-gram length")
+    p_dc.add_argument("--threshold", type=float, default=0.8,
+                      help="fuzzy-mode Jaccard threshold")
+    p_dc.add_argument("--mode", default="remove",
+                      choices=["remove", "flag", "pairs"],
+                      help="'pairs' is fuzzy-only (audit artifact)")
+    p_dc.add_argument("--cpus", default="4")
     p_ss = sub.add_parser(
         "sessionize", help="gap sessionization rollup over an events "
                            "parquet (user_id, ts, ...)")
@@ -206,7 +232,8 @@ def main(argv=None) -> int:
     p_gs.add_argument("--cpus", default="4")
     args = ap.parse_args(argv)
 
-    if args.cmd in ("dedup", "sessionize", "mediameta", "graphstats"):
+    if args.cmd in ("dedup", "decontaminate", "sessionize", "mediameta",
+                    "graphstats"):
         return _spark_dataop(args)
 
     with open(args.source) as f:

@@ -149,6 +149,38 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
         *[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
 
 
+def _banded_signatures(df: DataFrame, id_col: str, text_col: str, k: int,
+                       num_hashes: int, bands: int,
+                       hash_family: str) -> DataFrame:
+    """(doc_id, band, bucket) banded-LSH rows — the shared discovery key
+    of minhash_lsh_candidates (within-corpus) and decontaminate_fuzzy
+    (cross-corpus).  bucket = hash of the band's signature slice; two
+    docs collide iff a full band of minima agrees, so the pair join is
+    bucket-scoped, never all-pairs."""
+    if bands <= 0 or num_hashes % bands != 0:
+        # bands > num_hashes would give 0-row bands whose bucket is the
+        # same constant for every doc — the all-pairs quadratic join LSH
+        # exists to avoid; a non-divisor would silently drop trailing
+        # signature values and change recall
+        raise ValueError(
+            f"bands ({bands}) must evenly divide num_hashes "
+            f"({num_hashes})")
+    rows_per = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, k, num_hashes,
+                             hash_family)
+    bucket_of = (lambda expr: F.xxhash64(expr)) \
+        if hash_family == "xxhash64" else F.md5
+    return sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     bucket_of(F.concat_ws(
+                         ",", *[F.col("sig")[b * rows_per + r].cast("string")
+                                for r in range(rows_per)])).alias("bucket"))
+            for b in range(bands)])).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text", k: int = 3,
                            num_hashes: int = 64, bands: int = 16,
@@ -165,28 +197,8 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
     are counted per candidate pair, so the verify stage costs
     O(candidates), never the full-corpus all-pairs join it exists to
     avoid."""
-    if bands <= 0 or num_hashes % bands != 0:
-        # bands > num_hashes would give 0-row bands whose bucket is the
-        # same constant for every doc — the all-pairs quadratic join LSH
-        # exists to avoid; a non-divisor would silently drop trailing
-        # signature values and change recall
-        raise ValueError(
-            f"bands ({bands}) must evenly divide num_hashes "
-            f"({num_hashes})")
-    rows_per = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, k, num_hashes,
-                             hash_family)
-    bucket_of = (lambda expr: F.xxhash64(expr)) \
-        if hash_family == "xxhash64" else F.md5
-    banded = sig.select(
-        "doc_id",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     bucket_of(F.concat_ws(
-                         ",", *[F.col("sig")[b * rows_per + r].cast("string")
-                                for r in range(rows_per)])).alias("bucket"))
-            for b in range(bands)])).alias("bb")
-    ).select("doc_id", "bb.band", "bb.bucket")
+    banded = _banded_signatures(df, id_col, text_col, k, num_hashes,
+                                bands, hash_family)
     left = banded.select(F.col("doc_id").alias("a"), "band", "bucket")
     right = banded.select(F.col("doc_id").alias("b"), "band", "bucket")
     cands = (left.join(right, ["band", "bucket"])
@@ -674,3 +686,126 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                 .withColumn("contaminated",
                             F.coalesce("contaminated", F.lit(False))))
     raise ValueError(f"unknown mode {mode!r} (use 'remove' or 'flag')")
+
+
+def decontaminate_fuzzy(corpus: DataFrame, benchmark: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        bench_id_col: str = "doc_id",
+                        bench_text_col: str = "text",
+                        k: int = 3, threshold: float = 0.8,
+                        num_hashes: int = 64, bands: int = 16,
+                        hash_family: str = "xxhash64",
+                        mode: str = "remove",
+                        broadcast: bool | str = "auto",
+                        broadcast_max_rows: int = 50_000_000) -> DataFrame:
+    """Fuzzy (near-duplicate) benchmark decontamination — the cross-corpus
+    complement of :func:`decontaminate`.  Exact n-gram decontamination
+    misses paraphrased or lightly-edited benchmark leakage; this flags a
+    corpus document when its word-``k``-shingle Jaccard similarity to ANY
+    benchmark document is ≥ ``threshold`` — the same MinHash+banded-LSH →
+    candidate-scoped exact-verify recipe as :func:`dedup_corpus`, but
+    *between two tables* (train vs held-out eval), so no corpus↔corpus
+    pair is ever generated.
+
+    Plan shape at 100 TB (corpus ~10^9 docs, benchmark ~10^4–10^6):
+
+    * both sides band their MinHash signatures with the SHARED kernel
+      (``_banded_signatures`` — identical bucket ids by construction);
+    * the benchmark banded table (|bench| × bands rows) is tiny next to
+      the corpus; ``broadcast='auto'`` eagerly materializes it ONCE
+      (localCheckpoint — it feeds the count AND the join), counts it,
+      and hints ``F.broadcast`` below ``broadcast_max_rows`` — the
+      corpus banded stream then never shuffles for discovery (map-side
+      broadcast-hash join).  Above the cap it degrades to an AQE-planned
+      shuffle on (band, bucket), disclosed not silent;
+    * candidate (corpus, bench) pairs are distinct-ed, persisted (tiny:
+      near-dup pairs only), and verified with exact cross-table Jaccard
+      scoped to candidates: each side's shingle table is semi-joined down
+      to its candidate ids before the intersection count, so verify costs
+      O(candidate pairs × shingles/doc), never |corpus| × |bench|;
+    * the verified pair set is eagerly localCheckpoint-ed so the
+      candidate cache is released before returning (the
+      minhash_lsh_candidates lifecycle); the 'auto' benchmark checkpoint
+      stays pinned for the returned plan's lifetime exactly as
+      documented on :func:`decontaminate` — pass broadcast=True/False
+      for a fully lazy plan.
+
+    Modes: ``'remove'`` anti-joins contaminated corpus docs out;
+    ``'flag'`` adds boolean ``contaminated``; ``'pairs'`` returns the
+    verified matches ``(corpus_id, bench_id, jaccard)`` — the audit
+    artifact a release report wants.
+
+    Exact duplicates are near-dups at every threshold, so this subsumes
+    the 13-gram recipe's exact hits at ``threshold=1.0``; in practice run
+    BOTH (exact 13-gram for long verbatim spans inside otherwise-distinct
+    docs, fuzzy for whole-doc paraphrase leakage).
+    """
+    c = corpus.select(F.col(id_col).alias("doc_id"),
+                      F.col(text_col).alias("text"))
+    b = benchmark.select(F.col(bench_id_col).alias("doc_id"),
+                         F.col(bench_text_col).alias("text"))
+    c_banded = _banded_signatures(c, "doc_id", "text", k, num_hashes,
+                                  bands, hash_family)
+    b_banded = _banded_signatures(b, "doc_id", "text", k, num_hashes,
+                                  bands, hash_family)
+    if broadcast == "auto":
+        # materialize the (small) benchmark banded table ONCE: the size
+        # count and the discovery join both read the checkpoint instead
+        # of re-running the benchmark signature DAG.  Same retained-
+        # blocks note as decontaminate's 'auto' branch.
+        b_banded = b_banded.localCheckpoint(eager=True)
+        broadcast = b_banded.count() <= broadcast_max_rows
+    if broadcast:
+        b_banded = F.broadcast(b_banded)
+    cands = (c_banded.select(F.col("doc_id").alias("a"), "band", "bucket")
+             .join(b_banded.select(F.col("doc_id").alias("b"),
+                                   "band", "bucket"),
+                   ["band", "bucket"])
+             .select("a", "b").distinct())
+    # the candidate list feeds the verify stage three times (two id
+    # semi-joins + the pair join); persist so discovery runs once
+    cands = cands.persist()
+    try:
+        c_sh = shingles(c, "doc_id", "text", k).join(
+            cands.select(F.col("a").alias("doc_id")).distinct(),
+            "doc_id", "left_semi")
+        b_sh = shingles(b, "doc_id", "text", k).join(
+            cands.select(F.col("b").alias("doc_id")).distinct(),
+            "doc_id", "left_semi")
+        sizes_a = c_sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+        sizes_b = b_sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+        inter = (cands
+                 .join(c_sh.select(F.col("doc_id").alias("a"), "shingle"),
+                       "a")
+                 .join(b_sh.select(F.col("doc_id").alias("b"), "shingle"),
+                       ["b", "shingle"])
+                 .groupBy("a", "b").agg(F.count("*").alias("n_inter")))
+        matched = (inter
+                   .join(sizes_a.select(F.col("doc_id").alias("a"),
+                                        F.col("n_sh").alias("n_a")), "a")
+                   .join(sizes_b.select(F.col("doc_id").alias("b"),
+                                        F.col("n_sh").alias("n_b")), "b")
+                   .withColumn("jaccard",
+                               F.col("n_inter")
+                               / (F.col("n_a") + F.col("n_b")
+                                  - F.col("n_inter")))
+                   .filter(F.col("jaccard") >= threshold)
+                   .select(F.col("a").alias("corpus_id"),
+                           F.col("b").alias("bench_id"),
+                           F.round("jaccard", 6).alias("jaccard"))
+                   .localCheckpoint(eager=True))
+    finally:
+        cands.unpersist()
+    if mode == "pairs":
+        return matched
+    contaminated = (matched.select(F.col("corpus_id").alias(id_col))
+                    .distinct())
+    if mode == "remove":
+        return corpus.join(contaminated, id_col, "left_anti")
+    if mode == "flag":
+        marked = contaminated.withColumn("contaminated", F.lit(True))
+        return (corpus.join(marked, id_col, "left")
+                .withColumn("contaminated",
+                            F.coalesce("contaminated", F.lit(False))))
+    raise ValueError(
+        f"unknown mode {mode!r} (use 'remove', 'flag', or 'pairs')")
