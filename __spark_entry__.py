@@ -577,6 +577,23 @@ def _q_decontam_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.round("jaccard", 4).alias("jaccard"))
 
 
+def _q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget downsampling
+    (textops.sample_to_token_budget, md5 family): src0 gets a budget
+    above its total (kept whole, frac 1.0), src1/src2 get partial
+    budgets, every other source takes the 500-token default — the
+    oracle recomputes totals, fractions, and the exact md5-threshold
+    kept set in SQL, so the mixture is a full value check."""
+    from versa_spark import textops
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "source", "text"))
+    out = textops.sample_to_token_budget(
+        docs, {"src0": 1_000_000.0, "src1": 700.0, "src2": 300.0},
+        default_budget=500.0, seed=7, hash_family="md5")
+    return out.select("doc_id", "source",
+                      F.round("_frac", 6).alias("frac"))
+
+
 def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-threshold stratified sampling
     (textops.stratified_sample, md5 family): the exact kept set is
@@ -958,6 +975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_dedup": _q_emb_dedup,
         "decontam": _q_decontam,
         "decontam_fuzzy": _q_decontam_fuzzy,
+        "token_budget_sample": _q_token_budget_sample,
         "stratified_sample": _q_stratified_sample,
         "dup_components": _q_dup_components,
         "dup_chain_components": _q_dup_chain_components,
@@ -2053,6 +2071,36 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = b
             WHERE CAST(n_inter AS DOUBLE)
                   / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
+        """,
+        "token_budget_sample": """
+            WITH t AS (
+                SELECT doc_id, source,
+                       CASE WHEN length(ws_stripped) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(ws_stripped,
+                                                           '\\s+'))
+                       END AS toks
+                FROM (SELECT *, regexp_replace(text, '^\\s+|\\s+$', '',
+                                               'g') AS ws_stripped
+                      FROM documents)),
+            tot AS (SELECT source, SUM(toks) AS total FROM t
+                    GROUP BY source),
+            fr AS (
+                SELECT source,
+                       CASE WHEN total > 0 THEN
+                           least(CAST(1.0 AS DOUBLE),
+                                 CAST(CASE source
+                                      WHEN 'src0' THEN 1000000.0
+                                      WHEN 'src1' THEN 700.0
+                                      WHEN 'src2' THEN 300.0
+                                      ELSE 500.0 END AS DOUBLE)
+                                 / CAST(total AS DOUBLE))
+                       ELSE 0.0 END AS frac
+                FROM tot)
+            SELECT d.doc_id, d.source, round(f.frac, 6) AS frac
+            FROM t d JOIN fr f USING (source)
+            WHERE CAST(concat('0x', substr(md5(d.doc_id || ':7'), 1, 12))
+                       AS BIGINT)
+                  < f.frac * 281474976710656.0
         """,
         "stratified_sample": """
             SELECT doc_id, source FROM documents

@@ -1045,3 +1045,48 @@ def test_decontaminate_fuzzy_broadcast_guard(spark):
             sorted(map(tuple, shuffled.collect()))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_sample_to_token_budget(spark):
+    """Per-source token-budget downsampling: budgets at/above a source's
+    total keep it whole, smaller budgets keep a deterministic id-hash
+    subset with the right fraction, unlisted sources drop (or take the
+    default budget), and a precomputed tokens_col matches in-plan
+    counting."""
+    rows = [(i, "a", " ".join(["w"] * 10)) for i in range(40)] + \
+           [(100 + i, "b", " ".join(["x"] * 20)) for i in range(10)] + \
+           [(200 + i, "c", "y z") for i in range(5)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    # totals: a=400, b=200, c=10
+    out = textops.sample_to_token_budget(
+        df, {"a": 200.0, "b": 1000.0}, seed=7)
+    got = out.collect()
+    fracs = {r.source: r._frac for r in got}
+    assert fracs["a"] == 0.5 and fracs["b"] == 1.0
+    assert {r.source for r in got} == {"a", "b"}          # c dropped
+    n_b = sum(1 for r in got if r.source == "b")
+    assert n_b == 10                                      # kept whole
+    n_a = sum(1 for r in got if r.source == "a")
+    assert 0 < n_a < 40                                   # downsampled
+    # deterministic: identical on re-run and independent of layout
+    again = textops.sample_to_token_budget(
+        df.repartition(7), {"a": 200.0, "b": 1000.0}, seed=7).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+    # default budget picks up unlisted sources
+    with_default = textops.sample_to_token_budget(
+        df, {"a": 200.0}, default_budget=1e9, seed=7)
+    assert {r.source for r in with_default.collect()} == {"a", "b", "c"}
+    # precomputed tokens_col path agrees with in-plan counting
+    pre = textops.token_counts(df).withColumnRenamed("ws_tokens", "nt")
+    via_col = textops.sample_to_token_budget(
+        pre.select("doc_id", "source", "text", "nt"),
+        {"a": 200.0, "b": 1000.0}, tokens_col="nt", seed=7)
+    assert sorted((r.doc_id, r.source) for r in via_col.collect()) == \
+        sorted((r.doc_id, r.source) for r in got)
+    # md5 family runs and keeps the same fractions
+    md5_out = textops.sample_to_token_budget(
+        df, {"a": 200.0, "b": 1000.0}, seed=7, hash_family="md5")
+    assert {r.source: r._frac for r in md5_out.collect()} == fracs
+    with pytest.raises(ValueError):
+        textops.sample_to_token_budget(df, {"a": 1.0},
+                                       hash_family="nope").collect()

@@ -15,7 +15,13 @@ Two one-shot laps whose numbers land in BASELINE.md (round-5 judge items):
   cooccurrence_pmi_from_sets — the driver/CLI default since round 5)
   vs the mention-row collect_set path, with an output-equality check.
 
-Usage: python tools/bench_volume.py [dedup|bigdict|cooccur|all]
+* ``decontam`` — benchmark decontamination at ≥1M corpus docs vs a
+  10k-item held-out set whose items are lightly-edited corpus docs:
+  the fuzzy cross-corpus LSH path (broadcast benchmark banding,
+  candidate-scoped verify) and the exact 13-gram recipe on the same
+  input, with the expected-contamination count checked.
+
+Usage: python tools/bench_volume.py [dedup|bigdict|cooccur|decontam|all]
 Deterministic synthetic inputs (xxhash64-seeded column expressions, no
 Python in the row path, no external data).
 """
@@ -93,6 +99,43 @@ def lap_dedup(spark: SparkSession) -> dict:
         "dedup_corpus_docs_per_sec": round(N_DOCS / corpus_wall, 1),
         "docs_kept": n_kept,
         "docs_removed": N_DOCS - n_kept,
+    }
+
+
+def lap_decontam(spark: SparkSession) -> dict:
+    """Fuzzy vs exact decontamination at volume.  Benchmark = every
+    100th corpus doc (ids %100==7 — never a near-dup clone, those end
+    in 9) with one word appended: word-3-gram Jaccard ≈ 38/39 ≈ 0.97,
+    so the fuzzy path must flag EXACTLY those N/100 docs; the exact
+    13-gram path must flag them too (a 40-word doc shares plenty of
+    13-grams with its 41-word edit)."""
+    from versa_spark import dedup
+    docs = synthetic_docs(spark, N_DOCS)
+    bench = (docs.filter(F.col("doc_id") % 100 == 7)
+             .select((F.col("doc_id") + 10 * N_DOCS).alias("doc_id"),
+                     F.concat(F.col("text"), F.lit(" benchleak"))
+                     .alias("text")))
+    n_bench = N_DOCS // 100 + (1 if N_DOCS % 100 > 7 else 0)
+
+    t0 = time.time()
+    pairs = dedup.decontaminate_fuzzy(docs, bench, mode="pairs")
+    n_pairs = pairs.count()
+    fuzzy_wall = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    n_exact = (N_DOCS
+               - dedup.decontaminate(docs, bench, n=13).count())
+    exact_wall = round(time.time() - t0, 3)
+    return {
+        "n_docs": N_DOCS,
+        "n_bench": n_bench,
+        "fuzzy_sec": fuzzy_wall,
+        "fuzzy_docs_per_sec": round(N_DOCS / fuzzy_wall, 1),
+        "fuzzy_pairs": n_pairs,
+        "fuzzy_pairs_expected": n_bench,
+        "exact_sec": exact_wall,
+        "exact_docs_per_sec": round(N_DOCS / exact_wall, 1),
+        "exact_contaminated": n_exact,
     }
 
 
@@ -178,6 +221,8 @@ def main() -> None:
         out["bigdict"] = lap_bigdict(spark)
     if which in ("cooccur", "all"):
         out["cooccur"] = lap_cooccur(spark)
+    if which in ("decontam", "all"):
+        out["decontam"] = lap_decontam(spark)
     print(json.dumps(out, separators=(",", ":")))
     spark.stop()
 

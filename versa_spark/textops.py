@@ -28,14 +28,19 @@ def _ws_strip(t):
     return F.regexp_replace(t, r"^\s+|\s+$", "")
 
 
+def _ws_token_count(text_col: str):
+    """Whitespace token count as a pure expression (0 for blank text)."""
+    tt = _ws_strip(F.col(text_col))
+    return F.when(F.length(tt) == 0, F.lit(0)).otherwise(
+        F.size(F.split(tt, r"\s+")))
+
+
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace and BPE-ish token counts as pure expressions."""
     t = F.col(text_col)
-    tt = _ws_strip(t)
-    ws = F.when(F.length(tt) == 0, F.lit(0)).otherwise(
-        F.size(F.split(tt, r"\s+")))
     bpe = F.size(F.regexp_extract_all(t, F.lit(BPE_ISH_TOKEN), 0))
-    return df.withColumn("ws_tokens", ws.cast("int")) \
+    return df.withColumn("ws_tokens",
+                         _ws_token_count(text_col).cast("int")) \
              .withColumn("bpe_tokens", bpe.cast("int"))
 
 
@@ -296,16 +301,81 @@ def stratified_sample(df: DataFrame, fractions: dict,
                              for x in kv])
     frac = F.coalesce(mapping[F.col(key_col)],
                       F.lit(float(default_fraction)))
+    h = _id_hash48(id_col, seed, hash_family)
+    return df.filter(h < (frac * float(1 << 48)))
+
+
+def _id_hash48(id_col: str, seed: int, hash_family: str):
+    """48-bit uniform id hash — the shared keep/drop coin of
+    stratified_sample and sample_to_token_budget (keep ⇔ h < frac·2^48).
+    'xxhash64' is the fast JVM path; 'md5' is reproducible in standard
+    SQL (the driver-oracle family)."""
     if hash_family == "xxhash64":
-        h = F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)),
-                   F.lit(1 << 48))
-    elif hash_family == "md5":
-        h = F.conv(F.substring(
+        return F.pmod(F.xxhash64(F.col(id_col).cast("string"),
+                                 F.lit(seed)), F.lit(1 << 48))
+    if hash_family == "md5":
+        return F.conv(F.substring(
             F.md5(F.concat(F.col(id_col).cast("string"),
                            F.lit(f":{seed}"))), 1, 12), 16, 10).cast("long")
-    else:
-        raise ValueError(f"unknown hash_family {hash_family!r}")
-    return df.filter(h < (frac * float(1 << 48)))
+    raise ValueError(f"unknown hash_family {hash_family!r}")
+
+
+def sample_to_token_budget(df: DataFrame, budgets: dict,
+                           key_col: str = "source",
+                           id_col: str = "doc_id",
+                           text_col: str = "text",
+                           tokens_col: str | None = None,
+                           seed: int = 42,
+                           default_budget: float | None = None,
+                           hash_family: str = "xxhash64") -> DataFrame:
+    """Deterministic per-source TOKEN-budget downsampling — the
+    data-mixing step of training-corpus assembly ("2B tokens of web,
+    500M of code, all of wiki"): for each source, keep a hash-selected
+    subset of documents whose expected token mass equals the source's
+    budget.
+
+    ``budgets`` maps source → token budget; a source's keep fraction is
+    ``min(1, budget / total_tokens(source))``, so budgets at or above a
+    source's total keep it whole and the rest are IID-downsampled by
+    document (the standard recipe — sampling whole documents, not
+    truncating text, preserves document statistics).  Sources absent
+    from ``budgets`` get ``default_budget`` (None ⇒ dropped — an
+    explicit mixture lists what it wants).
+
+    Tokens per doc come from ``tokens_col`` if the corpus already
+    carries counts, else the whitespace count of :func:`token_counts`
+    computed in-plan.
+
+    Plan shape at 100 TB: one narrow partial-agged groupBy over
+    (source) for the totals — a handful of rows, broadcast back — then
+    a pure map-side hash-threshold filter (the stratified_sample coin,
+    :func:`_id_hash48`), no second shuffle, no state; reproducible
+    across runs, partitionings, and engines, and identical in a
+    streaming micro-batch.  Returns the kept rows with a ``_frac``
+    column (the applied fraction) for audit."""
+    toks = (F.col(tokens_col).cast("double") if tokens_col
+            else _ws_token_count(text_col).cast("double"))
+    with_t = df.withColumn("_toks", toks)
+    totals = F.broadcast(with_t.groupBy(F.col(key_col).alias("_key"))
+                         .agg(F.sum("_toks").alias("_total")))
+    mapping = F.create_map(*[F.lit(x) for kv in budgets.items()
+                             for x in kv])
+    budget = mapping[F.col("_key")]
+    if default_budget is not None:
+        budget = F.coalesce(budget, F.lit(float(default_budget)))
+    # least() SKIPS nulls (least(1.0, NULL) = 1.0), so a missing budget
+    # must be zeroed explicitly or unlisted sources silently keep
+    # everything — the exact opposite of "an explicit mixture lists
+    # what it wants"
+    frac = F.when(budget.isNotNull() & (F.col("_total") > 0),
+                  F.least(F.lit(1.0), budget / F.col("_total"))) \
+            .otherwise(F.lit(0.0))
+    h = _id_hash48(id_col, seed, hash_family)
+    return (with_t
+            .join(totals, with_t[key_col] == F.col("_key"), "left")
+            .withColumn("_frac", frac)
+            .filter(h < (F.col("_frac") * float(1 << 48)))
+            .drop("_key", "_total", "_toks"))
 
 
 def tfidf_top_terms(df: DataFrame, k: int = 3, id_col: str = "doc_id",
