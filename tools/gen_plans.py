@@ -122,7 +122,39 @@ window sort is absent from the triple-build plan. Regenerate with
             "pair join — no all-pairs shingle self-join exists in the "
             "plan (the round-1 scale defect).")
 
+    bench = (cap.filter(F.col("doc_id") % 9 == 0)
+             .select((F.col("doc_id") + 5000000).alias("doc_id"),
+                     F.concat("text", F.lit(" tail")).alias("text")))
+    c_banded = dedup._banded_signatures(cap, "doc_id", "text", 3, 64, 16,
+                                        "xxhash64")
+    b_banded = F.broadcast(dedup._banded_signatures(
+        bench, "doc_id", "text", 3, 64, 16, "xxhash64"))
+    fz = (c_banded.select(F.col("doc_id").alias("a"), "band", "bucket")
+          .join(b_banded.select(F.col("doc_id").alias("b"),
+                                "band", "bucket"),
+                ["band", "bucket"])
+          .select("a", "b").distinct())
+    fz.count()
+    section("fuzzy decontamination discovery (cross-corpus LSH)", fz,
+            "The benchmark banded table joins as BroadcastHashJoin "
+            "(counted guard in decontaminate_fuzzy; explicit hint "
+            "here because the production path eagerly materializes "
+            "its verified pairs) — the corpus banding stream never "
+            "shuffles for discovery; only the candidate distinct "
+            "exchanges, and that is sized by near-dup pairs, not the "
+            "corpus.")
+
     from versa_spark import textops
+    tb = textops.sample_to_token_budget(
+        docs.select("doc_id", "source", "text"),
+        {"src0": 1_000_000.0, "src1": 700.0}, default_budget=500.0)
+    tb.count()
+    section("token-budget sampling (data mixing)", tb,
+            "The per-source totals aggregate is tiny and joins back as "
+            "BroadcastHashJoin; the keep/drop decision is a map-side "
+            "hash-threshold filter — no second exchange, layout- and "
+            "engine-independent.")
+
     pii = textops.pii_redact(textops.pii_stats(
         docs.select("doc_id", "text")))
     pii.count()
