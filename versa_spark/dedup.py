@@ -80,7 +80,6 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     are scored — quadratic in shingle-sharing docs; the verification
     kernel, not the discovery path (use minhash_lsh_candidates for
     discovery at scale)."""
-    sh = shingles(df, id_col, text_col, k)
     if candidates is not None:
         # candidate pairs must be distinct or n_inter double-counts
         # (jaccard > 1, false positives); the distinct is O(candidates) —
@@ -89,7 +88,15 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
         cand_ids = (cands.select(F.col("a").alias("doc_id"))
                     .unionByName(cands.select(F.col("b").alias("doc_id")))
                     .distinct())
-        sh = sh.join(cand_ids, "doc_id", "left_semi")
+        # semi-join the DOC rows, then shingle: a semi-join on the
+        # exploded shingle table can't push below the Generate, so it
+        # would re-explode every doc's shingles just to discard them —
+        # filtering first makes verify cost O(candidate docs), not
+        # O(corpus)
+        scoped = (df.select(F.col(id_col).alias("doc_id"),
+                            F.col(text_col).alias("text"))
+                  .join(cand_ids, "doc_id", "left_semi"))
+        sh = shingles(scoped, "doc_id", "text", k)
         sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
         a_sh = sh.select(F.col("doc_id").alias("a"), "shingle")
         b_sh = sh.select(F.col("doc_id").alias("b"), "shingle")
@@ -97,6 +104,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                  .join(b_sh, ["b", "shingle"])
                  .groupBy("a", "b").agg(F.count("*").alias("n_inter")))
         return _jaccard_finish(inter, sizes, threshold)
+    sh = shingles(df, id_col, text_col, k)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("a"), "shingle")
     b = sh.select(F.col("doc_id").alias("b"), "shingle")
@@ -723,12 +731,12 @@ def decontaminate_fuzzy(corpus: DataFrame, benchmark: DataFrame,
       scoped to candidates: each side's shingle table is semi-joined down
       to its candidate ids before the intersection count, so verify costs
       O(candidate pairs × shingles/doc), never |corpus| × |bench|;
-    * the verified pair set is eagerly localCheckpoint-ed so the
-      candidate cache is released before returning (the
-      minhash_lsh_candidates lifecycle); the 'auto' benchmark checkpoint
-      stays pinned for the returned plan's lifetime exactly as
-      documented on :func:`decontaminate` — pass broadcast=True/False
-      for a fully lazy plan.
+    * the verified pair set is eagerly localCheckpoint-ed so BOTH the
+      candidate cache and the 'auto' benchmark checkpoint are released
+      before returning (the minhash_lsh_candidates lifecycle; unlike
+      :func:`decontaminate`, whose lazy result forces its 'auto'
+      checkpoint to stay pinned) — repeated calls in a long-lived
+      session do not accumulate blocks.
 
     Modes: ``'remove'`` anti-joins contaminated corpus docs out;
     ``'flag'`` adds boolean ``contaminated``; ``'pairs'`` returns the
@@ -748,12 +756,15 @@ def decontaminate_fuzzy(corpus: DataFrame, benchmark: DataFrame,
                                   bands, hash_family)
     b_banded = _banded_signatures(b, "doc_id", "text", k, num_hashes,
                                   bands, hash_family)
+    auto_ckpt = None
     if broadcast == "auto":
         # materialize the (small) benchmark banded table ONCE: the size
         # count and the discovery join both read the checkpoint instead
-        # of re-running the benchmark signature DAG.  Same retained-
-        # blocks note as decontaminate's 'auto' branch.
-        b_banded = b_banded.localCheckpoint(eager=True)
+        # of re-running the benchmark signature DAG.  Unlike
+        # decontaminate's lazy result, the verified pair set below is
+        # EAGER, so nothing downstream reads this checkpoint after the
+        # verify job — it is released before returning.
+        b_banded = auto_ckpt = b_banded.localCheckpoint(eager=True)
         broadcast = b_banded.count() <= broadcast_max_rows
     if broadcast:
         b_banded = F.broadcast(b_banded)
@@ -766,12 +777,16 @@ def decontaminate_fuzzy(corpus: DataFrame, benchmark: DataFrame,
     # semi-joins + the pair join); persist so discovery runs once
     cands = cands.persist()
     try:
-        c_sh = shingles(c, "doc_id", "text", k).join(
-            cands.select(F.col("a").alias("doc_id")).distinct(),
-            "doc_id", "left_semi")
-        b_sh = shingles(b, "doc_id", "text", k).join(
-            cands.select(F.col("b").alias("doc_id")).distinct(),
-            "doc_id", "left_semi")
+        # semi-join the DOC rows before shingling (a semi-join on the
+        # exploded table can't push below the Generate): verify then
+        # re-shingles only candidate docs — at a 2% contamination rate
+        # that is 50× less explode work than scoping after the explode
+        c_sh = shingles(
+            c.join(cands.select(F.col("a").alias("doc_id")).distinct(),
+                   "doc_id", "left_semi"), "doc_id", "text", k)
+        b_sh = shingles(
+            b.join(cands.select(F.col("b").alias("doc_id")).distinct(),
+                   "doc_id", "left_semi"), "doc_id", "text", k)
         sizes_a = c_sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
         sizes_b = b_sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
         inter = (cands
@@ -796,6 +811,9 @@ def decontaminate_fuzzy(corpus: DataFrame, benchmark: DataFrame,
                    .localCheckpoint(eager=True))
     finally:
         cands.unpersist()
+        if auto_ckpt is not None:
+            from versa_spark.cacheutil import release_checkpoint
+            release_checkpoint(auto_ckpt)
     if mode == "pairs":
         return matched
     contaminated = (matched.select(F.col("corpus_id").alias(id_col))
