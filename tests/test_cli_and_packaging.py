@@ -267,3 +267,30 @@ def test_cli_decontaminate(tmp_path, spark):
     kept = spark.read.parquet(out2)
     # every bench doc shares its (long) source doc's 13-grams
     assert kept.count() == docs.count() - n_bench
+
+
+def test_cli_dedupindex_and_dedup_against(tmp_path, spark):
+    """dedupindex builds the persistent LSH index; dedup --index removes
+    batch docs that near-dup indexed ones."""
+    from pyspark.sql import functions as F
+    from versa_spark import cli
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .limit(20).select("doc_id", "text"))
+    src = str(tmp_path / "corpus"); docs.write.parquet(src)
+    ix = str(tmp_path / "ix")
+    rc = cli.main(["dedupindex", src, ix, "--cpus", "4"])
+    assert rc == 0
+    assert spark.read.parquet(f"{ix}/sizes").count() == 20
+
+    batch = (docs.limit(5)
+             .select((F.col("doc_id") + 900).alias("doc_id"),
+                     F.concat("text", F.lit(" tail")).alias("text"))
+             .unionByName(spark.createDataFrame(
+                 [(999, " ".join(f"fresh{i}" for i in range(30)))],
+                 ["doc_id", "text"])))
+    bsrc = str(tmp_path / "batch"); batch.write.parquet(bsrc)
+    out = str(tmp_path / "kept")
+    rc = cli.main(["dedup", bsrc, out, "--index", ix, "--cpus", "4"])
+    assert rc == 0
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert 999 in kept and len(kept) < 6

@@ -1090,3 +1090,70 @@ def test_sample_to_token_budget(spark):
     with pytest.raises(ValueError):
         textops.sample_to_token_budget(df, {"a": 1.0},
                                        hash_family="nope").collect()
+
+
+def test_dedup_index_roundtrip(tmp_path, spark):
+    """Persistent LSH index: a batch deduped against a stored index
+    finds exactly the pairs the two-sided fuzzy path finds on the same
+    parameters (hashed-shingle verify == raw-shingle verify), modes
+    agree, and append extends the index."""
+    base = " ".join(f"w{i}" for i in range(30))
+    other = " ".join(f"z{i}" for i in range(30))
+    corpus = spark.createDataFrame(
+        [(1, base), (2, other)], ["doc_id", "text"])
+    path = str(tmp_path / "lsh_index")
+    dedup.write_dedup_index(corpus, path)
+    assert dedup.read_dedup_index_meta(spark, path) == {
+        "k": 3, "num_hashes": 64, "bands": 16, "hash_family": "xxhash64"}
+
+    batch = spark.createDataFrame(
+        [(10, base + " extra"),              # near-dup of indexed 1
+         (11, " ".join(f"q{i}" for i in range(30)))],   # fresh
+        ["doc_id", "text"])
+    pairs = {(r.batch_id, r.index_id): r.jaccard for r in
+             dedup.dedup_against_index(batch, path,
+                                       mode="pairs").collect()}
+    ref = {(r.corpus_id, r.bench_id): r.jaccard for r in
+           dedup.decontaminate_fuzzy(batch, corpus,
+                                     mode="pairs").collect()}
+    assert pairs == ref == {(10, 1): pairs[(10, 1)]}
+    assert abs(pairs[(10, 1)] - 28 / 29) < 1e-6
+    kept = {r.doc_id for r in
+            dedup.dedup_against_index(batch, path).collect()}
+    assert kept == {11}
+    flags = {r.doc_id: r.is_dup for r in
+             dedup.dedup_against_index(batch, path,
+                                       mode="flag").collect()}
+    assert flags == {10: True, 11: False}
+
+    # append the fresh batch doc; a later near-dup of it now matches
+    dedup.write_dedup_index(
+        batch.filter(F.col("doc_id") == 11), path, mode="append")
+    batch2 = spark.createDataFrame(
+        [(20, " ".join(f"q{i}" for i in range(30)) + " tail")],
+        ["doc_id", "text"])
+    p2 = {(r.batch_id, r.index_id) for r in
+          dedup.dedup_against_index(batch2, path, mode="pairs").collect()}
+    assert p2 == {(20, 11)}
+
+    # appending with different parameters must refuse
+    with pytest.raises(ValueError, match="would corrupt"):
+        dedup.write_dedup_index(batch2, path, bands=8, mode="append")
+    # no sidecar -> explicit error
+    with pytest.raises(ValueError, match="no LSH index"):
+        dedup.dedup_against_index(batch2, str(tmp_path / "nope"))
+    with pytest.raises(ValueError):
+        dedup.dedup_against_index(batch2, path, mode="bogus")
+
+
+def test_dedup_index_md5_family(tmp_path, spark):
+    """The md5 (SQL-reproducible) family round-trips through the stored
+    index with the identical verified pair set as xxhash64."""
+    base = " ".join(f"w{i}" for i in range(30))
+    corpus = spark.createDataFrame([(1, base)], ["doc_id", "text"])
+    batch = spark.createDataFrame([(10, base + " x")], ["doc_id", "text"])
+    p1 = str(tmp_path / "ix_md5")
+    dedup.write_dedup_index(corpus, p1, hash_family="md5")
+    got = [(r.batch_id, r.index_id, r.jaccard) for r in
+           dedup.dedup_against_index(batch, p1, mode="pairs").collect()]
+    assert got == [(10, 1, round(28 / 29, 6))]

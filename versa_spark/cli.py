@@ -146,8 +146,22 @@ def _spark_dataop(args) -> int:
             spark.stop()
         return 0
     if args.cmd == "dedup":
-        from versa_spark.dedup import dedup_corpus
-        out = dedup_corpus(df, threshold=args.threshold)
+        if args.index:
+            from versa_spark.dedup import dedup_against_index
+            out = dedup_against_index(df, args.index,
+                                      threshold=args.threshold)
+        else:
+            from versa_spark.dedup import dedup_corpus
+            out = dedup_corpus(df, threshold=args.threshold)
+    elif args.cmd == "dedupindex":
+        from versa_spark.dedup import write_dedup_index
+        write_dedup_index(df, args.index_path,
+                          mode="append" if args.append else "overwrite")
+        n = spark.read.parquet(f"{args.index_path}/sizes").count()
+        print(f"dedupindex: {n} docs indexed at {args.index_path}")
+        if existing is None:
+            spark.stop()
+        return 0
     elif args.cmd == "decontaminate":
         from versa_spark.dedup import decontaminate, decontaminate_fuzzy
         bench = spark.read.parquet(args.benchmark)
@@ -191,7 +205,18 @@ def main(argv=None) -> int:
     p_dd.add_argument("source", help="parquet with (doc_id, text)")
     p_dd.add_argument("out", help="output parquet path")
     p_dd.add_argument("--threshold", type=float, default=0.8)
+    p_dd.add_argument("--index", default=None,
+                      help="dedup the corpus AGAINST a stored LSH index "
+                           "(built with dedupindex) instead of within "
+                           "itself")
     p_dd.add_argument("--cpus", default="4")
+    p_ix = sub.add_parser(
+        "dedupindex", help="build (or --append to) a persistent LSH "
+                           "index for incremental dedup")
+    p_ix.add_argument("source", help="parquet with (doc_id, text)")
+    p_ix.add_argument("index_path")
+    p_ix.add_argument("--append", action="store_true")
+    p_ix.add_argument("--cpus", default="4")
     p_dc = sub.add_parser(
         "decontaminate",
         help="benchmark decontamination of a parquet corpus: exact "
@@ -232,8 +257,8 @@ def main(argv=None) -> int:
     p_gs.add_argument("--cpus", default="4")
     args = ap.parse_args(argv)
 
-    if args.cmd in ("dedup", "decontaminate", "sessionize", "mediameta",
-                    "graphstats"):
+    if args.cmd in ("dedup", "dedupindex", "decontaminate", "sessionize",
+                    "mediameta", "graphstats"):
         return _spark_dataop(args)
 
     with open(args.source) as f:

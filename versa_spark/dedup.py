@@ -827,3 +827,199 @@ def decontaminate_fuzzy(corpus: DataFrame, benchmark: DataFrame,
                             F.coalesce("contaminated", F.lit(False))))
     raise ValueError(
         f"unknown mode {mode!r} (use 'remove', 'flag', or 'pairs')")
+
+
+# ---------------------------------------------------------------------------
+# Persistent LSH index: incremental dedup for continuously-ingesting corpora.
+
+_INDEX_META = "_versa_lsh_index.json"
+
+
+def _index_shingle_hash(hash_family: str):
+    """The stored shingle-hash expression — 'xxhash64' for the fast JVM
+    family, the 48-bit md5 integer for the SQL-reproducible family (the
+    same value the minhash signature arithmetic starts from)."""
+    if hash_family == "xxhash64":
+        return F.xxhash64("shingle")
+    if hash_family == "md5":
+        return F.conv(F.substring(F.md5(F.col("shingle")), 1, 12),
+                      16, 10).cast("long")
+    raise ValueError(f"unknown hash_family {hash_family!r}")
+
+
+def write_dedup_index(df: DataFrame, path: str, id_col: str = "doc_id",
+                      text_col: str = "text", k: int = 3,
+                      num_hashes: int = 64, bands: int = 16,
+                      hash_family: str = "xxhash64",
+                      mode: str = "overwrite") -> None:
+    """Persist the near-dup LSH index of a corpus so later batches can
+    dedup against it WITHOUT re-reading the corpus text — the
+    continuous-ingestion pattern: full LSH over the historical corpus
+    per arriving batch is O(corpus · batches); an index makes each
+    batch O(batch + candidates).
+
+    Stored under ``path`` (any Hadoop filesystem):
+    * ``banded/``   — (doc_id, band, bucket) LSH discovery rows;
+    * ``shingles/`` — (doc_id, sh_h) hashed shingle sets (64-bit
+      xxhash64 or the 48-bit md5 family value) — Jaccard verification
+      counts intersections on the hashes, so the text itself never
+      needs to be stored or re-read (collision probability per doc
+      pair ~ |A|·|B|/2^64: negligible);
+    * ``sizes/``    — (doc_id, n_sh) distinct-shingle counts;
+    * a JSON sidecar pinning (k, num_hashes, bands, hash_family) so a
+      reader can never band a batch with mismatched parameters (the
+      storage.py layout-sidecar discipline).
+
+    ``mode='append'`` adds new documents to an existing index (ids must
+    be disjoint from those already indexed — the caller's ingestion key
+    discipline); the sidecar is validated against the existing one."""
+    import json as _json
+    from versa_spark.storage import _hadoop_fs
+    spark = df.sparkSession
+    meta = {"k": k, "num_hashes": num_hashes, "bands": bands,
+            "hash_family": hash_family}
+    if mode == "append":
+        existing = read_dedup_index_meta(spark, path)
+        if existing is not None and existing != meta:
+            raise ValueError(
+                f"index at {path} was written with {existing}; appending "
+                f"with {meta} would corrupt it")
+    banded = _banded_signatures(df, id_col, text_col, k, num_hashes,
+                                bands, hash_family)
+    banded.write.mode(mode).parquet(f"{path}/banded")
+    sh = shingles(df, id_col, text_col, k).select(
+        "doc_id", _index_shingle_hash(hash_family).alias("sh_h"))
+    sh.write.mode(mode).parquet(f"{path}/shingles")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sizes.write.mode(mode).parquet(f"{path}/sizes")
+    fs, hpath = _hadoop_fs(spark, f"{path}/{_INDEX_META}")
+    out = fs.create(hpath, True)
+    try:
+        out.write(_json.dumps(meta).encode("ascii"))
+    finally:
+        out.close()
+
+
+def read_dedup_index_meta(spark: SparkSession | None,
+                          path: str) -> dict | None:
+    """The banding parameters an index at *path* was written with (None
+    if absent).  Read/parse failures propagate — a swallowed transport
+    error would let a batch band itself with default parameters against
+    an incompatible index and silently find nothing."""
+    import json as _json
+    from versa_spark.storage import _hadoop_fs
+    if spark is None:
+        from pyspark.sql import SparkSession as _S
+        spark = _S.getActiveSession()
+    fs, hpath = _hadoop_fs(spark, f"{path}/{_INDEX_META}")
+    if not fs.exists(hpath):
+        return None
+    stream = fs.open(hpath)
+    try:
+        raw = spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8")
+    finally:
+        stream.close()
+    return _json.loads(raw)
+
+
+def dedup_against_index(batch: DataFrame, path: str,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        threshold: float = 0.8, mode: str = "remove",
+                        broadcast: bool | str = "auto",
+                        broadcast_max_rows: int = 50_000_000) -> DataFrame:
+    """Near-dup-match a new batch against a stored :func:`write_dedup_index`
+    — the incremental complement of :func:`dedup_corpus` (which dedups
+    within one frame) and :func:`decontaminate_fuzzy` (which re-shingles
+    both sides every call).
+
+    Banding parameters come from the index sidecar, never from the
+    caller — a mismatched banding finds nothing, silently.
+
+    Plan shape: the BATCH is the small side here, so its banded rows
+    broadcast (counted 'auto' guard, shuffle degrade above the cap) into
+    a map-side scan of the stored ``banded/`` table; candidate
+    (batch, index) pairs then scope everything downstream — the batch
+    re-shingles only its candidate docs (semi-join before the explode),
+    and the stored ``shingles/``/``sizes/`` tables are read once,
+    semi-joined to candidate index ids.  Per-batch cost is
+    O(batch + index-scan + candidates); the corpus text is never read.
+
+    Modes: ``'remove'`` drops batch docs that match an indexed doc,
+    ``'flag'`` adds boolean ``is_dup``, ``'pairs'`` returns
+    ``(batch_id, index_id, jaccard)``.
+
+    Note exact self-duplicates WITHIN the batch are not this function's
+    job — run :func:`dedup_corpus` on the batch first (or after), then
+    append the survivors to the index with ``mode='append'``."""
+    spark = batch.sparkSession
+    meta = read_dedup_index_meta(spark, path)
+    if meta is None:
+        raise ValueError(f"no LSH index sidecar at {path}")
+    k, num_hashes = meta["k"], meta["num_hashes"]
+    bands, hash_family = meta["bands"], meta["hash_family"]
+    b = batch.select(F.col(id_col).alias("doc_id"),
+                     F.col(text_col).alias("text"))
+    b_banded = _banded_signatures(b, "doc_id", "text", k, num_hashes,
+                                  bands, hash_family)
+    auto_ckpt = None
+    if broadcast == "auto":
+        b_banded = auto_ckpt = b_banded.localCheckpoint(eager=True)
+        broadcast = b_banded.count() <= broadcast_max_rows
+    if broadcast:
+        b_banded = F.broadcast(b_banded)
+    ix_banded = spark.read.parquet(f"{path}/banded")
+    cands = (ix_banded.select(F.col("doc_id").alias("ix"),
+                              "band", "bucket")
+             .join(b_banded.select(F.col("doc_id").alias("bt"),
+                                   "band", "bucket"),
+                   ["band", "bucket"])
+             .select("bt", "ix").distinct())
+    cands = cands.persist()
+    try:
+        b_sh = shingles(
+            b.join(cands.select(F.col("bt").alias("doc_id")).distinct(),
+                   "doc_id", "left_semi"), "doc_id", "text", k).select(
+            "doc_id", _index_shingle_hash(hash_family).alias("sh_h"))
+        ix_sh = (spark.read.parquet(f"{path}/shingles")
+                 .join(cands.select(F.col("ix").alias("doc_id"))
+                       .distinct(), "doc_id", "left_semi"))
+        sizes_b = b_sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+        sizes_ix = spark.read.parquet(f"{path}/sizes")
+        inter = (cands
+                 .join(b_sh.select(F.col("doc_id").alias("bt"), "sh_h"),
+                       "bt")
+                 .join(ix_sh.select(F.col("doc_id").alias("ix"), "sh_h"),
+                       ["ix", "sh_h"])
+                 .groupBy("bt", "ix").agg(F.count("*").alias("n_inter")))
+        matched = (inter
+                   .join(sizes_b.select(F.col("doc_id").alias("bt"),
+                                        F.col("n_sh").alias("n_b")), "bt")
+                   .join(sizes_ix.select(F.col("doc_id").alias("ix"),
+                                         F.col("n_sh").alias("n_i")),
+                         "ix")
+                   .withColumn("jaccard",
+                               F.col("n_inter")
+                               / (F.col("n_b") + F.col("n_i")
+                                  - F.col("n_inter")))
+                   .filter(F.col("jaccard") >= threshold)
+                   .select(F.col("bt").alias("batch_id"),
+                           F.col("ix").alias("index_id"),
+                           F.round("jaccard", 6).alias("jaccard"))
+                   .localCheckpoint(eager=True))
+    finally:
+        cands.unpersist()
+        if auto_ckpt is not None:
+            from versa_spark.cacheutil import release_checkpoint
+            release_checkpoint(auto_ckpt)
+    if mode == "pairs":
+        return matched
+    dup = matched.select(F.col("batch_id").alias(id_col)).distinct()
+    if mode == "remove":
+        return batch.join(dup, id_col, "left_anti")
+    if mode == "flag":
+        marked = dup.withColumn("is_dup", F.lit(True))
+        return (batch.join(marked, id_col, "left")
+                .withColumn("is_dup", F.coalesce("is_dup", F.lit(False))))
+    raise ValueError(
+        f"unknown mode {mode!r} (use 'remove', 'flag', or 'pairs')")
