@@ -21,7 +21,13 @@ Two one-shot laps whose numbers land in BASELINE.md (round-5 judge items):
   candidate-scoped verify) and the exact 13-gram recipe on the same
   input, with the expected-contamination count checked.
 
-Usage: python tools/bench_volume.py [dedup|bigdict|cooccur|decontam|all]
+* ``index`` — the incremental path at volume: build the persistent LSH
+  index of a 1M-doc corpus once, then dedup a 100k-doc batch (half of
+  it near-dups of indexed docs) against it — the per-batch cost a
+  continuously-ingesting pipeline pays, vs re-running two-sided fuzzy
+  matching on the same input.
+
+Usage: python tools/bench_volume.py [dedup|bigdict|cooccur|decontam|index|all]
 Deterministic synthetic inputs (xxhash64-seeded column expressions, no
 Python in the row path, no external data).
 """
@@ -139,6 +145,61 @@ def lap_decontam(spark: SparkSession) -> dict:
     }
 
 
+def lap_index(spark: SparkSession) -> dict:
+    """Incremental dedup at volume: index 1M docs once (the amortized
+    cost), then match a 100k-doc batch — ids 2M+i, where even i clones
+    indexed doc i's text plus one word (a guaranteed near-dup) and odd
+    i draws fresh seeds — against the stored index.  The same batch
+    through two-sided decontaminate_fuzzy (which must re-shingle the
+    corpus) is the baseline the index exists to beat."""
+    import shutil
+    import tempfile
+    from versa_spark import dedup
+    corpus = synthetic_docs(spark, N_DOCS)
+    n_batch = max(1, N_DOCS // 10)
+    base = spark.range(n_batch).select(
+        (F.col("id") + 2 * N_DOCS).alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, F.col("id"))
+         .otherwise(F.col("id") + 7 * N_DOCS).alias("_seed"),
+        (F.col("id") % 2 == 0).alias("_clone"))
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(39)),
+        lambda p: F.concat(F.lit("w"),
+                           F.pmod(F.xxhash64(F.col("_seed"), p),
+                                  F.lit(10_000))))
+    text = F.array_join(words, " ")
+    text = F.when(F.col("_clone"),
+                  F.concat(text, F.lit(" batchdup"))).otherwise(text)
+    batch = base.select("doc_id", text.alias("text"))
+
+    path = tempfile.mkdtemp(prefix="lshix_") + "/ix"
+    t0 = time.time()
+    dedup.write_dedup_index(corpus, path)
+    build_wall = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    n_pairs = dedup.dedup_against_index(batch, path,
+                                        mode="pairs").count()
+    batch_wall = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    n_ref = dedup.decontaminate_fuzzy(batch, corpus,
+                                      mode="pairs").count()
+    twosided_wall = round(time.time() - t0, 3)
+    shutil.rmtree(path.rsplit("/", 1)[0], ignore_errors=True)
+    return {
+        "n_indexed": N_DOCS,
+        "n_batch": n_batch,
+        "index_build_sec": build_wall,
+        "batch_match_sec": batch_wall,
+        "batch_docs_per_sec": round(n_batch / batch_wall, 1),
+        "matched_pairs": n_pairs,
+        "twosided_fuzzy_sec": twosided_wall,
+        "twosided_docs_per_sec": round(n_batch / twosided_wall, 1),
+        "twosided_pairs": n_ref,
+    }
+
+
 def lap_bigdict(spark: SparkSession) -> dict:
     from versa_spark.kg import extract
     from versa_spark.kg.transcripts import synthetic_transcripts
@@ -223,6 +284,8 @@ def main() -> None:
         out["cooccur"] = lap_cooccur(spark)
     if which in ("decontam", "all"):
         out["decontam"] = lap_decontam(spark)
+    if which in ("index", "all"):
+        out["index"] = lap_index(spark)
     print(json.dumps(out, separators=(",", ":")))
     spark.stop()
 
