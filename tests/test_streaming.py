@@ -248,3 +248,46 @@ def test_stream_graph_detect_dictionary(spark, tmp_path, input_dir):
     b = {(r.origin, r.rel, r.target)
          for r in batch.select("origin", "rel", "target").collect()}
     assert got == b and len(got) > 1000
+
+
+def test_stream_dedup_ingest(spark, tmp_path):
+    """Streaming ingestion dedups each micro-batch within itself AND
+    against the persistent LSH index; survivors equal the batch
+    composition of the same two ops, and a checkpoint restart adds
+    nothing."""
+    from versa_spark import dedup
+
+    base = [" ".join(f"w{d}_{i}" for i in range(30)) for d in range(8)]
+    corpus = spark.createDataFrame(
+        list(enumerate(base)), ["doc_id", "text"])
+    ix = str(tmp_path / "ix")
+    dedup.write_dedup_index(corpus, ix)
+
+    # incoming batch: 2 near-dups of indexed docs, 1 in-batch dup pair,
+    # 2 fresh docs
+    rows = [(100, base[0] + " tail"),          # dup of indexed 0
+            (101, base[3] + " tail"),          # dup of indexed 3
+            (102, "fresh doc " + " ".join(f"f{i}" for i in range(28))),
+            (103, "fresh doc " + " ".join(f"f{i}" for i in range(28))
+             + " x"),                          # in-batch dup of 102
+            (104, " ".join(f"g{i}" for i in range(30)))]
+    batch = spark.createDataFrame(rows, ["doc_id", "text"])
+    src = str(tmp_path / "in")
+    batch.write.parquet(src)
+
+    out = str(tmp_path / "kept")
+    ckpt = str(tmp_path / "ckpt")
+    q = streaming.stream_dedup_ingest(spark, src, ix, out, ckpt)
+    q.awaitTermination(300)
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept == {102, 104}   # 100/101 match index; 103 loses to 102
+
+    # equals the batch composition of the same ops
+    ref = dedup.dedup_against_index(
+        dedup.dedup_corpus(batch), ix)
+    assert {r.doc_id for r in ref.collect()} == kept
+
+    # restart on the same checkpoint: nothing re-processed or duplicated
+    q2 = streaming.stream_dedup_ingest(spark, src, ix, out, ckpt)
+    q2.awaitTermination(300)
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == kept

@@ -249,3 +249,63 @@ def streaming_event_rollup(spark: SparkSession, input_dir: str,
             .select(F.unix_micros(F.col("window.start"))
                     .alias("bucket_us"),
                     "event_type", "n_events", "value_sum"))
+
+
+DOC_STREAM_SCHEMA = StructType([
+    StructField("doc_id", LongType(), False),
+    StructField("text", StringType(), True),
+])
+
+
+def stream_dedup_ingest(spark: SparkSession, input_dir: str,
+                        index_path: str, output_dir: str,
+                        checkpoint_dir: str, threshold: float = 0.8,
+                        available_now: bool = True,
+                        max_files_per_trigger: int = 16):
+    """Streaming corpus ingestion with incremental dedup: each
+    micro-batch of (doc_id, text) parquet is deduped WITHIN the batch
+    (``dedup_corpus``) and AGAINST the persistent LSH index
+    (``dedup_against_index``), and the survivors land in
+    ``output_dir`` as epoch-partitioned parquet — the same idempotent
+    epoch-overwrite sink as ``stream_graph_query``, so an at-least-once
+    replayed epoch overwrites itself instead of duplicating docs.
+
+    The index is READ-ONLY during streaming, deliberately: appending to
+    it inside ``foreachBatch`` would not be replay-idempotent (a
+    re-run epoch would double the appended banding/shingle/size rows,
+    and duplicated ``sizes/`` rows corrupt Jaccard).  The production
+    loop is: stream with the current index → periodically (a batch
+    job) ``write_dedup_index(survivors, path, mode='append')`` from the
+    COMMITTED epochs and restart the stream — the classic
+    static-index-with-periodic-refresh pattern.  Within one run,
+    cross-batch duplicates that are in neither the index nor the same
+    micro-batch pass through (bounded by the refresh cadence); exact
+    within-run protection would need stateful streaming over the full
+    shingle space, which no bounded state holds at corpus scale."""
+    from versa_spark.dedup import dedup_against_index, dedup_corpus
+
+    os.makedirs(output_dir, exist_ok=True)
+
+    def _process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df = batch_df.dropDuplicates(["doc_id"])
+        survivors = dedup_corpus(batch_df, threshold=threshold)
+        survivors = dedup_against_index(survivors, index_path,
+                                        threshold=threshold)
+        (survivors
+         .withColumn("epoch", F.lit(epoch_id))
+         .write.mode("overwrite").partitionBy("epoch")
+         .option("partitionOverwriteMode", "dynamic")
+         .parquet(output_dir))
+
+    stream = (spark.readStream
+              .schema(DOC_STREAM_SCHEMA)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(input_dir))
+    writer = (stream.writeStream
+              .foreachBatch(_process_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
