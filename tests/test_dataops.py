@@ -1157,3 +1157,52 @@ def test_dedup_index_md5_family(tmp_path, spark):
     got = [(r.batch_id, r.index_id, r.jaccard) for r in
            dedup.dedup_against_index(batch, p1, mode="pairs").collect()]
     assert got == [(10, 1, round(28 / 29, 6))]
+
+
+def test_ann_index_roundtrip(tmp_path, spark, emb):
+    """Persistent IVF index: querying the stored index returns the
+    identical top-k as in-memory ivf_topk with the same quantizer, the
+    scan prunes to the probed cell partitions, and append extends the
+    index under the frozen centroids."""
+    corpus = emb.limit(120)
+    path = str(tmp_path / "ann_ix")
+    simsearch.write_ann_index(corpus, path, n_cells=8, refine_iters=1)
+    meta = simsearch.read_ann_index_meta(spark, path)
+    assert meta["n_cells"] == 8 and meta["dim"] == len(
+        corpus.first()["embedding"])
+
+    queries = (corpus.limit(5)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    got = simsearch.ann_query_index(queries, path, k=3, nprobe=2)
+    ref = simsearch.ivf_topk(corpus, queries, k=3, n_cells=8,
+                             nprobe=2, refine_iters=1)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, ref.collect()))
+    # every query's own vector is its rank-1 hit (cosine 1.0)
+    top1 = {r.q_id: r.vec_id for r in got.collect() if r.rank == 1}
+    assert all(q == v for q, v in top1.items())
+
+    # the scan must prune to the probed partitions
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), plan
+
+    # append more vectors under the stored quantizer; they become
+    # findable without re-writing the index
+    extra = (emb.orderBy(F.col("vec_id").desc()).limit(10)
+             .select((F.col("vec_id") + 100000).alias("vec_id"),
+                     "embedding"))
+    simsearch.write_ann_index(extra, path, mode="append")
+    q2 = extra.limit(2).select(F.col("vec_id").alias("q_id"),
+                               F.col("embedding").alias("q_vec"))
+    got2 = simsearch.ann_query_index(q2, path, k=1, nprobe=8)
+    assert {r.vec_id for r in got2.collect()} == \
+        {r.q_id for r in q2.collect()}
+
+    with pytest.raises(ValueError, match="no ANN index"):
+        simsearch.ann_query_index(queries, str(tmp_path / "nope"))
+    with pytest.raises(ValueError, match="no ANN index"):
+        simsearch.write_ann_index(extra, str(tmp_path / "nope2"),
+                                  mode="append")

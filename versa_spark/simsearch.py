@@ -371,3 +371,127 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
             .filter(F.col("rank") <= k)
             .select("q_id", "vec_id", F.round("cosine", 6).alias("cosine"),
                     "rank"))
+
+
+# ---------------------------------------------------------------------------
+# Persistent IVF index: vector-search twin of dedup.write_dedup_index.
+
+_ANN_META = "_versa_ann_index.json"
+
+
+def write_ann_index(emb: DataFrame, path: str, n_cells: int = 16,
+                    refine_iters: int = 2, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    mode: str = "overwrite") -> None:
+    """Persist an IVF index: vectors assigned to their nearest centroid
+    and written as ``vectors/`` parquet PARTITIONED BY cell, with the
+    centroid matrix in a JSON sidecar (float repr round-trips exactly).
+    A later :func:`ann_query_index` probes only its queries' cells —
+    partition pruning skips every other cell's files entirely, the
+    on-disk analogue of IVF's candidate bound (corpus × nprobe /
+    n_cells).
+
+    ``mode='append'`` adds vectors to an existing index using the
+    STORED centroids (classic IVF ingestion: the quantizer is frozen
+    between rebuilds; heavy drift in the appended distribution degrades
+    cell balance, not correctness — rebuild with 'overwrite' on the
+    usual refresh cadence).  ``refine_iters`` Lloyd rounds balance the
+    initial cells; only the n_cells × dim centroid matrix ever reaches
+    the driver."""
+    import json as _json
+    from versa_spark.storage import _hadoop_fs
+    spark = emb.sparkSession
+    if mode == "append":
+        meta = read_ann_index_meta(spark, path)
+        if meta is None:
+            raise ValueError(f"no ANN index sidecar at {path}")
+        cents = meta["centroids"]
+    else:
+        if refine_iters > 0:
+            cents = kmeans_centroids(emb, n_cells, refine_iters,
+                                     id_col, vec_col)
+        else:
+            cents = [list(r[1]) for r in
+                     emb.select(id_col, vec_col).orderBy(id_col)
+                     .limit(n_cells).collect()]
+    assigned = ivf_assign(
+        emb.select(F.col(id_col).alias("vec_id"),
+                   F.col(vec_col).alias("v"),
+                   _norm(F.col(vec_col)).alias("nv")), cents, "v")
+    (assigned.select("cell", "vec_id", "v", "nv")
+     .write.mode(mode).partitionBy("cell").parquet(f"{path}/vectors"))
+    if mode != "append":
+        fs, hpath = _hadoop_fs(spark, f"{path}/{_ANN_META}")
+        out = fs.create(hpath, True)
+        try:
+            out.write(_json.dumps(
+                {"n_cells": len(cents), "dim": len(cents[0]),
+                 "centroids": cents}).encode("ascii"))
+        finally:
+            out.close()
+
+
+def read_ann_index_meta(spark, path: str) -> dict | None:
+    """The stored quantizer (None if absent); read failures propagate —
+    probing with re-derived centroids against a differently-quantized
+    index would silently miss everything."""
+    import json as _json
+    from versa_spark.storage import _hadoop_fs
+    if spark is None:
+        from pyspark.sql import SparkSession as _S
+        spark = _S.getActiveSession()
+    fs, hpath = _hadoop_fs(spark, f"{path}/{_ANN_META}")
+    if not fs.exists(hpath):
+        return None
+    stream = fs.open(hpath)
+    try:
+        raw = spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8")
+    finally:
+        stream.close()
+    return _json.loads(raw)
+
+
+def ann_query_index(queries: DataFrame, path: str, k: int = 10,
+                    nprobe: int = 2, q_id_col: str = "q_id",
+                    q_vec_col: str = "q_vec") -> DataFrame:
+    """Top-k over a stored :func:`write_ann_index`: rank the stored
+    centroids per query, take each query's ``nprobe`` nearest cells, and
+    exact-cosine re-rank inside them — reading ONLY the probed cells'
+    files.  The probed-cell set is collected to the driver (≤ n_cells
+    values — bounded by the quantizer, not the data) and applied as a
+    LITERAL ``cell IN (…)`` filter, which Spark turns into partition
+    pruning on the ``vectors/`` scan; the per-query (q_id, cell) probe
+    table and the query vectors broadcast into the pruned scan, so the
+    corpus side never shuffles.
+
+    Returns (q_id, vec_id, cosine, rank) — the :func:`ivf_topk` contract;
+    with identical parameters the results are identical (test-asserted),
+    the difference is that the corpus assignment work happened once at
+    index time."""
+    spark = queries.sparkSession
+    meta = read_ann_index_meta(spark, path)
+    if meta is None:
+        raise ValueError(f"no ANN index sidecar at {path}")
+    cents = meta["centroids"]
+    q = queries.select(F.col(q_id_col).alias("q_id"),
+                       F.col(q_vec_col).alias("q"),
+                       _norm(F.col(q_vec_col)).alias("nq"))
+    probes = (probe_cells(q, cents, nprobe, "q")
+              .select("q_id", F.explode("cells").alias("cell")))
+    probes = probes.localCheckpoint(eager=True)
+    cells = sorted({r.cell for r in probes.select("cell")
+                    .distinct().collect()})
+    base = (spark.read.parquet(f"{path}/vectors")
+            .filter(F.col("cell").isin(cells)))
+    scored = (base.join(F.broadcast(probes), "cell")
+              .join(F.broadcast(q), "q_id")
+              .withColumn("cosine",
+                          _dot(F.col("v"), F.col("q"))
+                          / (F.col("nv") * F.col("nq"))))
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "vec_id", F.round("cosine", 6).alias("cosine"),
+                    "rank"))
