@@ -294,3 +294,24 @@ def test_cli_dedupindex_and_dedup_against(tmp_path, spark):
     assert rc == 0
     kept = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert 999 in kept and len(kept) < 6
+
+
+def test_cli_annindex_and_annquery(tmp_path, spark):
+    """annindex builds the persisted IVF index; annquery top-k's a query
+    parquet against it (self-queries rank themselves first)."""
+    from versa_spark import cli
+    emb = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+           .limit(60).select("vec_id", "embedding"))
+    src = str(tmp_path / "vecs"); emb.write.parquet(src)
+    ix = str(tmp_path / "annix")
+    rc = cli.main(["annindex", src, ix, "--cells", "4", "--cpus", "4"])
+    assert rc == 0
+    qsrc = str(tmp_path / "qs")
+    emb.limit(3).write.parquet(qsrc)
+    out = str(tmp_path / "topk")
+    rc = cli.main(["annquery", qsrc, ix, out, "--k", "2",
+                   "--nprobe", "2", "--cpus", "4"])
+    assert rc == 0
+    rows = spark.read.parquet(out).collect()
+    top1 = {r.q_id: r.vec_id for r in rows if r.rank == 1}
+    assert len(top1) == 3 and all(q == v for q, v in top1.items())

@@ -162,6 +162,22 @@ def _spark_dataop(args) -> int:
         if existing is None:
             spark.stop()
         return 0
+    elif args.cmd == "annindex":
+        from versa_spark.simsearch import write_ann_index
+        write_ann_index(df, args.index_path, n_cells=args.cells,
+                        mode="append" if args.append else "overwrite")
+        n = spark.read.parquet(f"{args.index_path}/vectors").count()
+        print(f"annindex: {n} vectors indexed at {args.index_path}")
+        if existing is None:
+            spark.stop()
+        return 0
+    elif args.cmd == "annquery":
+        from pyspark.sql import functions as F
+        from versa_spark.simsearch import ann_query_index
+        out = ann_query_index(
+            df.select(F.col(args.q_id_col).alias("q_id"),
+                      F.col(args.q_vec_col).alias("q_vec")),
+            args.index_path, k=args.k, nprobe=args.nprobe)
     elif args.cmd == "decontaminate":
         from versa_spark.dedup import decontaminate, decontaminate_fuzzy
         bench = spark.read.parquet(args.benchmark)
@@ -217,6 +233,25 @@ def main(argv=None) -> int:
     p_ix.add_argument("index_path")
     p_ix.add_argument("--append", action="store_true")
     p_ix.add_argument("--cpus", default="4")
+    p_ax = sub.add_parser(
+        "annindex", help="build (or --append to) a persisted IVF index "
+                         "over (vec_id, embedding) parquet")
+    p_ax.add_argument("source")
+    p_ax.add_argument("index_path")
+    p_ax.add_argument("--cells", type=int, default=16)
+    p_ax.add_argument("--append", action="store_true")
+    p_ax.add_argument("--cpus", default="4")
+    p_aq = sub.add_parser(
+        "annquery", help="top-k cosine search of a query parquet "
+                         "against a stored IVF index")
+    p_aq.add_argument("source", help="query parquet")
+    p_aq.add_argument("index_path")
+    p_aq.add_argument("out")
+    p_aq.add_argument("--k", type=int, default=10)
+    p_aq.add_argument("--nprobe", type=int, default=2)
+    p_aq.add_argument("--q-id-col", default="vec_id")
+    p_aq.add_argument("--q-vec-col", default="embedding")
+    p_aq.add_argument("--cpus", default="4")
     p_dc = sub.add_parser(
         "decontaminate",
         help="benchmark decontamination of a parquet corpus: exact "
@@ -257,8 +292,9 @@ def main(argv=None) -> int:
     p_gs.add_argument("--cpus", default="4")
     args = ap.parse_args(argv)
 
-    if args.cmd in ("dedup", "dedupindex", "decontaminate", "sessionize",
-                    "mediameta", "graphstats"):
+    if args.cmd in ("dedup", "dedupindex", "annindex", "annquery",
+                    "decontaminate", "sessionize", "mediameta",
+                    "graphstats"):
         return _spark_dataop(args)
 
     with open(args.source) as f:
