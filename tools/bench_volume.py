@@ -27,7 +27,13 @@ Two one-shot laps whose numbers land in BASELINE.md (round-5 judge items):
   continuously-ingesting pipeline pays, vs re-running two-sided fuzzy
   matching on the same input.
 
-Usage: python tools/bench_volume.py [dedup|bigdict|cooccur|decontam|index|all]
+* ``annix`` — the persisted IVF index at volume: 1M deterministic
+  dim-64 vectors indexed once (256 cells), then a 1k-query top-k batch
+  against the stored index (probe-cell partition pruning) vs the
+  in-memory ivf_topk path that re-assigns the corpus per call.
+
+Usage: python tools/bench_volume.py
+       [dedup|bigdict|cooccur|decontam|index|annix|all]
 Deterministic synthetic inputs (xxhash64-seeded column expressions, no
 Python in the row path, no external data).
 """
@@ -200,6 +206,109 @@ def lap_index(spark: SparkSession) -> dict:
     }
 
 
+def synthetic_vectors(spark: SparkSession, n: int, dim: int = 64,
+                      id_offset: int = 0) -> DataFrame:
+    """Deterministic dense vectors: component p of vector i is
+    (xxhash64(i, p) mod 2001 - 1000)/1000 — uniform-ish in [-1, 1],
+    reproducible, no Python in the row path."""
+    return spark.range(n).select(
+        (F.col("id") + id_offset).alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda p: (F.pmod(F.xxhash64(F.col("id") + id_offset, p),
+                              F.lit(2001)) - 1000) / 1000.0
+        ).alias("embedding"))
+
+
+def lap_annix(spark: SparkSession) -> dict:
+    import shutil
+    import tempfile
+    from versa_spark import simsearch
+    n_vec = N_DOCS
+    n_cells, nprobe, n_q, k = 256, 8, 1000, 10
+    emb = synthetic_vectors(spark, n_vec)
+    queries = (synthetic_vectors(spark, n_q)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+
+    # BOTH paths read the corpus from parquet — a real corpus lives on
+    # disk either way; comparing a parquet-reading indexed path against
+    # an expression-synthesized in-memory baseline would measure array
+    # decode, not indexing
+    tmp = tempfile.mkdtemp(prefix="annix_")
+    emb.write.parquet(f"{tmp}/corpus")
+    corpus = spark.read.parquet(f"{tmp}/corpus")
+
+    path = f"{tmp}/ix"
+    t0 = time.time()
+    simsearch.write_ann_index(corpus, path, n_cells=n_cells,
+                              refine_iters=0)
+    build_wall = round(time.time() - t0, 3)
+
+    # the host swings several-x between single trials AND whichever
+    # path runs second in a pair benefits from a warm JVM/page cache —
+    # an AB,AB loop systematically flatters B.  ABBA order cancels the
+    # order effect; min-of-2 per path discards the burst; every wall is
+    # reported
+    def run_indexed():
+        t0 = time.time()
+        got = simsearch.ann_query_index(queries, path, k=k,
+                                        nprobe=nprobe)
+        n = got.count()
+        return round(time.time() - t0, 3), got, n
+
+    def run_nonindexed():
+        t0 = time.time()
+        ref = simsearch.ivf_topk(corpus, queries, k=k, n_cells=n_cells,
+                                 nprobe=nprobe, refine_iters=0)
+        n = ref.count()
+        return round(time.time() - t0, 3), ref, n
+
+    w1, got, n_got = run_indexed()
+    w2, ref, n_ref = run_nonindexed()
+    w3, ref, n_ref = run_nonindexed()
+    w4, got, n_got = run_indexed()
+    indexed_walls, nonindexed_walls = [w1, w4], [w2, w3]
+    query_wall = min(indexed_walls)
+    nonindexed_wall = min(nonindexed_walls)
+
+    # a small serving batch: 1000 uniform queries × nprobe 8 touch all
+    # 256 cells (pruning nil — the win above is skipping assignment);
+    # 20 queries probe ≤160 cells, so partition pruning also bites
+    q_small = queries.limit(20)
+    t0 = time.time()
+    n_small = simsearch.ann_query_index(q_small, path, k=k,
+                                        nprobe=nprobe).count()
+    small_wall = round(time.time() - t0, 3)
+
+    # queries 0..999 ARE corpus vectors 0..999: their top-1 must be
+    # themselves at cosine 1 in both paths
+    self_ok = (got.filter("rank = 1 AND q_id = vec_id").count() == n_q
+               and ref.filter("rank = 1 AND q_id = vec_id").count()
+               == n_q)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "n_vectors": n_vec,
+        "dim": 64,
+        "n_cells": n_cells,
+        "nprobe": nprobe,
+        "n_queries": n_q,
+        "index_build_sec": build_wall,
+        "indexed_query_sec": query_wall,
+        "indexed_walls": indexed_walls,
+        "queries_per_sec": round(n_q / query_wall, 1),
+        "nonindexed_ivf_sec": nonindexed_wall,
+        "nonindexed_walls": nonindexed_walls,
+        "nonindexed_queries_per_sec": round(n_q / nonindexed_wall, 1),
+        "small_batch_queries": 20,
+        "small_batch_sec": small_wall,
+        "rows": n_got,
+        "rows_nonindexed": n_ref,
+        "rows_small": n_small,
+        "self_top1_both_paths": self_ok,
+    }
+
+
 def lap_bigdict(spark: SparkSession) -> dict:
     from versa_spark.kg import extract
     from versa_spark.kg.transcripts import synthetic_transcripts
@@ -286,6 +395,8 @@ def main() -> None:
         out["decontam"] = lap_decontam(spark)
     if which in ("index", "all"):
         out["index"] = lap_index(spark)
+    if which in ("annix", "all"):
+        out["annix"] = lap_annix(spark)
     print(json.dumps(out, separators=(",", ":")))
     spark.stop()
 
