@@ -486,3 +486,55 @@ def test_cooccurrence_from_sets_dedupes_entries(spark):
     assert set(out) == {("A", "B")}          # no (A, A) self-pair
     ab = out[("A", "B")]
     assert (ab.n_ab, ab.n_a, ab.n_b) == (2, 2, 2)
+
+
+def test_shortest_paths_bfs(spark):
+    """Landmark BFS distances match a driver-side reference BFS on a
+    deterministic random digraph; unreachable nodes are absent; the
+    budget guard raises instead of silently truncating."""
+    import collections
+    import random
+    from versa_spark.kg import analytics
+
+    rng = random.Random(11)
+    nodes = list(range(40))
+    edges = sorted({(rng.choice(nodes), rng.choice(nodes))
+                    for _ in range(120)})
+    edges = [(a, b) for a, b in edges if a != b]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    landmarks = [0, 7]
+    got = {(r.node, r.landmark): r.dist
+           for r in analytics.shortest_paths(e, landmarks).collect()}
+
+    adj = collections.defaultdict(list)
+    for a, b in edges:
+        adj[a].append(b)
+    want = {}
+    for lm in landmarks:
+        dist = {lm: 0}
+        q = collections.deque([lm])
+        while q:
+            u = q.popleft()
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        for n, d in dist.items():
+            want[(n, lm)] = d
+    assert got == want
+
+    # chain graph: exact hop counts, and the budget guard trips when
+    # max_iterations is below the eccentricity
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["src", "dst"])
+    cg = {(r.node, r.landmark): r.dist
+          for r in analytics.shortest_paths(chain, [0]).collect()}
+    assert cg == {(i, 0): i for i in range(13)}
+    with pytest.raises(RuntimeError, match="still expanding"):
+        analytics.shortest_paths(chain, [0], max_iterations=5)
+
+    # DataFrame landmark input agrees with the list form
+    lm_df = spark.createDataFrame([(0,), (7,)], ["landmark"])
+    got2 = {(r.node, r.landmark): r.dist
+            for r in analytics.shortest_paths(e, lm_df).collect()}
+    assert got2 == want

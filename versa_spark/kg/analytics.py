@@ -444,3 +444,70 @@ def segment_conversations(turns: DataFrame, threshold: float = 0.2,
                                           Window.currentRow)) - 1)
             .select("conv_id", "turn_idx", "segment_id",
                     F.col("_pj").alias("prev_jaccard")))
+
+
+def shortest_paths(edges: DataFrame, landmarks, src: str = "src",
+                   dst: str = "dst",
+                   max_iterations: int = 30) -> DataFrame:
+    """Unweighted single-source BFS distances from each landmark over a
+    directed edge list — GraphX/GraphFrames' ``shortestPaths`` analogue
+    (landmark labeling: the standard KG reachability/centrality
+    primitive).  Returns (node, landmark, dist) for every node that can
+    be REACHED FROM a landmark within ``max_iterations`` hops; raises if
+    a frontier is still expanding when the budget runs out (silent
+    truncation would return wrong distances, the transitive_closure
+    contract here).
+
+    Scale shape: the distance table is (reached nodes × landmarks) —
+    bounded by landmark count, never all-pairs.  Each round joins the
+    CURRENT frontier (newly-settled nodes only, shrinking) with the
+    edge list on the src key and anti-joins already-settled (node,
+    landmark) pairs; the edge list is persisted once and reused every
+    round, and each round's settled/frontier tables are eager local
+    checkpoints with the per-round release discipline of
+    connected_components — lineage stays O(1), blocks from round k-1
+    free at round k+1.  Rounds = graph eccentricity from the landmarks
+    (BFS is inherently diameter-bounded; for low-diameter entity
+    co-mention graphs that is single digits)."""
+    from versa_spark.cacheutil import release_checkpoint
+    if not isinstance(landmarks, DataFrame):
+        spark = edges.sparkSession
+        landmarks = spark.createDataFrame(
+            [(x,) for x in landmarks], ["landmark"])
+    lm = landmarks.select(F.col(landmarks.columns[0]).alias("landmark")) \
+                  .distinct()
+    e = (edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+         .filter(F.col("_s") != F.col("_d")).distinct().persist())
+    try:
+        settled = (lm.select(F.col("landmark").alias("node"), "landmark",
+                             F.lit(0).alias("dist"))
+                   .localCheckpoint(eager=True))
+        frontier = settled
+        prev = [settled]
+        for it in range(1, int(max_iterations) + 1):
+            nxt = (frontier
+                   .join(e, frontier["node"] == e["_s"])
+                   .select(F.col("_d").alias("node"), "landmark",
+                           (F.col("dist") + 1).alias("dist"))
+                   .groupBy("node", "landmark")
+                   .agg(F.min("dist").alias("dist"))
+                   .join(settled, ["node", "landmark"], "left_anti")
+                   .localCheckpoint(eager=True))
+            if nxt.isEmpty():
+                release_checkpoint(nxt)
+                break
+            settled = settled.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+            # blocks from two rounds back are no longer referenced by
+            # any live plan (settled/frontier are fresh checkpoints)
+            for old in prev:
+                release_checkpoint(old)
+            prev = [nxt, settled]
+        else:
+            raise RuntimeError(
+                f"shortest_paths still expanding after {max_iterations} "
+                f"rounds; raise max_iterations (graph eccentricity "
+                f"exceeds the budget)")
+        return settled
+    finally:
+        e.unpersist()
