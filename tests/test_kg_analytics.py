@@ -538,3 +538,44 @@ def test_shortest_paths_bfs(spark):
     got2 = {(r.node, r.landmark): r.dist
             for r in analytics.shortest_paths(e, lm_df).collect()}
     assert got2 == want
+
+
+def test_k_core(spark):
+    """k-core peeling matches a reference sequential peeler on random
+    graphs; a triangle+pendant fixture gives the exact expected cores."""
+    import random
+    from versa_spark.kg import analytics
+
+    # triangle 1-2-3 with pendant 4 hanging off 3, isolated edge 5-6
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (5, 6)], ["src", "dst"])
+    core2 = {r.node for r in analytics.k_core(e, k=2).collect()}
+    assert core2 == {1, 2, 3}
+    core1 = {r.node for r in analytics.k_core(e, k=1).collect()}
+    assert core1 == {1, 2, 3, 4, 5, 6}
+    core3 = {r.node for r in analytics.k_core(e, k=3).collect()}
+    assert core3 == set()
+
+    def ref_k_core(pairs, k):
+        import collections
+        adj = collections.defaultdict(set)
+        for a, b in pairs:
+            if a != b:
+                adj[a].add(b); adj[b].add(a)
+        changed = True
+        while changed:
+            changed = False
+            for n in list(adj):
+                if len(adj[n]) < k:
+                    for m in adj.pop(n):
+                        adj[m].discard(n)
+                    changed = True
+        return {n for n in adj if adj[n]}
+
+    rng = random.Random(5)
+    pairs = sorted({(rng.randrange(30), rng.randrange(30))
+                    for _ in range(70)})
+    df = spark.createDataFrame(pairs, ["src", "dst"])
+    for k in (2, 3, 4):
+        got = {r.node for r in analytics.k_core(df, k=k).collect()}
+        assert got == ref_k_core(pairs, k), k

@@ -511,3 +511,43 @@ def shortest_paths(edges: DataFrame, landmarks, src: str = "src",
         return settled
     finally:
         e.unpersist()
+
+
+def k_core(edges: DataFrame, k: int = 2, src: str = "src",
+           dst: str = "dst", max_iterations: int = 100) -> DataFrame:
+    """Nodes of the k-core of the UNDIRECTED graph: the maximal subgraph
+    in which every node has degree ≥ k — the standard cohesion filter
+    before community/embedding work (peels noise entities off the
+    co-mention graph).
+
+    Iterative peeling: drop every node with current degree < k, remove
+    its edges, repeat to fixpoint.  Each round is one degree aggregate
+    (map-side partial agg on the node key) + two anti-joins; the edge
+    set only shrinks, every round's survivor edge table is an eager
+    localCheckpoint (O(1) lineage), and blocks from the previous round
+    are released immediately (the connected_components discipline).
+    Rounds are bounded by the longest peeling chain; the budget guard
+    raises rather than returning a not-yet-maximal subgraph."""
+    from versa_spark.cacheutil import release_checkpoint
+    und = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .filter(F.col("a") != F.col("b")))
+    e = (und.unionByName(und.select(F.col("b").alias("a"),
+                                    F.col("a").alias("b")))
+         .distinct()
+         .localCheckpoint(eager=True))
+    for _ in range(int(max_iterations)):
+        deg = e.groupBy("a").agg(F.count("*").alias("_deg"))
+        weak = deg.filter(F.col("_deg") < k).select("a")
+        if weak.isEmpty():
+            return e.select(F.col("a").alias("node")).distinct()
+        nxt = (e.join(weak, "a", "left_anti")
+               .join(weak.select(F.col("a").alias("b")), "b",
+                     "left_anti")
+               .localCheckpoint(eager=True))
+        release_checkpoint(e)
+        e = nxt
+        if e.isEmpty():
+            return e.select(F.col("a").alias("node"))
+    raise RuntimeError(
+        f"k_core still peeling after {max_iterations} rounds; raise "
+        f"max_iterations")
