@@ -315,3 +315,25 @@ def test_cli_annindex_and_annquery(tmp_path, spark):
     rows = spark.read.parquet(out).collect()
     top1 = {r.q_id: r.vec_id for r in rows if r.rank == 1}
     assert len(top1) == 3 and all(q == v for q, v in top1.items())
+
+
+def test_cli_graphstats_kcore_and_landmarks(tmp_path, spark):
+    """graphstats --k-core and --landmarks write the extra outputs."""
+    from versa_spark import cli
+    sets = spark.createDataFrame(
+        [("c", 0, ["A", "B"]), ("c", 1, ["A", "C"]),
+         ("d", 0, ["B", "C"]), ("d", 1, ["A", "D"])],
+        "conv_id string, turn_idx int, ents array<string>")
+    src = str(tmp_path / "sets_in3"); sets.write.parquet(src)
+    out = str(tmp_path / "stats_out3")
+    rc = cli.main(["graphstats", src, out, "--iterations", "1",
+                   "--k-core", "2", "--landmarks", "A,D",
+                   "--cpus", "4"])
+    assert rc == 0
+    core = {r.node for r in
+            spark.read.parquet(f"{out}/kcore").collect()}
+    assert core == {"A", "B", "C"}        # D is a pendant off A
+    sp = {(r.node, r.landmark): r.dist for r in
+          spark.read.parquet(f"{out}/shortest_paths").collect()}
+    assert sp[("A", "A")] == 0 and sp[("D", "A")] == 1
+    assert sp[("B", "D")] == 2 and sp[("C", "D")] == 2

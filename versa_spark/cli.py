@@ -140,8 +140,21 @@ def _spark_dataop(args) -> int:
         pr.write.mode("overwrite").parquet(f"{args.out}/pagerank")
         tri = analytics.triangle_stats(edges)
         tri.write.mode("overwrite").parquet(f"{args.out}/triangles")
+        extras = []
+        if args.k_core > 0:
+            core = analytics.k_core(sym, k=args.k_core)
+            core.write.mode("overwrite").parquet(f"{args.out}/kcore")
+            extras.append(f"{core.count()} nodes in the "
+                          f"{args.k_core}-core")
+        if args.landmarks:
+            sp = analytics.shortest_paths(
+                sym, [s for s in args.landmarks.split(",") if s])
+            sp.write.mode("overwrite").parquet(
+                f"{args.out}/shortest_paths")
+            extras.append(f"{sp.count()} landmark distances")
+        extra_txt = ("; " + "; ".join(extras)) if extras else ""
         print(f"graphstats: {pmi.count()} pairs, {pr.count()} ranked "
-              f"nodes, triangle census -> {args.out}")
+              f"nodes, triangle census{extra_txt} -> {args.out}")
         if existing is None:
             spark.stop()
         return 0
@@ -289,6 +302,11 @@ def main(argv=None) -> int:
     p_gs.add_argument("source")
     p_gs.add_argument("out", help="output dir (cooccur/pagerank/triangles)")
     p_gs.add_argument("--iterations", type=int, default=3)
+    p_gs.add_argument("--k-core", type=int, default=0, dest="k_core",
+                      help="also write the k-core node set (0 = off)")
+    p_gs.add_argument("--landmarks", default=None,
+                      help="comma-separated entity IRIs: also write "
+                           "BFS distances from each")
     p_gs.add_argument("--cpus", default="4")
     args = ap.parse_args(argv)
 
