@@ -872,7 +872,14 @@ def write_dedup_index(df: DataFrame, path: str, id_col: str = "doc_id",
 
     ``mode='append'`` adds new documents to an existing index (ids must
     be disjoint from those already indexed — the caller's ingestion key
-    discipline); the sidecar is validated against the existing one."""
+    discipline); the sidecar is validated against the existing one.
+
+    Crash consistency: the three tables write sequentially and the
+    sidecar last, so a FRESH index interrupted mid-write has no sidecar
+    and readers refuse it — but an interrupted OVERWRITE of an existing
+    index can leave mixed tables under the old sidecar.  Rebuild into a
+    staging path and rename (the usual table-swap discipline) when the
+    index must stay queryable during rebuilds."""
     import json as _json
     from versa_spark.storage import _hadoop_fs
     spark = df.sparkSession

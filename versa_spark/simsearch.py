@@ -397,7 +397,13 @@ def write_ann_index(emb: DataFrame, path: str, n_cells: int = 16,
     cell balance, not correctness — rebuild with 'overwrite' on the
     usual refresh cadence).  ``refine_iters`` Lloyd rounds balance the
     initial cells; only the n_cells × dim centroid matrix ever reaches
-    the driver."""
+    the driver.
+
+    Crash consistency: vectors write before the sidecar, so an
+    interrupted fresh build has no sidecar and readers refuse it; an
+    interrupted OVERWRITE can leave new vectors under the old
+    quantizer — rebuild into a staging path and swap when the index
+    must stay queryable."""
     import json as _json
     from versa_spark.storage import _hadoop_fs
     spark = emb.sparkSession
