@@ -1206,3 +1206,19 @@ def test_ann_index_roundtrip(tmp_path, spark, emb):
     with pytest.raises(ValueError, match="no ANN index"):
         simsearch.write_ann_index(extra, str(tmp_path / "nope2"),
                                   mode="append")
+
+
+def test_sample_to_token_budget_monotone(spark):
+    """Hash-threshold sampling is monotone in the budget: a larger
+    budget's kept set contains every smaller budget's kept set (the
+    property that makes budget sweeps stable across runs)."""
+    rows = [(i, "a", " ".join(["w"] * 10)) for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    kept = [frozenset(r.doc_id for r in
+                      textops.sample_to_token_budget(
+                          df, {"a": float(b)}, seed=3).collect())
+            for b in (100, 250, 450, 600)]
+    assert 0 < len(kept[0]) < len(kept[1]) < len(kept[2]) <= 60
+    for small, big in zip(kept, kept[1:]):
+        assert small <= big
+    assert kept[3] == frozenset(range(60))   # budget >= total keeps all
