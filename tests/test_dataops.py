@@ -1222,3 +1222,38 @@ def test_sample_to_token_budget_monotone(spark):
     for small, big in zip(kept, kept[1:]):
         assert small <= big
     assert kept[3] == frozenset(range(60))   # budget >= total keeps all
+
+
+def test_chunk_documents(spark):
+    """Token-window chunking: exact window contents, overlap carry,
+    remainder tail, single-chunk short docs, empty docs dropped."""
+    text = " ".join(f"t{i}" for i in range(25))
+    df = spark.createDataFrame(
+        [(1, text), (2, "short doc"), (3, "   ")],
+        ["doc_id", "text"])
+    got = textops.chunk_documents(df, chunk_tokens=10, overlap=4)
+    rows = sorted(((r.doc_id, r.chunk_ix, r.chunk_text, r.n_tokens)
+                   for r in got.collect()))
+    # doc 1: stride 6 -> windows at 0,6,12,18 -> 1+ceil(15/6)=4 chunks
+    d1 = [r for r in rows if r[0] == 1]
+    assert len(d1) == 4
+    words = text.split()
+    for ix, (_, cix, ctext, ntok) in enumerate(d1):
+        start = ix * 6
+        expect = words[start:start + 10]
+        assert cix == ix and ctext == " ".join(expect)
+        assert ntok == len(expect)
+    # consecutive chunks share exactly the 4 overlap tokens
+    assert d1[0][2].split()[-4:] == d1[1][2].split()[:4]
+    d2 = [r for r in rows if r[0] == 2]
+    assert d2 == [(2, 0, "short doc", 2)]
+    assert not [r for r in rows if r[0] == 3]
+    with pytest.raises(ValueError):
+        textops.chunk_documents(df, chunk_tokens=8, overlap=8)
+    # reconstruction: stripping overlaps and concatenating recovers the
+    # original token stream
+    recon = []
+    for ix, (_, _, ctext, _) in enumerate(d1):
+        toks = ctext.split()
+        recon.extend(toks if ix == 0 else toks[4:])
+    assert recon == words

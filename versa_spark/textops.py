@@ -449,3 +449,45 @@ def repeated_ngrams(df: DataFrame, n: int = 5, min_docs: int = 2,
             .agg(F.countDistinct("doc_id").alias("n_docs"),
                  F.count("*").alias("n_occurrences"))
             .filter(F.col("n_docs") >= min_docs))
+
+
+def chunk_documents(df: DataFrame, chunk_tokens: int = 512,
+                    overlap: int = 64, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Split documents into whitespace-token windows of ``chunk_tokens``
+    with ``overlap`` tokens of context carried between consecutive
+    chunks — the chunking step before sequence packing / embedding /
+    retrieval indexing.  Returns (doc_id, chunk_ix, chunk_text,
+    n_tokens); a doc at or under the window emits exactly one chunk.
+
+    Pure JVM expressions end-to-end: split → slice windows via
+    transform(sequence(…)) → explode, so it whole-stage-codegens and
+    needs no shuffle at all.  Stride = chunk_tokens − overlap; the last
+    window is the remainder (≥ 1 token, ≤ chunk_tokens) rather than a
+    duplicate of earlier text.  Deterministic: chunk_ix is the window
+    ordinal, independent of partitioning."""
+    if overlap >= chunk_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be smaller than chunk_tokens "
+            f"({chunk_tokens})")
+    stride = chunk_tokens - overlap
+    words = F.split(_ws_strip(F.col(text_col)), r"\s+")
+    n = F.when(F.length(_ws_strip(F.col(text_col))) == 0, F.lit(0)) \
+         .otherwise(F.size(words))
+    # number of windows: 1 + ceil(max(0, n - chunk) / stride)
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.lit(1) + F.ceil((n - chunk_tokens) / F.lit(stride))
+                     .cast("int"))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_ix"),
+            F.concat_ws(" ", F.slice(words, i * stride + 1,
+                                     chunk_tokens)).alias("chunk_text"),
+            F.least(F.lit(chunk_tokens), n - i * stride)
+             .cast("int").alias("n_tokens")))
+    return (df.filter(n > 0)
+            .select(F.col(id_col).alias("doc_id"),
+                    F.explode(chunks).alias("c"))
+            .select("doc_id", "c.chunk_ix", "c.chunk_text",
+                    "c.n_tokens"))
