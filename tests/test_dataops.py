@@ -1257,3 +1257,44 @@ def test_chunk_documents(spark):
         toks = ctext.split()
         recon.extend(toks if ix == 0 else toks[4:])
     assert recon == words
+
+
+def test_pack_sequences(spark):
+    """Next-fit packing: every sequence's token sum respects seq_len,
+    all chunks keep exactly one assignment, document chunks stay
+    adjacent in order, the result is partitioning-independent, and an
+    oversize chunk raises."""
+    docs = spark.createDataFrame(
+        [(d, " ".join(f"w{d}_{i}" for i in range(50))) for d in range(12)],
+        ["doc_id", "text"])
+    chunks = textops.chunk_documents(docs, chunk_tokens=16, overlap=4)
+    packed = textops.pack_sequences(chunks, seq_len=40, n_shards=3)
+    rows = packed.collect()
+    assert len(rows) == chunks.count()
+    sums = {}
+    for r in rows:
+        sums.setdefault((r.shard, r.seq_ix), 0)
+        sums[(r.shard, r.seq_ix)] += r.n_tokens
+    assert all(s <= 40 for s in sums.values())
+    assert len(sums) > 1
+    # a doc's chunks are contiguous: within a shard, ordering by
+    # (seq_ix, then original order) never interleaves documents
+    by_shard = {}
+    for r in sorted(rows, key=lambda r: (r.shard, r.seq_ix,
+                                         r.doc_id, r.chunk_ix)):
+        by_shard.setdefault(r.shard, []).append(r.doc_id)
+    for seq in by_shard.values():
+        seen, prev = set(), None
+        for d in seq:
+            if d != prev:
+                assert d not in seen, "document chunks interleaved"
+                seen.add(d)
+                prev = d
+    # partitioning-independence
+    again = textops.pack_sequences(chunks.repartition(7), seq_len=40,
+                                   n_shards=3).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # oversize chunk -> task error with the clear message
+    big = textops.chunk_documents(docs, chunk_tokens=45, overlap=0)
+    with pytest.raises(Exception, match="exceeds"):
+        textops.pack_sequences(big, seq_len=40, n_shards=2).collect()
