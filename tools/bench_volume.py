@@ -32,8 +32,12 @@ Two one-shot laps whose numbers land in BASELINE.md (round-5 judge items):
   against the stored index (probe-cell partition pruning) vs the
   in-memory ivf_topk path that re-assigns the corpus per call.
 
+* ``chunkpack`` — the chunk→pack assembly path at 1M docs: token-window
+  chunking (zero-shuffle expressions) then next-fit sequence packing
+  (sharded applyInPandas), with capacity and fill-rate checks.
+
 Usage: python tools/bench_volume.py
-       [dedup|bigdict|cooccur|decontam|index|annix|all]
+       [dedup|bigdict|cooccur|decontam|index|annix|chunkpack|all]
 Deterministic synthetic inputs (xxhash64-seeded column expressions, no
 Python in the row path, no external data).
 """
@@ -309,6 +313,36 @@ def lap_annix(spark: SparkSession) -> dict:
     }
 
 
+def lap_chunkpack(spark: SparkSession) -> dict:
+    from versa_spark import textops
+    docs = synthetic_docs(spark, N_DOCS)
+    t0 = time.time()
+    chunks = textops.chunk_documents(docs, chunk_tokens=16, overlap=4)
+    n_chunks = chunks.count()
+    chunk_wall = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    packed = textops.pack_sequences(chunks, seq_len=256, n_shards=256)
+    stats = (packed.groupBy("shard", "seq_ix")
+             .agg(F.sum("n_tokens").alias("t"))
+             .agg(F.count("*").alias("n_seqs"),
+                  F.max("t").alias("max_t"),
+                  F.avg("t").alias("avg_t")).first())
+    pack_wall = round(time.time() - t0, 3)
+    return {
+        "n_docs": N_DOCS,
+        "chunk_sec": chunk_wall,
+        "chunk_docs_per_sec": round(N_DOCS / chunk_wall, 1),
+        "n_chunks": n_chunks,
+        "pack_sec": pack_wall,
+        "pack_chunks_per_sec": round(n_chunks / pack_wall, 1),
+        "n_sequences": stats.n_seqs,
+        "max_seq_tokens": stats.max_t,
+        "fill_rate": round(stats.avg_t / 256, 4),
+        "capacity_ok": stats.max_t <= 256,
+    }
+
+
 def lap_bigdict(spark: SparkSession) -> dict:
     from versa_spark.kg import extract
     from versa_spark.kg.transcripts import synthetic_transcripts
@@ -397,6 +431,8 @@ def main() -> None:
         out["index"] = lap_index(spark)
     if which in ("annix", "all"):
         out["annix"] = lap_annix(spark)
+    if which in ("chunkpack", "all"):
+        out["chunkpack"] = lap_chunkpack(spark)
     print(json.dumps(out, separators=(",", ":")))
     spark.stop()
 
