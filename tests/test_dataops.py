@@ -1298,3 +1298,9 @@ def test_pack_sequences(spark):
     big = textops.chunk_documents(docs, chunk_tokens=45, overlap=0)
     with pytest.raises(Exception, match="exceeds"):
         textops.pack_sequences(big, seq_len=40, n_shards=2).collect()
+
+
+def test_chunk_documents_rejects_negative_overlap(spark):
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match=r"\[0, chunk_tokens\)"):
+        textops.chunk_documents(df, chunk_tokens=10, overlap=-5)

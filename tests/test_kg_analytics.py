@@ -532,6 +532,14 @@ def test_shortest_paths_bfs(spark):
     assert cg == {(i, 0): i for i in range(13)}
     with pytest.raises(RuntimeError, match="still expanding"):
         analytics.shortest_paths(chain, [0], max_iterations=5)
+    # eccentricity EXACTLY equal to the budget must succeed (the
+    # one-past-the-end emptiness probe, not a spurious raise)
+    exact = {(r.node, r.landmark): r.dist
+             for r in analytics.shortest_paths(
+                 chain, [0], max_iterations=12).collect()}
+    assert exact == cg
+    with pytest.raises(ValueError, match="at least one landmark"):
+        analytics.shortest_paths(chain, [])
 
     # DataFrame landmark input agrees with the list form
     lm_df = spark.createDataFrame([(0,), (7,)], ["landmark"])
@@ -579,3 +587,16 @@ def test_k_core(spark):
     for k in (2, 3, 4):
         got = {r.node for r in analytics.k_core(df, k=k).collect()}
         assert got == ref_k_core(pairs, k), k
+
+
+def test_k_core_exact_budget_boundary(spark):
+    """A peel chain needing exactly max_iterations rounds reaches its
+    fixpoint without a spurious budget error."""
+    from versa_spark.kg import analytics
+    # path 1-2-3-4-5-6 with k=2 peels endpoints each round: 3 rounds
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], ["src", "dst"])
+    got = analytics.k_core(path, k=2, max_iterations=3)
+    assert got.count() == 0
+    with pytest.raises(RuntimeError, match="still peeling"):
+        analytics.k_core(path, k=2, max_iterations=2)

@@ -876,12 +876,14 @@ def write_dedup_index(df: DataFrame, path: str, id_col: str = "doc_id",
 
     Crash consistency: the three tables write sequentially and the
     sidecar last, so a FRESH index interrupted mid-write has no sidecar
-    and readers refuse it — but an interrupted OVERWRITE of an existing
-    index can leave mixed tables under the old sidecar.  Rebuild into a
-    staging path and rename (the usual table-swap discipline) when the
-    index must stay queryable during rebuilds."""
-    import json as _json
-    from versa_spark.storage import _hadoop_fs
+    and readers refuse it; an APPEND deletes the sidecar first and
+    re-writes it after all three tables land, so an interrupted append
+    is likewise refusable rather than silently wrong.  An interrupted
+    OVERWRITE of an existing index can still leave mixed tables under
+    the old sidecar — rebuild into a staging path and rename (the
+    usual table-swap discipline) when the index must stay queryable
+    during rebuilds."""
+    from versa_spark.storage import delete_sidecar, write_json_sidecar
     spark = df.sparkSession
     meta = {"k": k, "num_hashes": num_hashes, "bands": bands,
             "hash_family": hash_family}
@@ -891,20 +893,24 @@ def write_dedup_index(df: DataFrame, path: str, id_col: str = "doc_id",
             raise ValueError(
                 f"index at {path} was written with {existing}; appending "
                 f"with {meta} would corrupt it")
+        # an append touches three tables non-atomically: drop the
+        # sidecar FIRST so an interrupted append leaves a refusable
+        # index (no sidecar -> readers raise) instead of a valid-looking
+        # one with mixed tables; it is re-written after all three lands
+        delete_sidecar(spark, f"{path}/{_INDEX_META}")
     banded = _banded_signatures(df, id_col, text_col, k, num_hashes,
                                 bands, hash_family)
     banded.write.mode(mode).parquet(f"{path}/banded")
     sh = shingles(df, id_col, text_col, k).select(
         "doc_id", _index_shingle_hash(hash_family).alias("sh_h"))
     sh.write.mode(mode).parquet(f"{path}/shingles")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    sizes.write.mode(mode).parquet(f"{path}/sizes")
-    fs, hpath = _hadoop_fs(spark, f"{path}/{_INDEX_META}")
-    out = fs.create(hpath, True)
-    try:
-        out.write(_json.dumps(meta).encode("ascii"))
-    finally:
-        out.close()
+    # sizes from the parquet JUST WRITTEN, not the lineage: re-running
+    # the read->normalize->explode->hash DAG would double the most
+    # expensive stage of the build for identical output
+    sizes = (spark.read.parquet(f"{path}/shingles")
+             .groupBy("doc_id").agg(F.count("*").alias("n_sh")))
+    sizes.write.mode("overwrite").parquet(f"{path}/sizes")
+    write_json_sidecar(spark, f"{path}/{_INDEX_META}", meta)
 
 
 def read_dedup_index_meta(spark: SparkSession | None,
@@ -913,21 +919,8 @@ def read_dedup_index_meta(spark: SparkSession | None,
     if absent).  Read/parse failures propagate — a swallowed transport
     error would let a batch band itself with default parameters against
     an incompatible index and silently find nothing."""
-    import json as _json
-    from versa_spark.storage import _hadoop_fs
-    if spark is None:
-        from pyspark.sql import SparkSession as _S
-        spark = _S.getActiveSession()
-    fs, hpath = _hadoop_fs(spark, f"{path}/{_INDEX_META}")
-    if not fs.exists(hpath):
-        return None
-    stream = fs.open(hpath)
-    try:
-        raw = spark._jvm.org.apache.commons.io.IOUtils.toString(
-            stream, "UTF-8")
-    finally:
-        stream.close()
-    return _json.loads(raw)
+    from versa_spark.storage import read_json_sidecar
+    return read_json_sidecar(spark, f"{path}/{_INDEX_META}")
 
 
 def dedup_against_index(batch: DataFrame, path: str,
@@ -992,7 +985,13 @@ def dedup_against_index(batch: DataFrame, path: str,
                  .join(cands.select(F.col("ix").alias("doc_id"))
                        .distinct(), "doc_id", "left_semi"))
         sizes_b = b_sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-        sizes_ix = spark.read.parquet(f"{path}/sizes")
+        # semi-join the stored sizes to candidate index ids (the
+        # documented plan shape): without it, the join against the tiny
+        # inter frame relies on AQE's runtime estimate to avoid
+        # shuffling a corpus-sized table per ingested batch
+        sizes_ix = (spark.read.parquet(f"{path}/sizes")
+                    .join(cands.select(F.col("ix").alias("doc_id"))
+                          .distinct(), "doc_id", "left_semi"))
         inter = (cands
                  .join(b_sh.select(F.col("doc_id").alias("bt"), "sh_h"),
                        "bt")

@@ -471,6 +471,9 @@ def shortest_paths(edges: DataFrame, landmarks, src: str = "src",
     co-mention graphs that is single digits)."""
     from versa_spark.cacheutil import release_checkpoint
     if not isinstance(landmarks, DataFrame):
+        landmarks = list(landmarks)
+        if not landmarks:
+            raise ValueError("shortest_paths needs at least one landmark")
         spark = edges.sparkSession
         landmarks = spark.createDataFrame(
             [(x,) for x in landmarks], ["landmark"])
@@ -484,7 +487,12 @@ def shortest_paths(edges: DataFrame, landmarks, src: str = "src",
                    .localCheckpoint(eager=True))
         frontier = settled
         prev = [settled]
-        for it in range(1, int(max_iterations) + 1):
+        # max_iterations + 1 probes: a graph whose eccentricity EQUALS
+        # the budget settles its last node on round max_iterations and
+        # only the one-past-the-end probe can observe the empty frontier
+        # — raising without that probe would spuriously fail the exact-
+        # budget case (round-5 review finding)
+        for it in range(1, int(max_iterations) + 2):
             nxt = (frontier
                    .join(e, frontier["node"] == e["_s"])
                    .select(F.col("_d").alias("node"), "landmark",
@@ -496,6 +504,11 @@ def shortest_paths(edges: DataFrame, landmarks, src: str = "src",
             if nxt.isEmpty():
                 release_checkpoint(nxt)
                 break
+            if it > int(max_iterations):
+                raise RuntimeError(
+                    f"shortest_paths still expanding after "
+                    f"{max_iterations} rounds; raise max_iterations "
+                    f"(graph eccentricity exceeds the budget)")
             settled = settled.unionByName(nxt).localCheckpoint(eager=True)
             frontier = nxt
             # blocks from two rounds back are no longer referenced by
@@ -503,11 +516,6 @@ def shortest_paths(edges: DataFrame, landmarks, src: str = "src",
             for old in prev:
                 release_checkpoint(old)
             prev = [nxt, settled]
-        else:
-            raise RuntimeError(
-                f"shortest_paths still expanding after {max_iterations} "
-                f"rounds; raise max_iterations (graph eccentricity "
-                f"exceeds the budget)")
         return settled
     finally:
         e.unpersist()
@@ -535,11 +543,19 @@ def k_core(edges: DataFrame, k: int = 2, src: str = "src",
                                     F.col("a").alias("b")))
          .distinct()
          .localCheckpoint(eager=True))
-    for _ in range(int(max_iterations)):
+    # max_iterations + 1 probes: a peel chain of exactly max_iterations
+    # rounds reaches its fixpoint on the last round and only the
+    # one-past-the-end degree check can observe it (round-5 review
+    # finding — mirror of the shortest_paths boundary)
+    for it in range(1, int(max_iterations) + 2):
         deg = e.groupBy("a").agg(F.count("*").alias("_deg"))
         weak = deg.filter(F.col("_deg") < k).select("a")
         if weak.isEmpty():
             return e.select(F.col("a").alias("node")).distinct()
+        if it > int(max_iterations):
+            raise RuntimeError(
+                f"k_core still peeling after {max_iterations} rounds; "
+                f"raise max_iterations")
         nxt = (e.join(weak, "a", "left_anti")
                .join(weak.select(F.col("a").alias("b")), "b",
                      "left_anti")
@@ -548,6 +564,4 @@ def k_core(edges: DataFrame, k: int = 2, src: str = "src",
         e = nxt
         if e.isEmpty():
             return e.select(F.col("a").alias("node"))
-    raise RuntimeError(
-        f"k_core still peeling after {max_iterations} rounds; raise "
-        f"max_iterations")
+    raise AssertionError("unreachable")

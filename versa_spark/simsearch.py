@@ -400,18 +400,23 @@ def write_ann_index(emb: DataFrame, path: str, n_cells: int = 16,
     the driver.
 
     Crash consistency: vectors write before the sidecar, so an
-    interrupted fresh build has no sidecar and readers refuse it; an
-    interrupted OVERWRITE can leave new vectors under the old
-    quantizer — rebuild into a staging path and swap when the index
-    must stay queryable."""
-    import json as _json
-    from versa_spark.storage import _hadoop_fs
+    interrupted fresh build has no sidecar and readers refuse it, and
+    an APPEND deletes the sidecar first and re-writes it after the
+    vectors land (interrupted append ⇒ refusable); an interrupted
+    OVERWRITE can still leave new vectors under the old quantizer —
+    rebuild into a staging path and swap when the index must stay
+    queryable."""
+    from versa_spark.storage import delete_sidecar, write_json_sidecar
     spark = emb.sparkSession
     if mode == "append":
         meta = read_ann_index_meta(spark, path)
         if meta is None:
             raise ValueError(f"no ANN index sidecar at {path}")
         cents = meta["centroids"]
+        # drop the sidecar across the non-atomic append so an
+        # interrupted append leaves a refusable index, not a
+        # valid-looking one missing vectors; re-written below
+        delete_sidecar(spark, f"{path}/{_ANN_META}")
     else:
         if refine_iters > 0:
             cents = kmeans_centroids(emb, n_cells, refine_iters,
@@ -431,36 +436,17 @@ def write_ann_index(emb: DataFrame, path: str, n_cells: int = 16,
     (assigned.select("cell", "vec_id", "v", "nv")
      .repartition(F.col("cell"))
      .write.mode(mode).partitionBy("cell").parquet(f"{path}/vectors"))
-    if mode != "append":
-        fs, hpath = _hadoop_fs(spark, f"{path}/{_ANN_META}")
-        out = fs.create(hpath, True)
-        try:
-            out.write(_json.dumps(
-                {"n_cells": len(cents), "dim": len(cents[0]),
-                 "centroids": cents}).encode("ascii"))
-        finally:
-            out.close()
+    write_json_sidecar(spark, f"{path}/{_ANN_META}",
+                       {"n_cells": len(cents), "dim": len(cents[0]),
+                        "centroids": cents})
 
 
 def read_ann_index_meta(spark, path: str) -> dict | None:
     """The stored quantizer (None if absent); read failures propagate —
     probing with re-derived centroids against a differently-quantized
     index would silently miss everything."""
-    import json as _json
-    from versa_spark.storage import _hadoop_fs
-    if spark is None:
-        from pyspark.sql import SparkSession as _S
-        spark = _S.getActiveSession()
-    fs, hpath = _hadoop_fs(spark, f"{path}/{_ANN_META}")
-    if not fs.exists(hpath):
-        return None
-    stream = fs.open(hpath)
-    try:
-        raw = spark._jvm.org.apache.commons.io.IOUtils.toString(
-            stream, "UTF-8")
-    finally:
-        stream.close()
-    return _json.loads(raw)
+    from versa_spark.storage import read_json_sidecar
+    return read_json_sidecar(spark, f"{path}/{_ANN_META}")
 
 
 def ann_query_index(queries: DataFrame, path: str, k: int = 10,

@@ -203,3 +203,43 @@ def iceberg_ddl(table: str = "kg.graph", n_buckets: int = 64,
         f"'write.parquet.compression-codec'='zstd')",
         f"ALTER TABLE {table} WRITE ORDERED BY ({sort_key})",
     ]
+
+
+def write_json_sidecar(spark: SparkSession, path: str, meta: dict) -> None:
+    """Write a small JSON sidecar through the Hadoop FileSystem API (so
+    hdfs://, s3a://, file:/ all land next to the data).  Shared by the
+    model-layout sidecar and the LSH/IVF index sidecars."""
+    fs, hpath = _hadoop_fs(spark, path)
+    out = fs.create(hpath, True)
+    try:
+        out.write(json.dumps(meta).encode("ascii"))
+    finally:
+        out.close()
+
+
+def read_json_sidecar(spark: SparkSession | None, path: str) -> dict | None:
+    """Read a JSON sidecar (None if absent).  Read/parse/transport
+    failures PROPAGATE — swallowing them would silently disable
+    whatever guard the sidecar backs."""
+    if spark is None:
+        spark = SparkSession.getActiveSession()
+    fs, hpath = _hadoop_fs(spark, path)
+    if not fs.exists(hpath):
+        return None
+    stream = fs.open(hpath)
+    try:
+        raw = spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8")
+    finally:
+        stream.close()
+    return json.loads(raw)
+
+
+def delete_sidecar(spark: SparkSession, path: str) -> None:
+    """Remove a sidecar if present (used to INVALIDATE an index before a
+    non-atomic multi-table append: an interrupted append then leaves no
+    sidecar and readers refuse the index instead of silently computing
+    wrong answers over mixed tables)."""
+    fs, hpath = _hadoop_fs(spark, path)
+    if fs.exists(hpath):
+        fs.delete(hpath, False)

@@ -466,10 +466,12 @@ def chunk_documents(df: DataFrame, chunk_tokens: int = 512,
     window is the remainder (≥ 1 token, ≤ chunk_tokens) rather than a
     duplicate of earlier text.  Deterministic: chunk_ix is the window
     ordinal, independent of partitioning."""
-    if overlap >= chunk_tokens:
+    if not 0 <= overlap < chunk_tokens:
+        # negative overlap would SKIP tokens between windows (breaking
+        # the reconstruction contract) and can emit empty chunks
         raise ValueError(
-            f"overlap ({overlap}) must be smaller than chunk_tokens "
-            f"({chunk_tokens})")
+            f"overlap ({overlap}) must be in [0, chunk_tokens) "
+            f"(chunk_tokens={chunk_tokens})")
     stride = chunk_tokens - overlap
     words = F.split(_ws_strip(F.col(text_col)), r"\s+")
     n = F.when(F.length(_ws_strip(F.col(text_col))) == 0, F.lit(0)) \
