@@ -940,6 +940,117 @@ def _q_kg_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.segment_conversations(tx, threshold=0.5)
 
 
+# ---------------------------------------------------------------------------
+# Round-6 registry consolidation: the driver's CORRECTNESS artifact records
+# at most 50 rows, so related queries are merged into labeled multi-metric
+# unions (one row family per sub-query, common (label, keys, value) schema).
+# Every merged query reuses the SAME underlying operator call as the
+# standalone round-5 query it replaces — only the projection changed — and
+# the oracle is the UNION ALL of the round-5 oracles under the same labels,
+# so the value check is exactly as strong as the four separate rows were.
+# ---------------------------------------------------------------------------
+
+def _q_event_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four event-analytics operators (events.funnel /
+    windowed_rollup / value_percentiles / retention_cohorts) as one
+    labeled multi-metric result so each gets a hard driver-oracle row
+    (round-5 verdict item #1: these four never fit the 50-row artifact
+    window as standalone queries)."""
+    fu = _q_event_funnel(spark, sf_dir).select(
+        F.lit("funnel").alias("metric"),
+        F.col("stage_ix").cast("string").alias("k1"),
+        F.col("stage").alias("k2"),
+        F.col("n_users").cast("double").alias("v"))
+    win = (_q_event_windows(spark, sf_dir)
+           .select(F.col("bucket_us").cast("string").alias("k1"),
+                   F.col("event_type").alias("k2"),
+                   F.expr("stack(3, 'win_events', cast(n_events as double),"
+                          " 'win_users', cast(n_users as double),"
+                          " 'win_value', value_sum) as (metric, v)"))
+           .select("metric", "k1", "k2", "v"))
+    pc = (_q_event_percentiles(spark, sf_dir)
+          .select(F.lit("pctl").alias("metric"),
+                  F.col("event_type").alias("k1"),
+                  F.expr("stack(3, 'p50', p50, 'p90', p90, 'p99', p99)"
+                         " as (k2, v)"))
+          .select("metric", "k1", "k2", "v"))
+    rt = _q_event_retention(spark, sf_dir).select(
+        F.lit("retention").alias("metric"),
+        F.col("cohort_us").cast("string").alias("k1"),
+        F.col("bucket_offset").cast("string").alias("k2"),
+        F.col("n_users").cast("double").alias("v"))
+    return fu.unionByName(win).unionByName(pc).unionByName(rt)
+
+
+def _q_media_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize + audio resample (multimodal.resize_images /
+    resample_audio) folded into one labeled query (registry
+    consolidation — both ops identical to the round-5 standalone
+    media_resize / media_resample queries)."""
+    rz = _q_media_resize(spark, sf_dir).select(
+        "media_id", F.lit("resize").alias("op"),
+        F.col("width").alias("d1"), F.col("height").alias("d2"),
+        F.col("mean_value").alias("stat"))
+    rs = _q_media_resample(spark, sf_dir).select(
+        "media_id", F.lit("resample").alias("op"),
+        F.col("n_samples").alias("d1"), F.col("sample_rate").alias("d2"),
+        F.col("mean_abs").alias("stat"))
+    return rz.unionByName(rs)
+
+
+def _q_dup_components_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components on both fixture graphs (multi-hop pair graph
+    + the 500-hop chain that proves O(log n) pointer doubling) as one
+    labeled union (registry consolidation)."""
+    pg = _q_dup_components(spark, sf_dir).select(
+        F.lit("pairgraph").alias("graph"), "doc_id", "component")
+    ch = _q_dup_chain_components(spark, sf_dir).select(
+        F.lit("chain").alias("graph"), "doc_id", "component")
+    return pg.unionByName(ch)
+
+
+def _q_ann_topk_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (dim 64), hyperplane-LSH top-k (dim
+    1024, matmul-UDF branch), and IVF probe ranking (dim 1024) as one
+    labeled union (registry consolidation; each arm identical to its
+    round-5 standalone query)."""
+    bf = _q_ann_topk(spark, sf_dir).select(
+        F.lit("bf64").alias("mode"), "q_id", "vec_id", "rank")
+    hd = _q_ann_topk_hd(spark, sf_dir).select(
+        F.lit("lsh_hd").alias("mode"), "q_id", "vec_id", "rank")
+    iv = _q_ivf_probe_hd(spark, sf_dir).select(
+        F.lit("ivf_probe").alias("mode"), "q_id",
+        F.col("cell").cast("long").alias("vec_id"),
+        F.col("probe_rank").alias("rank"))
+    return bf.unionByName(hd).unionByName(iv)
+
+
+def _q_decontam_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (13-gram GPT-3/PaLM) + fuzzy (cross-corpus MinHash)
+    benchmark decontamination as one labeled union (registry
+    consolidation)."""
+    ex = _q_decontam(spark, sf_dir).select(
+        F.lit("exact").alias("mode"), F.col("doc_id").alias("a"),
+        F.lit(-1).cast("long").alias("b"),
+        F.col("contaminated").cast("int").cast("double").alias("score"))
+    fz = _q_decontam_fuzzy(spark, sf_dir).select(
+        F.lit("fuzzy").alias("mode"), F.col("corpus_id").alias("a"),
+        F.col("bench_id").alias("b"), F.col("jaccard").alias("score"))
+    return ex.unionByName(fz)
+
+
+def _q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixing + stratified sampling as one labeled union
+    (registry consolidation; strat rows carry frac=-1 — the stratified
+    kept-set check is membership, not fraction)."""
+    tb = _q_token_budget_sample(spark, sf_dir).select(
+        F.lit("budget").alias("mode"), "doc_id", "source", "frac")
+    ss = _q_stratified_sample(spark, sf_dir).select(
+        F.lit("strat").alias("mode"), "doc_id", "source",
+        F.lit(-1.0).alias("frac"))
+    return tb.unionByName(ss)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "match_rel": _q_match_rel,
@@ -967,18 +1078,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": _q_minhash_lsh,
         "simhash_dups": _q_simhash_dups,
         "emb_near_dups": _q_emb_near_dups,
-        "ann_topk": _q_ann_topk,
-        "ann_topk_hd": _q_ann_topk_hd,
-        "ivf_probe_hd": _q_ivf_probe_hd,
+        "ann_topk_all": _q_ann_topk_all,
         "media_meta": _q_media_meta,
         "pii_stats": _q_pii_stats,
         "emb_dedup": _q_emb_dedup,
-        "decontam": _q_decontam,
-        "decontam_fuzzy": _q_decontam_fuzzy,
-        "token_budget_sample": _q_token_budget_sample,
-        "stratified_sample": _q_stratified_sample,
-        "dup_components": _q_dup_components,
-        "dup_chain_components": _q_dup_chain_components,
+        "decontam_all": _q_decontam_all,
+        "sample_mix": _q_sample_mix,
+        "dup_components_all": _q_dup_components_all,
         "dedup_corpus": _q_dedup_corpus,
         "query_negation": _q_query_negation,
         "flattened": _q_flattened,
@@ -993,12 +1099,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_ngrams": _q_repeated_ngrams,
         "kg_conv_profile": _q_kg_conv_profile,
         "kg_segments": _q_kg_segments,
-        "media_resize": _q_media_resize,
-        "media_resample": _q_media_resample,
-        "event_funnel": _q_event_funnel,
-        "event_windows": _q_event_windows,
-        "event_percentiles": _q_event_percentiles,
-        "event_retention": _q_event_retention,
+        "media_transform": _q_media_transform,
+        "event_analytics": _q_event_analytics,
     }
 
 
@@ -2336,7 +2438,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE probe_rank < 4
         """,
     }
-    return {**kg_sql, **ops_sql, **dataops_sql, **{
+    out = {**kg_sql, **ops_sql, **dataops_sql, **{
         "match_rel": f"""
             SELECT '{B}nation/' || n_nationkey AS origin, n_name AS name
             FROM nation
@@ -2373,3 +2475,77 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
         """,
     }}
+
+    # --- round-6 registry consolidation: merged oracles are the literal
+    # UNION ALL of the round-5 standalone oracles under label columns, so
+    # each merged driver row carries the full value check of every
+    # sub-oracle it replaced (see the matching _q_* docstrings).
+    _fu = out.pop("event_funnel")
+    _wi = out.pop("event_windows")
+    _pc = out.pop("event_percentiles")
+    _re = out.pop("event_retention")
+    out["event_analytics"] = f"""
+        SELECT 'funnel' AS metric, CAST(stage_ix AS VARCHAR) AS k1,
+               stage AS k2, CAST(n_users AS DOUBLE) AS v
+        FROM ({_fu})
+        UNION ALL
+        SELECT 'win_' || kind, CAST(bucket_us AS VARCHAR), event_type, val
+        FROM (SELECT bucket_us, event_type,
+                     unnest(['events', 'users', 'value']) AS kind,
+                     unnest([CAST(n_events AS DOUBLE),
+                             CAST(n_users AS DOUBLE), value_sum]) AS val
+              FROM ({_wi}))
+        UNION ALL
+        SELECT 'pctl', event_type, unnest(['p50', 'p90', 'p99']),
+               unnest([p50, p90, p99])
+        FROM ({_pc})
+        UNION ALL
+        SELECT 'retention', CAST(cohort_us AS VARCHAR),
+               CAST(bucket_offset AS VARCHAR), CAST(n_users AS DOUBLE)
+        FROM ({_re})
+    """
+    _rz = out.pop("media_resize")
+    _rs = out.pop("media_resample")
+    out["media_transform"] = f"""
+        SELECT media_id, 'resize' AS op, width AS d1, height AS d2,
+               mean_value AS stat
+        FROM ({_rz})
+        UNION ALL
+        SELECT media_id, 'resample', n_samples, sample_rate, mean_abs
+        FROM ({_rs})
+    """
+    _dp = out.pop("dup_components")
+    _dc = out.pop("dup_chain_components")
+    out["dup_components_all"] = f"""
+        SELECT 'pairgraph' AS graph, doc_id, component FROM ({_dp})
+        UNION ALL
+        SELECT 'chain', doc_id, component FROM ({_dc})
+    """
+    _bf = out.pop("ann_topk")
+    _hd = out.pop("ann_topk_hd")
+    _iv = out.pop("ivf_probe_hd")
+    out["ann_topk_all"] = f"""
+        SELECT 'bf64' AS mode, q_id, vec_id, rank FROM ({_bf})
+        UNION ALL
+        SELECT 'lsh_hd', q_id, vec_id, rank FROM ({_hd})
+        UNION ALL
+        SELECT 'ivf_probe', q_id, CAST(cell AS BIGINT), probe_rank
+        FROM ({_iv})
+    """
+    _de = out.pop("decontam")
+    _dz = out.pop("decontam_fuzzy")
+    out["decontam_all"] = f"""
+        SELECT 'exact' AS mode, doc_id AS a, CAST(-1 AS BIGINT) AS b,
+               CAST(CAST(contaminated AS INT) AS DOUBLE) AS score
+        FROM ({_de})
+        UNION ALL
+        SELECT 'fuzzy', corpus_id, bench_id, jaccard FROM ({_dz})
+    """
+    _tb = out.pop("token_budget_sample")
+    _ss = out.pop("stratified_sample")
+    out["sample_mix"] = f"""
+        SELECT 'budget' AS mode, doc_id, source, frac FROM ({_tb})
+        UNION ALL
+        SELECT 'strat', doc_id, source, CAST(-1.0 AS DOUBLE) FROM ({_ss})
+    """
+    return out

@@ -46,7 +46,11 @@ def main() -> None:
     spark = build_spark()
     import __spark_entry__ as entrymod
 
-    queries = entrymod.queries()
+    # ann_topk was folded into the ann_topk_all registry union (round-6
+    # 50-row-artifact consolidation); the bench keeps timing the original
+    # brute-force-dim-64 workload so the headline stays comparable across
+    # rounds.
+    queries = {**entrymod.queries(), "ann_topk": entrymod._q_ann_topk}
     headline = ["kg_graph_triples", "kg_mentions", "kg_entity_stats",
                 "follow_hops", "match_rel", "minhash_lsh", "ann_topk",
                 "token_quality"]
