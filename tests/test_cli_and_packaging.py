@@ -268,6 +268,13 @@ def test_cli_decontaminate(tmp_path, spark):
     # every bench doc shares its (long) source doc's 13-grams
     assert kept.count() == docs.count() - n_bench
 
+    # exact-mode has no pair artifact: --mode pairs without --fuzzy is a
+    # usage error up front (argparse exit 2), not a mid-job traceback
+    with pytest.raises(SystemExit) as exc:
+        cli.main(["decontaminate", src, bsrc,
+                  str(tmp_path / "never"), "--mode", "pairs"])
+    assert exc.value.code == 2
+
 
 def test_cli_dedupindex_and_dedup_against(tmp_path, spark):
     """dedupindex builds the persistent LSH index; dedup --index removes

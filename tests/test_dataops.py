@@ -1159,6 +1159,50 @@ def test_dedup_index_md5_family(tmp_path, spark):
     assert got == [(10, 1, round(28 / 29, 6))]
 
 
+def test_dedup_index_append_refuses_interrupted_state(tmp_path, spark):
+    """An interrupted append leaves index tables WITHOUT a sidecar
+    (append deletes it first).  Re-running the append — the natural
+    recovery — must refuse that state: blindly appending would stack
+    the retry's rows on top of the partial attempt's and corrupt
+    n_sh/n_inter under a re-legitimized sidecar.  Sidecar-less append
+    onto an EMPTY path stays allowed (degrades to a fresh build)."""
+    import os
+    base = " ".join(f"w{i}" for i in range(30))
+    corpus = spark.createDataFrame([(1, base)], ["doc_id", "text"])
+    path = str(tmp_path / "ix")
+    dedup.write_dedup_index(corpus, path)
+    # simulate the interrupted-append state: tables present, no sidecar
+    os.remove(os.path.join(path, "_versa_lsh_index.json"))
+    with pytest.raises(ValueError, match="sidecar is missing"):
+        dedup.write_dedup_index(corpus, path, mode="append")
+    # append onto an empty path = fresh build, then matching works
+    p2 = str(tmp_path / "fresh")
+    dedup.write_dedup_index(corpus, p2, mode="append")
+    got = {(r.batch_id, r.index_id) for r in dedup.dedup_against_index(
+        spark.createDataFrame([(10, base + " x")], ["doc_id", "text"]),
+        p2, mode="pairs").collect()}
+    assert got == {(10, 1)}
+
+
+def test_dedup_index_empty_corpus_build(tmp_path, spark):
+    """A fresh build over an EMPTY corpus must not throw
+    UNABLE_TO_INFER_SCHEMA on the sizes re-read (the writer's schema is
+    pinned) — initializing an empty index then appending batches is the
+    natural ingestion bootstrap."""
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    path = str(tmp_path / "ix_empty")
+    dedup.write_dedup_index(empty, path)
+    assert dedup.read_dedup_index_meta(spark, path)["bands"] == 16
+    base = " ".join(f"w{i}" for i in range(30))
+    dedup.write_dedup_index(
+        spark.createDataFrame([(1, base)], ["doc_id", "text"]),
+        path, mode="append")
+    got = {(r.batch_id, r.index_id) for r in dedup.dedup_against_index(
+        spark.createDataFrame([(10, base + " x")], ["doc_id", "text"]),
+        path, mode="pairs").collect()}
+    assert got == {(10, 1)}
+
+
 def test_ann_index_roundtrip(tmp_path, spark, emb):
     """Persistent IVF index: querying the stored index returns the
     identical top-k as in-memory ivf_topk with the same quantizer, the

@@ -310,6 +310,13 @@ def main(argv=None) -> int:
     p_gs.add_argument("--cpus", default="4")
     args = ap.parse_args(argv)
 
+    # argparse choices can't express the cross-field constraint: exact-mode
+    # decontamination has no pair artifact, so reject up front instead of
+    # letting dedup.decontaminate raise a mid-job ValueError traceback
+    if (args.cmd == "decontaminate" and args.mode == "pairs"
+            and not args.fuzzy):
+        ap.error("--mode pairs requires --fuzzy")
+
     if args.cmd in ("dedup", "dedupindex", "annindex", "annquery",
                     "decontaminate", "sessionize", "mediameta",
                     "graphstats"):

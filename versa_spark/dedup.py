@@ -889,7 +889,24 @@ def write_dedup_index(df: DataFrame, path: str, id_col: str = "doc_id",
             "hash_family": hash_family}
     if mode == "append":
         existing = read_dedup_index_meta(spark, path)
-        if existing is not None and existing != meta:
+        if existing is None:
+            # A missing sidecar WITH index tables present is exactly the
+            # state an interrupted append leaves behind (it deletes the
+            # sidecar first).  Re-running the crashed append — the natural
+            # operator recovery — would stack the retry's rows on top of
+            # the partial attempt's in banded/ and shingles/, inflating
+            # n_sh/n_inter and producing wrong Jaccard values under a
+            # freshly re-legitimized sidecar.  Mirror write_ann_index:
+            # refuse; sidecar-less append is allowed only onto an empty
+            # path (where it degrades to a fresh build).
+            from versa_spark.storage import hadoop_path_exists
+            if hadoop_path_exists(spark, f"{path}/banded"):
+                raise ValueError(
+                    f"index tables exist at {path} but the sidecar is "
+                    "missing — likely an interrupted append; rebuild with "
+                    "mode='overwrite' (appending onto the partial attempt "
+                    "would double-count its rows)")
+        elif existing != meta:
             raise ValueError(
                 f"index at {path} was written with {existing}; appending "
                 f"with {meta} would corrupt it")
@@ -906,8 +923,11 @@ def write_dedup_index(df: DataFrame, path: str, id_col: str = "doc_id",
     sh.write.mode(mode).parquet(f"{path}/shingles")
     # sizes from the parquet JUST WRITTEN, not the lineage: re-running
     # the read->normalize->explode->hash DAG would double the most
-    # expensive stage of the build for identical output
-    sizes = (spark.read.parquet(f"{path}/shingles")
+    # expensive stage of the build for identical output.  Schema is
+    # pinned from the writer's frame: a fresh build over an EMPTY corpus
+    # writes no part files, and schema inference over those would throw
+    # UNABLE_TO_INFER_SCHEMA (the kg/job.py _run_stage discipline).
+    sizes = (spark.read.schema(sh.schema).parquet(f"{path}/shingles")
              .groupBy("doc_id").agg(F.count("*").alias("n_sh")))
     sizes.write.mode("overwrite").parquet(f"{path}/sizes")
     write_json_sidecar(spark, f"{path}/{_INDEX_META}", meta)

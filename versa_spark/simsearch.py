@@ -465,7 +465,13 @@ def ann_query_index(queries: DataFrame, path: str, k: int = 10,
     Returns (q_id, vec_id, cosine, rank) — the :func:`ivf_topk` contract;
     with identical parameters the results are identical (test-asserted),
     the difference is that the corpus assignment work happened once at
-    index time."""
+    index time.
+
+    The returned frame is eagerly checkpointed (<= |queries| x k rows)
+    and the internal probes checkpoint is released before returning, so
+    a long-lived serving session accumulates only the small results it
+    still holds — release those with cacheutil.release_checkpoint when
+    done."""
     spark = queries.sparkSession
     meta = read_ann_index_meta(spark, path)
     if meta is None:
@@ -477,18 +483,28 @@ def ann_query_index(queries: DataFrame, path: str, k: int = 10,
     probes = (probe_cells(q, cents, nprobe, "q")
               .select("q_id", F.explode("cells").alias("cell")))
     probes = probes.localCheckpoint(eager=True)
-    cells = sorted({r.cell for r in probes.select("cell")
-                    .distinct().collect()})
-    base = (spark.read.parquet(f"{path}/vectors")
-            .filter(F.col("cell").isin(cells)))
-    scored = (base.join(F.broadcast(probes), "cell")
-              .join(F.broadcast(q), "q_id")
-              .withColumn("cosine",
-                          _dot(F.col("v"), F.col("q"))
-                          / (F.col("nv") * F.col("nq"))))
-    w = Window.partitionBy("q_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("q_id", "vec_id", F.round("cosine", 6).alias("cosine"),
-                    "rank"))
+    # the probes checkpoint pins blocks for the JVM's lifetime; eagerly
+    # checkpoint the (small, <= |queries| x k rows) RESULT and release
+    # the probes in finally — the decontaminate_fuzzy discipline —
+    # so repeated queries in a long-lived serving session don't
+    # accumulate pinned probe tables
+    try:
+        cells = sorted({r.cell for r in probes.select("cell")
+                        .distinct().collect()})
+        base = (spark.read.parquet(f"{path}/vectors")
+                .filter(F.col("cell").isin(cells)))
+        scored = (base.join(F.broadcast(probes), "cell")
+                  .join(F.broadcast(q), "q_id")
+                  .withColumn("cosine",
+                              _dot(F.col("v"), F.col("q"))
+                              / (F.col("nv") * F.col("nq"))))
+        w = Window.partitionBy("q_id").orderBy(
+            F.col("cosine").desc(), F.col("vec_id"))
+        return (scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("q_id", "vec_id",
+                        F.round("cosine", 6).alias("cosine"), "rank")
+                .localCheckpoint(eager=True))
+    finally:
+        from versa_spark.cacheutil import release_checkpoint
+        release_checkpoint(probes)

@@ -243,3 +243,11 @@ def delete_sidecar(spark: SparkSession, path: str) -> None:
     fs, hpath = _hadoop_fs(spark, path)
     if fs.exists(hpath):
         fs.delete(hpath, False)
+
+
+def hadoop_path_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check through the Hadoop FileSystem API — works on any
+    filesystem a model/index path can name (hdfs://, s3a://, file:/…),
+    unlike os.path.exists which only sees the driver's local disk."""
+    fs, hpath = _hadoop_fs(spark, path)
+    return bool(fs.exists(hpath))
