@@ -940,6 +940,33 @@ def _q_kg_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.segment_conversations(tx, threshold=0.5)
 
 
+def _q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup, REMOVAL half (textops.remove_repeated_spans,
+    Lee et al. 2022): a shared footer is planted on every 4th doc and a
+    shared header on every 10th, so hot 5-gram windows span doc
+    boundaries, overlap, and merge; the oracle replays discovery,
+    interval coverage, and the token-stream rewrite in SQL (md5 of the
+    cleaned text = a full value check of the rewrite, incl. untouched
+    docs passing through byte-identical)."""
+    from versa_spark import textops
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .orderBy("doc_id").limit(300).select("doc_id", "text"))
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 10 == 0,
+                   F.lit("shared header boilerplate alpha beta gamma ")
+                   ).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.lit(" shared footer sentence repeated across many"
+                         " documents here")).otherwise(F.lit(""))
+        ).alias("text"))
+    out = textops.remove_repeated_spans(planted, n=5, min_docs=2)
+    return out.select("doc_id", F.md5("text").alias("clean_md5"),
+                      "n_tokens_removed", "n_spans")
+
+
 # ---------------------------------------------------------------------------
 # Round-6 registry consolidation: the driver's CORRECTNESS artifact records
 # at most 50 rows, so related queries are merged into labeled multi-metric
@@ -1101,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_segments": _q_kg_segments,
         "media_transform": _q_media_transform,
         "event_analytics": _q_event_analytics,
+        "substring_dedup": _q_substring_dedup,
     }
 
 
@@ -2547,5 +2575,61 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'budget' AS mode, doc_id, source, frac FROM ({_tb})
         UNION ALL
         SELECT 'strat', doc_id, source, CAST(-1.0 AS DOUBLE) FROM ({_ss})
+    """
+    # Exact-substring removal (round 6): replay discovery (hot 5-grams in
+    # >= 2 docs), interval coverage of overlapping windows, and the
+    # token-stream rewrite; untouched docs must hash byte-identical.
+    out["substring_dedup"] = """
+        WITH corpus AS (SELECT doc_id, text FROM documents
+                        ORDER BY doc_id LIMIT 300),
+        planted AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 10 = 0
+                        THEN 'shared header boilerplate alpha beta gamma '
+                        ELSE '' END
+                   || text ||
+                   CASE WHEN doc_id % 4 = 0
+                        THEN ' shared footer sentence repeated across'
+                             || ' many documents here'
+                        ELSE '' END AS text
+            FROM corpus),
+        w AS (SELECT doc_id, text,
+                     list_filter(regexp_split_to_array(
+                         regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                        'g'), ' '),
+                         x -> x <> '') AS words
+              FROM planted),
+        g AS (SELECT doc_id,
+                     unnest(range(0, greatest(len(words) - 4, 0))) AS pos,
+                     unnest([array_to_string(words[i+1:i+5], ' ')
+                             for i in range(0, greatest(len(words) - 4,
+                                                        0))]) AS gram
+              FROM w),
+        hot AS (SELECT gram FROM g GROUP BY gram
+                HAVING COUNT(DISTINCT doc_id) >= 2),
+        st AS (SELECT doc_id, list_sort(list(pos)) AS starts
+               FROM g JOIN hot USING (gram) GROUP BY doc_id)
+        SELECT w.doc_id,
+               md5(CASE WHEN st.starts IS NULL THEN w.text
+                   -- array_to_string([]) is NULL in DuckDB but Spark's
+                   -- concat_ws is '': coalesce so a fully-boilerplate
+                   -- doc hashes as the empty string in both engines
+                   ELSE coalesce(array_to_string(list_transform(
+                       list_filter(range(0, len(words)),
+                           j -> len(list_filter(st.starts,
+                                    s -> s <= j AND j < s + 5)) = 0),
+                       j -> words[j+1]), ' '), '') END) AS clean_md5,
+               CAST(CASE WHEN st.starts IS NULL THEN 0
+                    ELSE len(words) - len(list_filter(
+                        range(0, len(words)),
+                        j -> len(list_filter(st.starts,
+                                 s -> s <= j AND j < s + 5)) = 0))
+                    END AS INT) AS n_tokens_removed,
+               CAST(CASE WHEN st.starts IS NULL THEN 0
+                    ELSE len(list_filter(st.starts,
+                         s -> len(list_filter(st.starts,
+                                  s2 -> s2 < s AND s2 >= s - 5)) = 0))
+                    END AS INT) AS n_spans
+        FROM w LEFT JOIN st USING (doc_id)
     """
     return out

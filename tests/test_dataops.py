@@ -887,6 +887,68 @@ def test_repeated_ngrams_short_docs_excluded(spark):
     assert repeated_ngrams(docs, n=5, min_docs=2).count() == 0
 
 
+def test_remove_repeated_spans_trim(spark):
+    """Exact-substring removal (Lee et al. 2022, removal half):
+    overlapping hot n-gram windows merge into maximal spans; untouched
+    documents pass through byte-identical; a fully-boilerplate doc trims
+    to '' rather than disappearing."""
+    from versa_spark.textops import remove_repeated_spans
+    bp = "this license header is repeated verbatim across documents"  # 8w
+    raw3 = "Wholly  UNIQUE document three with NO boilerplate at all"
+    docs = spark.createDataFrame(
+        [(1, f"{bp} unique alpha text one"),
+         (2, f"unique beta text two {bp}"),
+         (3, raw3),
+         (4, bp),
+         (5, f"start {bp} middle words {bp} end")],
+        ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           remove_repeated_spans(docs, n=5, min_docs=2).collect()}
+    assert out[1].text == "unique alpha text one"
+    assert out[2].text == "unique beta text two"
+    # untouched rows keep the ORIGINAL text (no normalization applied)
+    assert out[3].text == raw3 and out[3].n_tokens_removed == 0
+    assert out[4].text == "" and out[4].n_tokens_removed == 8
+    # two disjoint spans: 16 tokens removed, counted as 2 spans
+    assert out[5].text == "start middle words end"
+    assert (out[5].n_tokens_removed, out[5].n_spans) == (16, 2)
+    assert {d: r.n_spans for d, r in out.items()} == {
+        1: 1, 2: 1, 3: 0, 4: 1, 5: 2}
+
+
+def test_remove_repeated_spans_drop_flag_and_modes(spark):
+    from versa_spark.textops import remove_repeated_spans
+    import pytest as _pytest
+    bp = "one two three four five six"
+    docs = spark.createDataFrame(
+        [(1, f"{bp} tail a"), (2, f"{bp} tail b"), (3, "clean doc here")],
+        ["doc_id", "text"])
+    assert {r.doc_id for r in remove_repeated_spans(
+        docs, n=5, min_docs=2, mode="drop").collect()} == {3}
+    flags = {r.doc_id: r.has_repeated_span for r in remove_repeated_spans(
+        docs, n=5, min_docs=2, mode="flag").collect()}
+    assert flags == {1: True, 2: True, 3: False}
+    with _pytest.raises(ValueError, match="trim/drop/flag"):
+        remove_repeated_spans(docs, mode="bogus")
+
+
+def test_remove_repeated_spans_precomputed_hot_and_shuffle_path(spark):
+    """A precomputed hot_grams frame (cross-batch boilerplate table)
+    skips discovery, and broadcast=False exercises the shuffle-join
+    degrade with identical results."""
+    from versa_spark.textops import remove_repeated_spans
+    docs = spark.createDataFrame(
+        [(1, "keep me aaa bbb ccc ddd eee done"),
+         (2, "totally unrelated text in this row")],
+        ["doc_id", "text"])
+    hot = spark.createDataFrame([("aaa bbb ccc ddd eee",)], ["gram"])
+    for bc in (True, False):
+        out = {r.doc_id: r.text for r in remove_repeated_spans(
+            docs, n=5, hot_grams=hot, broadcast=bc).collect()}
+        assert out[1] == "keep me done"
+        assert out[2] == "totally unrelated text in this row"
+
+
 # ---------------------------------------------------------------------------
 # multimodal resize / resample (round 4): REAL payload round trips
 # ---------------------------------------------------------------------------

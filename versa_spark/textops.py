@@ -451,6 +451,118 @@ def repeated_ngrams(df: DataFrame, n: int = 5, min_docs: int = 2,
             .filter(F.col("n_docs") >= min_docs))
 
 
+def remove_repeated_spans(df: DataFrame, n: int = 5, min_docs: int = 2,
+                          mode: str = "trim", id_col: str = "doc_id",
+                          text_col: str = "text",
+                          hot_grams: DataFrame | None = None,
+                          broadcast: bool | str = "auto",
+                          broadcast_max_rows: int = 2_000_000) -> DataFrame:
+    """Exact-substring dedup, REMOVAL half (Lee et al. 2022,
+    arXiv:2107.06499 §4 "ExactSubstr"): every word-``n``-gram window
+    occurring in >= ``min_docs`` distinct documents is boilerplate;
+    overlapping windows merge into maximal covered spans, and those
+    spans are removed from (or flag/drop) the documents.  Complements
+    whole-document MinHash dedup: boilerplate spans inside
+    otherwise-unique documents (license headers, navigation chrome,
+    template footers) ride through near-dup removal untouched.
+
+    Modes — ``'trim'``: rows pass through with ``text_col`` rewritten to
+    the surviving normalized tokens (documents with no covered token
+    pass through BYTE-IDENTICAL — no normalization applied), plus
+    ``n_tokens_removed`` / ``n_spans``; ``'drop'``: documents containing
+    any covered span are removed (rows unchanged); ``'flag'``: adds
+    boolean ``has_repeated_span`` + ``n_spans``.  A fully-boilerplate
+    document trims to an empty string rather than disappearing — filter
+    on length downstream if empties should drop.
+
+    The suffix-array recipe in the paper is a single-machine
+    construction; the Spark-first equivalent for fixed ``n`` is two
+    passes over the corpus:
+
+    1. **Discovery** — :func:`repeated_ngrams`: grams built inside
+       per-row array expressions, ONE gram-keyed aggregation with
+       map-side partials (a gram in 10^9 docs reaches its reducer as
+       one partial per map partition).  Pass a precomputed/persisted
+       ``hot_grams`` frame to skip this (e.g. a boilerplate table
+       shared across ingestion batches).
+    2. **Removal** — re-derive grams WITH positions (posexplode), join
+       to the hot-gram table (counted ``broadcast_max_rows`` guard —
+       boilerplate vocabularies are small by construction; above the
+       cap it degrades to an AQE shuffle join on gram), collect covered
+       start positions per document (only documents containing
+       boilerplate appear — the starts side is corpus-fraction-sized),
+       LEFT-join back and rebuild the text with pure JVM array
+       expressions: zero Python in the rewrite path.
+
+    The grams are recomputed rather than persisted between the two
+    passes deliberately: materializing the exploded corpus (~|words|
+    rows per doc) costs more at 100 TB than a second columnar scan.
+
+    ``n_spans`` counts maximal contiguous covered token ranges: a start
+    opens a new span iff no earlier start lies within ``n`` tokens
+    (windows are fixed-length, so touch/overlap chaining is exactly
+    that predicate — the same definition a SQL oracle can replay)."""
+    if mode not in ("trim", "drop", "flag"):
+        raise ValueError(f"mode must be trim/drop/flag, got {mode!r}")
+    if hot_grams is None:
+        hot_grams = repeated_ngrams(df, n=n, min_docs=min_docs,
+                                    id_col=id_col, text_col=text_col)
+    hot = hot_grams.select("gram")
+    if broadcast == "auto":
+        broadcast = hot.count() <= broadcast_max_rows
+    if broadcast:
+        hot = F.broadcast(hot)
+
+    norm = normalized_text(text_col)
+    words = F.filter(F.split(norm, " "), lambda x: x != "")
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(words) - n),
+                    lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+    ).otherwise(F.array().cast("array<string>"))
+    pos = (df.select(F.col(id_col).alias("_rid"),
+                     F.posexplode(grams).alias("pos", "gram")))
+    starts = (pos.join(hot, "gram")
+              .groupBy("_rid")
+              .agg(F.sort_array(F.collect_list("pos")).alias("_starts")))
+
+    if mode == "drop":
+        return df.join(starts, df[id_col] == starts["_rid"], "left_anti")
+
+    joined = (df.join(starts, df[id_col] == starts["_rid"], "left")
+              .drop("_rid"))
+    st = F.coalesce(F.col("_starts"), F.array().cast("array<int>"))
+    # new-span predicate: no earlier start within n tokens (fixed-length
+    # windows => exactly the maximal-contiguous-range count)
+    n_spans = F.size(F.filter(
+        st, lambda s: F.size(F.filter(
+            st, lambda s2: (s2 < s) & (s2 >= s - n))) == 0))
+    if mode == "flag":
+        return (joined
+                .withColumn("has_repeated_span",
+                            F.col("_starts").isNotNull())
+                .withColumn("n_spans", n_spans)
+                .drop("_starts"))
+
+    sz = F.size(words)
+    idx = F.when(sz > 0, F.sequence(F.lit(0), sz - 1)) \
+           .otherwise(F.array().cast("array<int>"))
+    kept_idx = F.filter(
+        idx, lambda j: ~F.exists(st, lambda s: (s <= j) & (j < s + n)))
+    cleaned = F.concat_ws(
+        " ", F.transform(kept_idx, lambda j: F.element_at(words, j + 1)))
+    touched = F.col("_starts").isNotNull()
+    return (joined
+            .withColumn("n_tokens_removed",
+                        F.when(touched, sz - F.size(kept_idx))
+                        .otherwise(F.lit(0)))
+            .withColumn("n_spans",
+                        F.when(touched, n_spans).otherwise(F.lit(0)))
+            .withColumn(text_col,
+                        F.when(touched, cleaned).otherwise(F.col(text_col)))
+            .drop("_starts"))
+
+
 def chunk_documents(df: DataFrame, chunk_tokens: int = 512,
                     overlap: int = 64, id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:
