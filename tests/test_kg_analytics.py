@@ -409,6 +409,90 @@ def test_retention_cohorts_exact(spark):
     assert len(out) == 4
 
 
+def _no_ckpt(monkeypatch):
+    """No-op localCheckpoint so a function's FULL plan stays inspectable
+    (funnel/retention/pagerank eagerly checkpoint their results, which
+    truncates the plan to a LogicalRDD scan — a lifecycle detail, not
+    the plan shape under test)."""
+    from pyspark.sql import DataFrame
+    monkeypatch.setattr(DataFrame, "localCheckpoint",
+                        lambda self, eager=True: self)
+    # Spark 4: the concrete class overrides the base's method
+    from pyspark.sql.classic.dataframe import DataFrame as CDataFrame
+    monkeypatch.setattr(CDataFrame, "localCheckpoint",
+                        lambda self, eager=True: self)
+
+
+_JOIN_LINE = __import__("re").compile(
+    r"(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin"
+    r"|BroadcastNestedLoopJoin|CartesianProduct)[^\n]*")
+_GLOBAL_SORT = __import__("re").compile(r"Sort \[[^\]]*\], true,")
+
+
+def _plan_stats(df):
+    """(distinct join lines, has_window, has_global_sort) of the
+    executed plan.  Partition-local sorts inside a co-partitioned
+    SortMergeJoin print `], false,` and are fine at any scale; the
+    scale-killer is a GLOBAL sort (`], true,`) or a Window over the
+    full stream."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    joins = sorted({m.strip() for m in _JOIN_LINE.findall(plan)})
+    return joins, ("Window" in plan), bool(_GLOBAL_SORT.search(plan))
+
+
+def test_funnel_plan_shape(spark, monkeypatch):
+    """funnel's docstring claim: narrow user-keyed frontier joins only
+    — never a per-user window/global sort of the full event stream.
+    Every join in the plan must be the frontier shape (equi-join on the
+    user key with the `_t >= _prev` strict-order filter); a persisted
+    frontier feeding two consumers re-prints with fresh expr ids, so
+    the line count is k(k-1)/2, not k-1."""
+    from versa_spark.events import funnel
+    _no_ckpt(monkeypatch)
+    rows = [(1, 1, "signup", _ts(0), 0.0), (2, 1, "click", _ts(5), 0.0),
+            (3, 1, "purchase", _ts(9), 0.0)]
+    joins, has_window, has_gsort = _plan_stats(funnel(_ev(spark, rows)))
+    assert not has_window and not has_gsort
+    assert len(joins) == 3      # k=3: 0+1+2 printed frontier joins
+    for j in joins:             # all joins are user-key frontier joins
+        assert "[_u#" in j and "_prev#" in j, j
+
+
+def test_retention_plan_shape(spark, monkeypatch):
+    """retention_cohorts' docstring claim: ONE user-keyed join (first
+    bucket back to activity), no window / global sort over the
+    stream."""
+    from versa_spark.events import retention_cohorts
+    _no_ckpt(monkeypatch)
+    d0 = dt.datetime(2024, 1, 1)
+    rows = [(1, 1, "view", d0, 0.0), (2, 1, "view", d0, 0.0)]
+    out = retention_cohorts(_ev(spark, rows), bucket_s=86_400)
+    joins, has_window, has_gsort = _plan_stats(out)
+    assert not has_window and not has_gsort
+    assert len(joins) == 1
+    assert "[_u#" in joins[0]
+
+
+def test_pagerank_plan_shape_per_iteration(spark, monkeypatch):
+    """pagerank's docstring claim: each iteration adds exactly one
+    edges⋈ranks join + one node-keyed rebase join — plan growth is a
+    CONSTANT number of joins per iteration (a superlinear regression
+    here is what makes 30-iteration runs unplannable), with no Window
+    or global Sort anywhere."""
+    _no_ckpt(monkeypatch)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], ["src", "dst"])
+
+    def njoins(iters):
+        joins, has_window, has_gsort = _plan_stats(
+            analytics.pagerank(edges, iterations=iters))
+        assert not has_window and not has_gsort
+        return len(joins)
+
+    n1, n2, n3 = njoins(1), njoins(2), njoins(3)
+    assert n2 - n1 == n3 - n2 <= 3      # constant per-iteration growth
+
+
 def test_cooccurrence_from_sets_matches_linked_path(spark):
     # the zero-collect_set variant must equal the mention-row path
     rows = [("c", 0, "A"), ("c", 0, "B"), ("c", 1, "A"), ("c", 1, "C"),
