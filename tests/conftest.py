@@ -50,3 +50,18 @@ RELS_1 = [
 @pytest.fixture()
 def rels1():
     return RELS_1
+
+
+@pytest.fixture()
+def no_ckpt(monkeypatch):
+    """No-op DataFrame.localCheckpoint so a function's FULL physical
+    plan stays inspectable in plan-shape tests (several operators
+    eagerly checkpoint their results, which truncates the plan to a
+    LogicalRDD scan — a block-lifecycle detail, not the plan shape
+    under test)."""
+    from pyspark.sql import DataFrame
+    from pyspark.sql.classic.dataframe import DataFrame as CDataFrame
+    monkeypatch.setattr(DataFrame, "localCheckpoint",
+                        lambda self, eager=True: self)
+    monkeypatch.setattr(CDataFrame, "localCheckpoint",
+                        lambda self, eager=True: self)

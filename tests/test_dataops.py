@@ -1265,7 +1265,7 @@ def test_dedup_index_empty_corpus_build(tmp_path, spark):
     assert got == {(10, 1)}
 
 
-def test_ann_index_roundtrip(tmp_path, spark, emb):
+def test_ann_index_roundtrip(tmp_path, spark, emb, no_ckpt):
     """Persistent IVF index: querying the stored index returns the
     identical top-k as in-memory ivf_topk with the same quantizer, the
     scan prunes to the probed cell partitions, and append extends the
@@ -1289,8 +1289,12 @@ def test_ann_index_roundtrip(tmp_path, spark, emb):
     top1 = {r.q_id: r.vec_id for r in got.collect() if r.rank == 1}
     assert all(q == v for q, v in top1.items())
 
-    # the scan must prune to the probed partitions
-    plan = got._jdf.queryExecution().executedPlan().toString()
+    # the scan must prune to the probed partitions (route pinned:
+    # 5 queries x nprobe 2 can legitimately cover >= 80% of 8 cells,
+    # where 'auto' correctly flips to the full-scan path)
+    pr = simsearch.ann_query_index(queries, path, k=3, nprobe=2,
+                                   route="pruned")
+    plan = pr._jdf.queryExecution().executedPlan().toString()
     import re as _re
     m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "cell" in m.group(1), plan
@@ -1312,6 +1316,55 @@ def test_ann_index_roundtrip(tmp_path, spark, emb):
     with pytest.raises(ValueError, match="no ANN index"):
         simsearch.write_ann_index(extra, str(tmp_path / "nope2"),
                                   mode="append")
+
+
+def test_ann_index_auto_route_by_probed_fraction(tmp_path, spark, emb,
+                                                 no_ckpt):
+    """'auto' routing: a small batch probes a small cell fraction and
+    takes the partition-pruned scan; a full-coverage batch (nprobe ==
+    n_cells) takes one plain full scan (pruning a scan that reads
+    every partition only adds multi-file overhead — the round-5 ABBA
+    laps measured ~2x).  Both routes return identical results: the
+    probes join restricts rows either way."""
+    import re as _re
+    corpus = emb.limit(120)
+    path = str(tmp_path / "ann_ix_route")
+    simsearch.write_ann_index(corpus, path, n_cells=8, refine_iters=1)
+
+    def static_pruned(df):
+        """True iff the vectors/ scan carries a STATIC literal cell
+        filter (a single probed cell folds `IN (0)` to `= 0`);
+        dynamicpruning# filters from the probes broadcast don't
+        count — they appear on both routes."""
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        filt = m.group(1) if m else ""
+        return bool(_re.search(r"cell#\d+ (?:= \d+|IN \()", filt))
+
+    q1 = (corpus.limit(1)
+          .select(F.col("vec_id").alias("q_id"),
+                  F.col("embedding").alias("q_vec")))
+    # 1 query x nprobe 1 = 1/8 cells probed -> auto prunes with a
+    # static literal cell partition filter
+    assert static_pruned(
+        simsearch.ann_query_index(q1, path, k=3, nprobe=1))
+
+    qa = (corpus.limit(5)
+          .select(F.col("vec_id").alias("q_id"),
+                  F.col("embedding").alias("q_vec")))
+    # nprobe == n_cells -> every cell probed -> auto drops the static
+    # literal filter (Catalyst may still attach a dynamicpruning#
+    # filter from the probes broadcast — harmless at full coverage)
+    full_auto = simsearch.ann_query_index(qa, path, k=3, nprobe=8)
+    assert not static_pruned(full_auto)
+    # forced routes agree with auto on values
+    forced_pruned = simsearch.ann_query_index(qa, path, k=3, nprobe=8,
+                                              route="pruned")
+    assert static_pruned(forced_pruned)
+    assert sorted(map(tuple, full_auto.collect())) == \
+        sorted(map(tuple, forced_pruned.collect()))
+    with pytest.raises(ValueError, match="route must be"):
+        simsearch.ann_query_index(q1, path, route="bogus")
 
 
 def test_sample_to_token_budget_monotone(spark):

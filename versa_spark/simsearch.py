@@ -451,7 +451,8 @@ def read_ann_index_meta(spark, path: str) -> dict | None:
 
 def ann_query_index(queries: DataFrame, path: str, k: int = 10,
                     nprobe: int = 2, q_id_col: str = "q_id",
-                    q_vec_col: str = "q_vec") -> DataFrame:
+                    q_vec_col: str = "q_vec", route: str = "auto",
+                    full_scan_fraction: float = 0.8) -> DataFrame:
     """Top-k over a stored :func:`write_ann_index`: rank the stored
     centroids per query, take each query's ``nprobe`` nearest cells, and
     exact-cosine re-rank inside them — reading ONLY the probed cells'
@@ -466,6 +467,17 @@ def ann_query_index(queries: DataFrame, path: str, k: int = 10,
     with identical parameters the results are identical (test-asserted),
     the difference is that the corpus assignment work happened once at
     index time.
+
+    ``route``: partition pruning pays off only when the batch's probes
+    cover a small fraction of the cells — ABBA-ordered laps at 1M×d64
+    showed a FULL-coverage batch reading the one-file-per-cell layout
+    ~2× slower through the pruned multi-file path than one plain scan,
+    while small serving batches win ≥4× from pruning.  ``'auto'``
+    (default) picks per batch from the stored quantizer stats: the
+    pruned scan below ``full_scan_fraction`` of cells probed, a single
+    full-table scan at/above it (the probes join still restricts rows,
+    so results are identical — route only changes the scan strategy).
+    ``'pruned'`` / ``'full'`` force either path.
 
     The returned frame is eagerly checkpointed (<= |queries| x k rows)
     and the internal probes checkpoint is released before returning, so
@@ -488,11 +500,18 @@ def ann_query_index(queries: DataFrame, path: str, k: int = 10,
     # the probes in finally — the decontaminate_fuzzy discipline —
     # so repeated queries in a long-lived serving session don't
     # accumulate pinned probe tables
+    if route not in ("auto", "pruned", "full"):
+        raise ValueError(f"route must be auto/pruned/full, got {route!r}")
     try:
         cells = sorted({r.cell for r in probes.select("cell")
                         .distinct().collect()})
-        base = (spark.read.parquet(f"{path}/vectors")
-                .filter(F.col("cell").isin(cells)))
+        pruned = (route == "pruned"
+                  or (route == "auto"
+                      and len(cells) < full_scan_fraction
+                      * meta["n_cells"]))
+        base = spark.read.parquet(f"{path}/vectors")
+        if pruned:
+            base = base.filter(F.col("cell").isin(cells))
         scored = (base.join(F.broadcast(probes), "cell")
                   .join(F.broadcast(q), "q_id")
                   .withColumn("cosine",
