@@ -887,6 +887,67 @@ def test_repeated_ngrams_short_docs_excluded(spark):
     assert repeated_ngrams(docs, n=5, min_docs=2).count() == 0
 
 
+def test_bpe_token_counts_hand_computed(spark):
+    """Exact BPE with a known merge list: 'abc' fully merges (2 merges),
+    'ab' takes the first merge, 'xyz' has no applicable merge (3
+    chars)."""
+    from versa_spark.textops import bpe_token_counts
+    df = spark.createDataFrame([(1, "abc ab xyz"), (2, None), (3, "  ")],
+                               ["doc_id", "text"])
+    merges = [("a", "b"), ("ab", "c")]
+    out = {r.doc_id: r.bpe_exact_tokens for r in
+           bpe_token_counts(df, merges).collect()}
+    assert out == {1: 1 + 1 + 3, 2: 0, 3: 0}
+
+
+def test_bpe_train_and_full_merge_parity_with_ws(spark):
+    """Trained on the fixture with enough merges, every sampled word
+    collapses to ONE token, so exact-BPE counts equal the whitespace
+    heuristic — the opt-in path and the heuristic agree exactly where
+    they should.  Also wires the exact counts into
+    sample_to_token_budget via tokens_col."""
+    from versa_spark import textops
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .orderBy("doc_id").limit(40).select("doc_id", "source", "text"))
+    merges = textops.bpe_train_merges(docs, n_merges=5000, sample_docs=40)
+    assert merges and all(isinstance(m, tuple) and len(m) == 2
+                          for m in merges)
+    # determinism: training twice gives the identical ranked list
+    assert merges == textops.bpe_train_merges(docs, n_merges=5000,
+                                              sample_docs=40)
+    got = textops.bpe_token_counts(docs, merges)
+    ws = textops.token_counts(docs)
+    a = {r.doc_id: r.bpe_exact_tokens for r in got.collect()}
+    b = {r.doc_id: r.ws_tokens for r in ws.collect()}
+    assert a == b
+    # exact budgets through the mixing operator: with full-merge counts,
+    # fractions match the ws-count fractions exactly
+    via_bpe = textops.sample_to_token_budget(
+        got, {"src0": 300.0}, default_budget=200.0,
+        tokens_col="bpe_exact_tokens", seed=7, hash_family="md5")
+    via_ws = textops.sample_to_token_budget(
+        docs, {"src0": 300.0}, default_budget=200.0, seed=7,
+        hash_family="md5")
+    assert ({(r.doc_id, round(r._frac, 9)) for r in via_bpe.collect()}
+            == {(r.doc_id, round(r._frac, 9)) for r in via_ws.collect()})
+
+
+def test_bpe_partial_merges_count_between_chars_and_words(spark):
+    """With a TRUNCATED merge list the count sits strictly between the
+    word count (full merges) and the character count (no merges) on
+    text the merges only partially cover."""
+    from versa_spark.textops import bpe_token_counts
+    txt = "banana bandana"
+    df = spark.createDataFrame([(1, txt)], ["doc_id", "text"])
+    merges = [("a", "n"), ("b", "an")]   # banana -> [ban, an, a] = 3
+    r = bpe_token_counts(df, merges).first()
+    # banana: b,a,n,a,n,a -> an merges -> b,an,an,a -> ban,an,a = 3
+    # bandana: b,a,n,d,a,n,a -> b,an,d,an,a -> ban,d,an,a = 4
+    assert r.bpe_exact_tokens == 7
+    n_words, n_chars = 2, len(txt.replace(" ", ""))
+    assert n_words < r.bpe_exact_tokens < n_chars
+
+
 def test_remove_repeated_spans_trim(spark):
     """Exact-substring removal (Lee et al. 2022, removal half):
     overlapping hot n-gram windows merge into maximal spans; untouched

@@ -451,6 +451,126 @@ def repeated_ngrams(df: DataFrame, n: int = 5, min_docs: int = 2,
             .filter(F.col("n_docs") >= min_docs))
 
 
+def bpe_train_merges(df: DataFrame, n_merges: int = 200,
+                     sample_docs: int = 2000,
+                     text_col: str = "text") -> list[tuple[str, str]]:
+    """Train a ranked BPE merge list (Sennrich et al. 2016) on a
+    deterministic corpus sample, driver-side.
+
+    Vocabulary training is a ONE-OFF per corpus — the distributed hot
+    path is counting (:func:`bpe_token_counts`), so the trainer
+    deliberately collects a bounded, hash-ordered sample (md5 of the
+    text: stable across partitionings and runs) and runs the classic
+    frequency-greedy merge loop in plain Python.  Pre-tokenization is
+    the corpus convention (lower + whitespace collapse, split on
+    space); symbols start as characters, ties break to the
+    lexicographically smallest pair so the merge list is fully
+    deterministic.  Pass the result straight to
+    :func:`bpe_token_counts`, or persist it as your tokenizer
+    artifact."""
+    import re as _re
+    from collections import Counter
+    rows = (df.select(F.md5(F.col(text_col).cast("string")).alias("_h"),
+                      F.col(text_col).alias("_t"))
+            .orderBy("_h").limit(int(sample_docs)).collect())
+    wf: Counter = Counter()
+    for r in rows:
+        t = _re.sub(r"\s+", " ", (r._t or "").strip().lower())
+        for w in t.split(" "):
+            if w:
+                wf[w] += 1
+    vocab = {w: tuple(w) for w in wf}
+    merges: list[tuple[str, str]] = []
+    for _ in range(int(n_merges)):
+        pc: Counter = Counter()
+        for w, syms in vocab.items():
+            f = wf[w]
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        if not pc:
+            break
+        best = min(pc, key=lambda p: (-pc[p], p))
+        merges.append(best)
+        a, b = best
+        nxt = {}
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i < len(syms) - 1 and syms[i] == a
+                        and syms[i + 1] == b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt[w] = tuple(out)
+        vocab = nxt
+    return merges
+
+
+def bpe_token_counts(df: DataFrame, merges: list[tuple[str, str]],
+                     text_col: str = "text",
+                     out_col: str = "bpe_exact_tokens") -> DataFrame:
+    """EXACT BPE token counts with a ranked merge list — the opt-in
+    precise counterpart of :func:`token_counts`' "BPE-ish" regex
+    heuristic, so :func:`sample_to_token_budget` (via ``tokens_col``)
+    and packing decisions can run on exact budgets.
+
+    Counting is an Arrow-batched pandas UDF: the merge ranks ship once
+    per executor in the task closure (a 50k-merge vocabulary is a few
+    MB — closure-sized; this is a static lookup table, not data), and
+    a per-batch word cache memoizes the merge loop, so the per-row
+    cost collapses to a dict lookup for every repeated word.  Zero
+    shuffles — a pure map."""
+    from pyspark.sql.types import IntegerType
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+
+    @F.pandas_udf(IntegerType())
+    def _count(texts):
+        import re as _re
+        import pandas as pd
+        cache: dict[str, int] = {}
+
+        def count_word(w: str) -> int:
+            got = cache.get(w)
+            if got is not None:
+                return got
+            syms = list(w)
+            while len(syms) > 1:
+                best_rank = best_i = None
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best_rank is None
+                                          or r < best_rank):
+                        best_rank, best_i = r, i
+                if best_rank is None:
+                    break
+                a, b = syms[best_i], syms[best_i + 1]
+                out, i = [], 0
+                while i < len(syms):
+                    if (i < len(syms) - 1 and syms[i] == a
+                            and syms[i + 1] == b):
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            cache[w] = len(syms)
+            return cache[w]
+
+        vals = []
+        for t in texts:
+            if t is None:
+                vals.append(0)
+                continue
+            t = _re.sub(r"\s+", " ", t.strip().lower())
+            vals.append(sum(count_word(w) for w in t.split(" ") if w))
+        return pd.Series(vals, dtype="int32")
+
+    return df.withColumn(out_col, _count(F.col(text_col)))
+
+
 def remove_repeated_spans(df: DataFrame, n: int = 5, min_docs: int = 2,
                           mode: str = "trim", id_col: str = "doc_id",
                           text_col: str = "text",
