@@ -58,6 +58,31 @@ def test_bigdict_parity_with_regex_path(spark, tx):
         assert big == small, f"broadcast={bc}"
 
 
+def test_bigdict_salted_shuffle_parity(spark, tx):
+    """The skew-salted shuffle join (salt=S: per-row candidate salt,
+    dictionary exploded ×S, join on (surface, salt)) emits the exact
+    row set of the broadcast plan, and the plan joins on both keys —
+    the AQE-less mitigation for hot-surface skew above the broadcast
+    cap.  Under broadcast the salt is ignored (no shuffle to skew)."""
+    turns = ordered_turns(tx)
+    lexdict = linking.canonical_dictionary(spark).select("surface")
+    ref = {(r.conv_id, r.turn_idx, r.surface)
+           for r in extract.turn_mentions_bigdict(
+               turns, lexdict, broadcast=True).collect()}
+    salted = extract.turn_mentions_bigdict(turns, lexdict,
+                                           broadcast=False, salt=4)
+    got = {(r.conv_id, r.turn_idx, r.surface)
+           for r in salted.collect()}
+    assert got == ref
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "_csalt" in plan and "_dsalt" in plan
+    # broadcast regime: salt ignored, same rows
+    got_bc = {(r.conv_id, r.turn_idx, r.surface)
+              for r in extract.turn_mentions_bigdict(
+                  turns, lexdict, broadcast=True, salt=4).collect()}
+    assert got_bc == ref
+
+
 def test_bigdict_multiword_and_padding(spark):
     """Multi-word surfaces match consecutive-token runs (max_ngram sized
     automatically from the dictionary's own max token count),

@@ -36,8 +36,19 @@ Two one-shot laps whose numbers land in BASELINE.md (round-5 judge items):
   chunking (zero-shuffle expressions) then next-fit sequence packing
   (sharded applyInPandas), with capacity and fill-rate checks.
 
+* ``substrdedup`` — exact-substring removal (round 6) at 1M docs with
+  a planted 12-word footer on every 5th doc: discovery + interval
+  rewrite, with the exact expected touched-doc and removed-token
+  counts checked.
+
+* ``bigdictskew`` — the bigdict shuffle degrade (2.1M-surface
+  dictionary, above the broadcast cap) with ONE hot surface in every
+  turn: AQE skew-join split vs explicit salt=16, ABBA-ordered,
+  min-of-pair per path, all walls disclosed.
+
 Usage: python tools/bench_volume.py
-       [dedup|bigdict|cooccur|decontam|index|annix|chunkpack|all]
+       [dedup|bigdict|cooccur|decontam|index|annix|chunkpack|
+        substrdedup|bigdictskew|all]
 Deterministic synthetic inputs (xxhash64-seeded column expressions, no
 Python in the row path, no external data).
 """
@@ -196,6 +207,25 @@ def lap_index(spark: SparkSession) -> dict:
     n_ref = dedup.decontaminate_fuzzy(batch, corpus,
                                       mode="pairs").count()
     twosided_wall = round(time.time() - t0, 3)
+
+    # append lifecycle at volume (round-6 item): the batch's non-dup
+    # survivors join the index (ids disjoint by construction), then a
+    # second batch that near-dups APPENDED docs must find them — the
+    # continuous-ingestion loop.  The append cost must be O(batch):
+    # sizes/ appends the batch's own counts instead of re-reading the
+    # whole shingles table.
+    survivors = dedup.dedup_against_index(batch, path)
+    t0 = time.time()
+    dedup.write_dedup_index(survivors, path, mode="append")
+    append_wall = round(time.time() - t0, 3)
+    n_appended = survivors.count()
+    batch2 = survivors.limit(1000).select(
+        (F.col("doc_id") + 5 * N_DOCS).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" seconddup")).alias("text"))
+    t0 = time.time()
+    n_pairs2 = dedup.dedup_against_index(batch2, path,
+                                         mode="pairs").count()
+    match2_wall = round(time.time() - t0, 3)
     shutil.rmtree(path.rsplit("/", 1)[0], ignore_errors=True)
     return {
         "n_indexed": N_DOCS,
@@ -207,6 +237,12 @@ def lap_index(spark: SparkSession) -> dict:
         "twosided_fuzzy_sec": twosided_wall,
         "twosided_docs_per_sec": round(n_batch / twosided_wall, 1),
         "twosided_pairs": n_ref,
+        "append_docs": n_appended,
+        "append_sec": append_wall,
+        "append_docs_per_sec": round(n_appended / append_wall, 1),
+        "post_append_match_pairs": n_pairs2,
+        "post_append_match_pairs_expected": 1000,
+        "post_append_match_sec": match2_wall,
     }
 
 
@@ -378,6 +414,96 @@ def lap_bigdict(spark: SparkSession) -> dict:
     }
 
 
+def lap_substrdedup(spark: SparkSession) -> dict:
+    """Exact-substring removal at volume (round-6 operator): a fixed
+    12-word footer planted on every 5th doc (hot 5-grams in N/5 docs);
+    min_docs=50 keeps the 10%-rate near-dup clone pairs (each gram in
+    exactly 2 docs) out of scope, so the expected rewrite is exact:
+    every footer doc loses exactly the 12 footer tokens as ONE span,
+    every other doc is untouched."""
+    from versa_spark import textops
+    footer = ("boilerplate footer alpha beta gamma delta epsilon zeta "
+              "eta theta iota kappa")
+    docs = synthetic_docs(spark, N_DOCS).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.col("text"), F.lit(" " + footer)))
+        .otherwise(F.col("text")).alias("text"))
+    n_footer = (N_DOCS + 4) // 5
+    t0 = time.time()
+    out = textops.remove_repeated_spans(docs, n=5, min_docs=50)
+    agg = out.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("n_tokens_removed") > 0, 1)
+              .otherwise(0)).alias("touched"),
+        F.sum("n_tokens_removed").alias("toks_removed"),
+        F.max("n_spans").alias("max_spans")).first()
+    wall = round(time.time() - t0, 3)
+    return {
+        "n_docs": N_DOCS,
+        "trim_sec": wall,
+        "docs_per_sec": round(N_DOCS / wall, 1),
+        "touched_docs": int(agg["touched"]),
+        "touched_expected": n_footer,
+        "tokens_removed": int(agg["toks_removed"]),
+        "tokens_removed_expected": n_footer * 12,
+        "max_spans": int(agg["max_spans"]),
+    }
+
+
+def lap_bigdictskew(spark: SparkSession) -> dict:
+    """Shuffle-degrade skew at volume (round-6 item): a 2.1M-surface
+    dictionary (above the 2M broadcast cap -> AQE shuffle join on the
+    normalized surface) plus ONE planted hot surface occurring in EVERY
+    turn, so the un-mitigated shuffle sends n_turns candidate rows to a
+    single reducer key.  Two mitigations on identical input, ABBA
+    order (whichever path runs second rides a warm page cache — an
+    AB,AB loop systematically flatters B): A = AQE skew-join split
+    (default), B = explicit salt=16.  min-of-pair per path discards
+    the host-noise burst; every wall is disclosed."""
+    from versa_spark.kg import extract
+    from versa_spark.kg.transcripts import synthetic_transcripts
+    n_turns = max(1, N_TURNS // 4 // 25) * 25
+    tx = synthetic_transcripts(spark, n_convs=max(1, n_turns // 25),
+                               turns_per_conv=25)
+    tx = tx.withColumn(
+        "text", F.concat_ws(" ", F.col("text"), F.lit("hotsurfterm")))
+    bd = extract.synthetic_big_dictionary(spark, n_pad=2_100_000)
+    hot = spark.createDataFrame(
+        [("hotsurfterm", "hotsurfterm",
+          "http://example.org/entity/hotsurfterm")],
+        "surface string, canonical string, entity_iri string")
+    bd = bd.unionByName(hot)
+
+    def run(saltv):
+        t0 = time.time()
+        n = extract.turn_mentions_bigdict(
+            tx, bd, max_ngram=2, broadcast=False, salt=saltv).count()
+        return round(time.time() - t0, 3), n
+
+    walls = {"aqe": [], "salted": []}
+    counts = set()
+    for saltv, key in ((None, "aqe"), (16, "salted"),
+                       (16, "salted"), (None, "aqe")):
+        w, n = run(saltv)
+        walls[key].append(w)
+        counts.add(n)
+    assert len(counts) == 1, f"salted/AQE row counts diverge: {counts}"
+    return {
+        "n_turns": n_turns,
+        "dict_surfaces": 2_100_000 + 1 + len(extract.LEXICON)
+        + len(extract.BIGDICT_PHRASES),
+        "hot_rows_per_key": n_turns,
+        "mentions": counts.pop(),
+        "aqe_walls_sec": walls["aqe"],
+        "salted_walls_sec": walls["salted"],
+        "aqe_sec": min(walls["aqe"]),
+        "salted_sec": min(walls["salted"]),
+        "aqe_turns_per_sec": round(n_turns / min(walls["aqe"]), 1),
+        "salted_turns_per_sec": round(n_turns / min(walls["salted"]), 1),
+    }
+
+
 def lap_cooccur(spark: SparkSession) -> dict:
     from versa_spark.kg import analytics, extract, linking
     from versa_spark.kg.transcripts import ordered_turns, \
@@ -433,6 +559,10 @@ def main() -> None:
         out["annix"] = lap_annix(spark)
     if which in ("chunkpack", "all"):
         out["chunkpack"] = lap_chunkpack(spark)
+    if which in ("substrdedup", "all"):
+        out["substrdedup"] = lap_substrdedup(spark)
+    if which in ("bigdictskew", "all"):
+        out["bigdictskew"] = lap_bigdictskew(spark)
     print(json.dumps(out, separators=(",", ":")))
     spark.stop()
 

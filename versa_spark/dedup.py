@@ -921,15 +921,27 @@ def write_dedup_index(df: DataFrame, path: str, id_col: str = "doc_id",
     sh = shingles(df, id_col, text_col, k).select(
         "doc_id", _index_shingle_hash(hash_family).alias("sh_h"))
     sh.write.mode(mode).parquet(f"{path}/shingles")
-    # sizes from the parquet JUST WRITTEN, not the lineage: re-running
-    # the read->normalize->explode->hash DAG would double the most
-    # expensive stage of the build for identical output.  Schema is
-    # pinned from the writer's frame: a fresh build over an EMPTY corpus
-    # writes no part files, and schema inference over those would throw
-    # UNABLE_TO_INFER_SCHEMA (the kg/job.py _run_stage discipline).
-    sizes = (spark.read.schema(sh.schema).parquet(f"{path}/shingles")
-             .groupBy("doc_id").agg(F.count("*").alias("n_sh")))
-    sizes.write.mode("overwrite").parquet(f"{path}/sizes")
+    if mode == "append":
+        # ids are disjoint from the indexed corpus (the append
+        # contract), so the batch's sizes simply append — re-deriving
+        # them from the batch lineage is O(batch); the alternative
+        # (re-read the whole shingles/ table and overwrite sizes/)
+        # costs O(corpus) per append, which defeats the index's
+        # incremental-ingestion purpose at 10^9 docs
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+        sizes.write.mode("append").parquet(f"{path}/sizes")
+    else:
+        # sizes from the parquet JUST WRITTEN, not the lineage:
+        # re-running the read->normalize->explode->hash DAG would
+        # double the most expensive stage of the build for identical
+        # output.  Schema is pinned from the writer's frame: a fresh
+        # build over an EMPTY corpus writes no part files, and schema
+        # inference over those would throw UNABLE_TO_INFER_SCHEMA (the
+        # kg/job.py _run_stage discipline).
+        sizes = (spark.read.schema(sh.schema)
+                 .parquet(f"{path}/shingles")
+                 .groupBy("doc_id").agg(F.count("*").alias("n_sh")))
+        sizes.write.mode("overwrite").parquet(f"{path}/sizes")
     write_json_sidecar(spark, f"{path}/{_INDEX_META}", meta)
 
 

@@ -229,7 +229,8 @@ def synthetic_big_dictionary(spark, n_pad: int = 20_000) -> DataFrame:
 def turn_mentions_bigdict(turns: DataFrame, dictionary: DataFrame,
                           max_ngram: int | None = None,
                           broadcast: bool | str = "auto",
-                          broadcast_max_rows: int = 2_000_000) -> DataFrame:
+                          broadcast_max_rows: int = 2_000_000,
+                          salt: int | None = None) -> DataFrame:
     """Large-dictionary mention detection: token n-grams hash-joined
     against a dictionary TABLE — the reference's own ``lookup()`` join
     discipline (other_actions.py:366-404) applied to *detection*, for
@@ -275,7 +276,20 @@ def turn_mentions_bigdict(turns: DataFrame, dictionary: DataFrame,
     the auto pass also harvests min/max normalized-surface length so
     obviously-unmatchable candidates are pruned JVM-side before they
     reach the exchange.  Hot surfaces are harmless in the broadcast
-    regime (no shuffle by surface ever happens)."""
+    regime (no shuffle by surface ever happens).
+
+    Skew in the SHUFFLE regime: the shuffle keys on the normalized
+    surface, so a dictionary surface that is also a stopword-frequency
+    token lands its entire candidate stream on one reducer.  AQE's
+    skew-join split (on by default) re-chunks such partitions at
+    runtime — the preferred mitigation, zero overhead when there is no
+    skew.  For AQE-less engines (or key-level skew beyond the splitter)
+    pass ``salt=S``: candidates take a per-row hash salt in [0, S),
+    the dictionary explodes ×S (the canonicalize salting discipline —
+    S copies of the SMALL side, never the turn stream), and the join
+    keys on (surface, salt), spreading each hot surface over S
+    reducers.  Results are salt-invariant (test-asserted); ``salt`` is
+    ignored in the broadcast regime where no shuffle exists to skew."""
     def _norm(col):
         return F.array_join(
             F.filter(F.split(col, r"[^A-Za-z0-9_]+"), lambda t: t != ""),
@@ -326,6 +340,17 @@ def turn_mentions_bigdict(turns: DataFrame, dictionary: DataFrame,
     if length_bounds is not None:
         out = out.filter(F.length("_cand").between(*length_bounds))
     payload = [c for c in dictionary.columns if c != "surface"]
+    if salt and not broadcast:
+        s = int(salt)
+        d = d.withColumn(
+            "_dsalt", F.explode(F.sequence(F.lit(0), F.lit(s - 1))))
+        out = out.withColumn(
+            "_csalt",
+            F.pmod(F.xxhash64(*[F.col(c) for c in keep],
+                              F.col("_cand")), F.lit(s)).cast("int"))
+        return (out.join(d, (out["_cand"] == d["_k"])
+                         & (out["_csalt"] == d["_dsalt"]), "inner")
+                .select(*keep, "surface", *payload))
     return (out.join(d, out["_cand"] == d["_k"], "inner")
             .select(*keep, "surface", *payload))
 
