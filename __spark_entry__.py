@@ -166,6 +166,27 @@ def _q_kg_graph_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.select("origin", "rel", "target").distinct()
 
 
+def _q_kg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental KG growth (kg.job.KGJob.append_batch): a base run over
+    ~3/4 of the conversations, then an O(batch) append of the rest into
+    <workdir>/batches/<id>/ — no base stage re-read or rewritten; the
+    combined table() view must equal a full rebuild, so the oracle is
+    EXACTLY kg_graph_triples' SQL over the whole corpus.  Every stage is
+    conversation-local and entity type/label links are anti-joined
+    against the already-committed entity set, which is what makes the
+    O(batch) delta exact."""
+    import tempfile
+
+    from versa_spark.kg.job import KGJob
+    from versa_spark.kg.transcripts import transcripts_from_documents
+    tx = transcripts_from_documents(spark, sf_dir)
+    h = F.pmod(F.xxhash64("conv_id"), F.lit(4))
+    job = KGJob(spark, tempfile.mkdtemp(prefix="vskg_incr_"), n_buckets=8)
+    job.run(tx.filter(h != 0), input_fingerprint="base")
+    job.append_batch(tx.filter(h == 0), "b001", input_fingerprint="b001")
+    return job.table("graph").select("origin", "rel", "target").distinct()
+
+
 def _q_kg_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adjacency edge list (IRI→IRI edges only, kg.canonicalize)."""
     from versa_spark.kg.graph import build_graph
@@ -1129,6 +1150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_transform": _q_media_transform,
         "event_analytics": _q_event_analytics,
         "substring_dedup": _q_substring_dedup,
+        "kg_incremental": _q_kg_incremental,
     }
 
 
@@ -2632,4 +2654,7 @@ def oracle_sql() -> dict[str, str]:
                     END AS INT) AS n_spans
         FROM w LEFT JOIN st USING (doc_id)
     """
+    # Incremental append (round 6): the combined base+batch view must
+    # equal a full rebuild, so the oracle is the full-corpus triple SQL.
+    out["kg_incremental"] = out["kg_graph_triples"]
     return out

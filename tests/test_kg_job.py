@@ -581,3 +581,123 @@ def test_turn_entity_iri_sets_parity_and_plan(spark):
                   .agg(F.collect_set("entity_iri").alias("ents"))
                   .collect()}
     assert via_sets == via_linked and len(via_sets) > 100
+
+
+# -- incremental append (KGJob.append_batch) ----------------------------
+
+def _triples(df):
+    return {(r.origin, r.rel, r.target)
+            for r in df.select("origin", "rel", "target").collect()}
+
+
+def test_append_batch_equals_full_build(spark, tmp_path):
+    """Base + two O(batch) appends must produce EXACTLY the full-rebuild
+    graph, edges, and entity_stats — including the per-distinct-entity
+    type/label links (the non-conversation-local family the batch path
+    anti-joins against the committed entity set)."""
+    tx = synthetic_transcripts(spark, n_convs=60, turns_per_conv=6)
+    h = F.pmod(F.xxhash64("conv_id"), F.lit(4))
+    job = KGJob(spark, str(tmp_path / "incr"), n_buckets=4)
+    job.run(tx.filter(h >= 2), input_fingerprint="base")
+    job.append_batch(tx.filter(h == 0), "b001", input_fingerprint="b1")
+    job.append_batch(tx.filter(h == 1), "b002", input_fingerprint="b2")
+
+    full = KGJob(spark, str(tmp_path / "full"), n_buckets=4).run(
+        tx, input_fingerprint="full")
+
+    # graph: set equality AND no duplicate rows from re-emitted
+    # entity links (count equality is the duplicate check)
+    cg, fg = job.table("graph"), full["graph"]
+    assert _triples(cg) == _triples(fg)
+    assert cg.count() == fg.count()
+    ce, fe = job.table("edges"), full["edges"]
+    assert ce.count() == fe.count()
+    # entity_stats: agg-of-aggregates must be exact (n_convs is additive
+    # only because batch conversations are disjoint)
+    want = {(r.entity_iri, r.canonical): (r.n_mentions, r.n_convs)
+            for r in full["entity_stats"].collect()}
+    got = {(r.entity_iri, r.canonical): (r.n_mentions, r.n_convs)
+           for r in job.table("entity_stats").collect()}
+    assert got == want
+
+
+def test_append_batch_retry_is_idempotent(spark, tmp_path):
+    """A crashed append re-run must not duplicate rows: batch stages
+    write mode('overwrite') into the batch's own directory and commit a
+    stage@batch manifest row, so a retry overwrites its partial files.
+    Simulated crash: manifest rows for the batch's graph/edges/stats
+    stages removed (as if the job died before committing them)."""
+    import json as _json
+    import os as _os
+    tx = synthetic_transcripts(spark, n_convs=30, turns_per_conv=5)
+    h = F.pmod(F.xxhash64("conv_id"), F.lit(3))
+    wd = str(tmp_path / "retry")
+    job = KGJob(spark, wd, n_buckets=2)
+    job.run(tx.filter(h != 0), input_fingerprint="base")
+    out = job.append_batch(tx.filter(h == 0), "b1", input_fingerprint="v1")
+    n_graph = out["graph"].count()
+    n_combined = job.table("graph").count()
+
+    mpath = _os.path.join(wd, "_manifest.jsonl")
+    kept = [ln for ln in open(mpath)
+            if _json.loads(ln)["stage"] not in
+            ("graph@b1", "edges@b1", "entity_stats@b1")]
+    with open(mpath, "w") as f:
+        f.writelines(kept)
+
+    job2 = KGJob(spark, wd, n_buckets=2)
+    out2 = job2.append_batch(tx.filter(h == 0), "b1",
+                             input_fingerprint="v1")
+    assert job2.metrics["turns@b1"].get("resumed")       # early stages skip
+    assert not job2.metrics["graph@b1"].get("resumed")   # crashed ones rerun
+    assert out2["graph"].count() == n_graph
+    assert job2.table("graph").count() == n_combined     # no duplicates
+
+
+def test_append_batch_overlap_modes(spark, tmp_path):
+    """on_existing: 'error' raises on conv_ids already in base OR an
+    earlier batch; 'skip' drops them (a fully-duplicate batch appends
+    zero rows); a retry of the SAME batch_id never self-collides."""
+    tx = synthetic_transcripts(spark, n_convs=24, turns_per_conv=4)
+    h = F.pmod(F.xxhash64("conv_id"), F.lit(3))
+    job = KGJob(spark, str(tmp_path / "ov"), n_buckets=2)
+    job.run(tx.filter(h != 0), input_fingerprint="base")
+    batch = tx.filter(h == 0)
+    job.append_batch(batch, "b1", input_fingerprint="v1")
+
+    with pytest.raises(ValueError, match="overlaps"):
+        job.append_batch(batch, "b2", input_fingerprint="v1")
+    out = job.append_batch(batch, "b3", input_fingerprint="v1",
+                           on_existing="skip")
+    assert out["graph"].count() == 0
+    # same-id retry with the default 'error' mode resumes cleanly
+    out2 = job.append_batch(batch, "b1", input_fingerprint="v1")
+    assert job.metrics["graph@b1"].get("resumed")
+    assert out2["graph"].count() > 0
+
+
+def test_append_batch_guards(spark, tmp_path):
+    """No base run → error; unsafe batch_id → error; a half-committed
+    OTHER batch blocks new appends (it would under-exclude entities)."""
+    import json as _json
+    import os as _os
+    tx = synthetic_transcripts(spark, n_convs=12, turns_per_conv=4)
+    h = F.pmod(F.xxhash64("conv_id"), F.lit(3))
+    wd = str(tmp_path / "guards")
+    job = KGJob(spark, wd, n_buckets=2)
+    with pytest.raises(ValueError, match="completed base"):
+        job.append_batch(tx, "b1")
+    job.run(tx.filter(h != 0), input_fingerprint="base")
+    with pytest.raises(ValueError, match="filesystem-safe"):
+        job.append_batch(tx.filter(h == 0), "../evil")
+    job.append_batch(tx.filter(h == 0), "b1", input_fingerprint="v1")
+    # amputate b1's entity_stats commit → a NEW batch must refuse
+    mpath = _os.path.join(wd, "_manifest.jsonl")
+    kept = [ln for ln in open(mpath)
+            if _json.loads(ln)["stage"] != "entity_stats@b1"]
+    with open(mpath, "w") as f:
+        f.writelines(kept)
+    job2 = KGJob(spark, wd, n_buckets=2)
+    with pytest.raises(ValueError, match="incomplete"):
+        job2.append_batch(tx.filter(h == 1), "b2", input_fingerprint="v1",
+                          on_existing="trust")

@@ -40,6 +40,14 @@ def kg_main(argv) -> int:
     ap.add_argument("--detect", default="lexicon",
                     choices=("lexicon", "dictionary"),
                     help="detection surface set (see kg.graph.build_graph)")
+    ap.add_argument("--append-batch", default=None, metavar="BATCH_ID",
+                    help="grow a completed workdir by this input as an "
+                         "O(batch) incremental append (KGJob.append_batch) "
+                         "instead of a base run")
+    ap.add_argument("--on-existing", default="error",
+                    choices=("error", "skip", "trust"),
+                    help="append mode: conv_ids already in the base "
+                         "raise / get dropped / aren't scanned for")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -60,10 +68,19 @@ def kg_main(argv) -> int:
                   if args.dictionary else None)
     job = KGJob(spark, args.workdir, n_buckets=args.buckets, salt=args.salt,
                 dictionary=dictionary, detect=args.detect)
-    out = job.run(tx, input_fingerprint=args.fingerprint)
+    if args.append_batch:
+        out = job.append_batch(tx, args.append_batch,
+                               input_fingerprint=args.fingerprint,
+                               on_existing=args.on_existing)
+        graph_rows = job.table("graph").count()
+        edge_rows = job.table("edges").count()
+    else:
+        out = job.run(tx, input_fingerprint=args.fingerprint)
+        graph_rows = out["graph"].count()
+        edge_rows = out["edges"].count()
     print(json.dumps({"metrics": job.metrics,
-                      "graph_rows": out["graph"].count(),
-                      "edge_rows": out["edges"].count()},
+                      "graph_rows": graph_rows,
+                      "edge_rows": edge_rows},
                      separators=(",", ":"), default=str))
     spark.stop()
     return 0

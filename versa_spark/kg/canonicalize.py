@@ -54,11 +54,22 @@ def entity_mention_counts(linked_mentions: DataFrame, salt: int = 16,
             .withColumn("n_convs", F.col("n_convs").cast("long")))
 
 
-def entity_links(linked_mentions: DataFrame) -> DataFrame:
+def entity_links(linked_mentions: DataFrame,
+                 exclude: DataFrame | None = None) -> DataFrame:
     """Canonical entity resource links: type + label per distinct entity
-    (the labelize stage of the pipeline, main.py:404-433, in bulk)."""
+    (the labelize stage of the pipeline, main.py:404-433, in bulk).
+
+    ``exclude``: optional (entity_iri) frame of entities whose links were
+    already emitted — incremental appends (KGJob.append_batch) pass the
+    base graph's entity set so an entity seen in both base and batch
+    doesn't get its type/label links twice in the combined view.  The
+    set is bounded by the linking dictionary, not the corpus, so the
+    anti-join's small side stays small at any data scale."""
     ents = (linked_mentions.select("entity_iri", "canonical")
             .dropDuplicates(["entity_iri"]))
+    if exclude is not None:
+        ents = ents.join(exclude.select("entity_iri").distinct(),
+                         "entity_iri", "left_anti")
     return _entity_type_label_links(ents)
 
 

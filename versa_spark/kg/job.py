@@ -14,6 +14,14 @@ A re-run skips stages whose manifest row is ``ok`` AND whose input
 fingerprint is unchanged — a killed job resumes mid-extraction.  The
 manifest doubles as the counter-metrics channel.
 
+Incremental growth: :meth:`KGJob.append_batch` runs the same stage graph
+over a NEW batch of conversations into ``<workdir>/batches/<batch_id>/``
+(manifest keys ``stage@batch_id``) in O(batch) — no base stage is re-read
+or rewritten — and :meth:`KGJob.table` serves the combined view (plain
+partitioned union for the link tables; exact agg-of-aggregates for
+entity_stats).  See append_batch's docstring for the disjointness
+contract and the idempotent commit protocol.
+
 Partitioning: stage outputs are written partitioned by ``pt = pmod(
 xxhash64(conv_id), n_buckets)`` so (a) downstream stages get partition
 pruning for per-conversation access, (b) resume granularity is per
@@ -121,16 +129,42 @@ class KGJob:
     def _stage_dir(self, stage: str) -> str:
         return os.path.join(self.workdir, stage)
 
+    def _batch_stage_dir(self, batch_id: str, stage: str) -> str:
+        return os.path.join(self.workdir, "batches", batch_id, stage)
+
+    def _read_committed(self, key: str) -> DataFrame:
+        """Read a committed stage (base or ``stage@batch``) with the
+        manifest-pinned schema, so legitimately EMPTY stages (no part
+        files to infer from) read back as 0 rows instead of throwing."""
+        rec = self._read_manifest().get(key)
+        if not rec or rec.get("status") != "ok":
+            raise ValueError(f"stage {key!r} has no committed manifest row")
+        if "@" in key:
+            stage, bid = key.split("@", 1)
+            path = self._batch_stage_dir(bid, stage)
+        else:
+            path = self._stage_dir(key)
+        reader = self.spark.read
+        if rec.get("schema"):
+            from pyspark.sql.types import StructType
+            reader = reader.schema(
+                StructType.fromJson(json.loads(rec["schema"])))
+        return reader.parquet(path)
+
     def _run_stage(self, stage: str, input_fingerprint: str,
-                   build) -> DataFrame:
+                   build, key: str | None = None,
+                   path: str | None = None) -> DataFrame:
         """Run or resume one stage: skip when the manifest has an ``ok``
-        row with the same input fingerprint; else (re)compute and commit."""
-        path = self._stage_dir(stage)
-        prior = self._read_manifest().get(stage)
+        row with the same input fingerprint; else (re)compute and commit.
+        ``key``/``path`` override the manifest key and output directory
+        (batch appends use ``stage@batch_id`` under batches/<id>/)."""
+        key = key or stage
+        path = path or self._stage_dir(stage)
+        prior = self._read_manifest().get(key)
         if (prior and prior.get("status") == "ok"
                 and prior.get("input_fingerprint") == input_fingerprint
                 and os.path.isdir(path)):
-            self.metrics[stage] = {**prior, "resumed": True}
+            self.metrics[key] = {**prior, "resumed": True}
             reader = self.spark.read
             if prior.get("schema"):
                 # manifest-pinned schema: lets a legitimately EMPTY
@@ -157,68 +191,234 @@ class KGJob:
         # part files, and schema inference over the bare directory would
         # throw UNABLE_TO_INFER_SCHEMA instead of yielding 0 rows
         out = self.spark.read.schema(df.schema).parquet(path)
-        rec = {"stage": stage, "status": "ok", "rows": out.count(),
+        rec = {"stage": key, "status": "ok", "rows": out.count(),
                "input_fingerprint": input_fingerprint,
                "schema": df.schema.json(),
                "wall_s": round(time.time() - t0, 3), "ts": time.time()}
         self._append_manifest(rec)
-        self.metrics[stage] = rec
+        self.metrics[key] = rec
         return out
 
     # -- the pipeline --------------------------------------------------
 
-    def run(self, transcripts_df: DataFrame,
-            input_fingerprint: str = "default") -> dict[str, DataFrame]:
-        fp = input_fingerprint
-        if self.dictionary is not None:
-            fp = f"{fp}/dict={self._dictionary_digest()}"
+    STAGES = ("turns", "turn_order", "mentions", "linked", "graph",
+              "edges", "entity_stats")
+
+    def _run_pipeline(self, transcripts_df: DataFrame, fp: str,
+                      batch_id: str | None = None) -> dict[str, DataFrame]:
+        """The stage graph, shared by ``run`` (base) and ``append_batch``
+        (batch dirs + ``stage@batch`` manifest keys).  Every stage is
+        conversation-local — ordering, detection, linking and the link
+        families never cross conv_id — so on a batch whose conv_ids are
+        disjoint from the base, the per-batch outputs are EXACTLY the
+        rows a full rebuild would add."""
+        def stage(name, build):
+            if batch_id is None:
+                return self._run_stage(name, fp, build)
+            return self._run_stage(
+                name, fp, build, key=f"{name}@{batch_id}",
+                path=self._batch_stage_dir(batch_id, name))
+
+        mkey = "mentions" if batch_id is None else f"mentions@{batch_id}"
         # turns: pure projection (turn IRI), NO window — the rank
         # exchange would shuffle + sort full rows including the fat text
         # column, and no downstream link family consumes turn_rank.  The
         # stable-ordering artifact is its own slim stage instead.
-        turns = self._run_stage(
-            "turns", fp,
+        turns = stage(
+            "turns",
             lambda: T.ordered_turns(transcripts_df, with_rank=False))
-        turn_order = self._run_stage(
-            "turn_order", fp, lambda: T.turn_order(transcripts_df))
+        turn_order = stage(
+            "turn_order", lambda: T.turn_order(transcripts_df))
         if self.detect == "dictionary":
             # one fused detect+link join; the checkpointed mentions rows
             # already carry (canonical, entity_iri), so `linked` is a
             # pure PROJECTION of the mentions checkpoint — writing it as
             # its own stage would re-shuffle and duplicate the job's
             # largest output on disk for a constant column
-            mentions = self._run_stage(
-                "mentions", fp, lambda: extract.turn_mentions_bigdict(
+            mentions = stage(
+                "mentions", lambda: extract.turn_mentions_bigdict(
                     turns, self.dictionary, **self.detect_opts))
             linked = mentions.select(
                 "conv_id", "turn_idx", "turn_iri", "surface",
                 F.lit(True).alias("linked"), "canonical", "entity_iri")
-            self.metrics["linked"] = {
+            self.metrics["linked" if batch_id is None
+                         else f"linked@{batch_id}"] = {
                 "stage": "linked", "status": "view-of-mentions",
-                "rows": self.metrics["mentions"].get("rows"),
-                "resumed": self.metrics["mentions"].get("resumed", False)}
+                "rows": self.metrics[mkey].get("rows"),
+                "resumed": self.metrics[mkey].get("resumed", False)}
         else:
-            mentions = self._run_stage(
-                "mentions", fp, lambda: extract.turn_mentions(turns))
+            mentions = stage(
+                "mentions", lambda: extract.turn_mentions(turns))
             link_dict = (self.dictionary if self.dictionary is not None
                          else linking.canonical_dictionary(self.spark))
-            linked = self._run_stage(
-                "linked", fp, lambda: linking.link_entities(
+            linked = stage(
+                "linked", lambda: linking.link_entities(
                     mentions, link_dict))
-        graph = self._run_stage(
-            "graph", fp, lambda:
+        # the one non-conversation-local link family: entity type/label
+        # links are per-distinct-entity, so a batch must not re-emit
+        # links for entities the base (or an earlier batch) already
+        # covered — anti-join against the committed entity set, read
+        # from the entity_stats AGGREGATES (bounded by the dictionary,
+        # never the corpus)
+        exclude = (self._committed_entities(batch_id)
+                   if batch_id is not None else None)
+        graph = stage(
+            "graph", lambda:
             extract.conversation_links(turns)
             .unionByName(canonicalize.mention_links(linked))
-            .unionByName(canonicalize.entity_links(linked)))
-        edges = self._run_stage(
-            "edges", fp, lambda: canonicalize.adjacency_edges(graph))
-        entity_stats = self._run_stage(
-            "entity_stats", fp, lambda:
+            .unionByName(canonicalize.entity_links(linked,
+                                                   exclude=exclude)))
+        edges = stage(
+            "edges", lambda: canonicalize.adjacency_edges(graph))
+        entity_stats = stage(
+            "entity_stats", lambda:
             canonicalize.entity_mention_counts(linked, salt=self.salt))
         return {"turns": turns, "turn_order": turn_order,
                 "mentions": mentions, "linked": linked,
                 "graph": graph, "edges": edges,
                 "entity_stats": entity_stats}
+
+    def run(self, transcripts_df: DataFrame,
+            input_fingerprint: str = "default") -> dict[str, DataFrame]:
+        fp = input_fingerprint
+        if self.dictionary is not None:
+            fp = f"{fp}/dict={self._dictionary_digest()}"
+        return self._run_pipeline(transcripts_df, fp)
+
+    # -- incremental growth -------------------------------------------
+
+    def append_batch(self, transcripts_df: DataFrame, batch_id: str,
+                     input_fingerprint: str = "default",
+                     on_existing: str = "error") -> dict[str, DataFrame]:
+        """Grow a COMPLETED base graph by a new batch of conversations in
+        O(batch) — the continuous-ingestion shape of the north rule
+        (reference context: versa's model mutation API,
+        model.py add/remove, is in-memory per-call; at 10^12 turns graph
+        growth must never re-read the corpus).
+
+        Why O(batch) is exact: every stage is conversation-local, so
+        with batch conv_ids DISJOINT from the base, per-batch outputs
+        are precisely the delta a full rebuild would add; and
+        ``entity_stats`` is additive in both n_mentions and n_convs
+        under the same disjointness, so the combined rollup
+        (:meth:`table`) aggregates the (small) per-run aggregates
+        without touching mention data.
+
+        Commit protocol (idempotent retries): each batch stage writes
+        ``mode('overwrite')`` into ``<workdir>/batches/<batch_id>/<stage>``
+        and commits a ``stage@batch_id`` manifest row — a crashed append
+        re-run overwrites its own partial files and re-commits; base
+        stages are never touched.  Re-appending an already-committed
+        batch_id with the same fingerprint resumes (no duplicate rows).
+
+        ``on_existing`` — what to do about conv_ids already in the base:
+        ``'error'`` (default) scan the slim base turn_order for overlap
+        and raise; ``'skip'`` anti-join overlapping conversations out of
+        the batch; ``'trust'`` skip the scan (the production setting
+        when upstream delivery is exactly-once — the scan is O(corpus),
+        albeit over a 2-column table).
+        """
+        import re as _re
+        if not _re.fullmatch(r"[A-Za-z0-9._-]+", batch_id):
+            raise ValueError(f"batch_id {batch_id!r} must be filesystem-"
+                             "safe ([A-Za-z0-9._-]+)")
+        if on_existing not in ("error", "skip", "trust"):
+            raise ValueError(f"unknown on_existing {on_existing!r}")
+        manifest = self._read_manifest()
+        base_stages = [s for s in self.STAGES
+                       if s != "linked" or self.detect != "dictionary"]
+        missing = [s for s in base_stages
+                   if manifest.get(s, {}).get("status") != "ok"]
+        if missing:
+            raise ValueError(
+                f"append_batch requires a completed base run; missing "
+                f"stages: {missing} (run() first)")
+        # appends are sequential: a half-committed batch would
+        # under-exclude entities for this one — retry it to completion
+        # (same batch_id + fingerprint resumes) before appending more
+        others = {k.split("@", 1)[1] for k, r in manifest.items()
+                  if "@" in k and r.get("status") == "ok"} - {batch_id}
+        for bid in sorted(others):
+            not_done = [s for s in base_stages
+                        if manifest.get(f"{s}@{bid}", {}).get("status")
+                        != "ok"]
+            if not_done:
+                raise ValueError(
+                    f"batch {bid!r} is incomplete (missing {not_done}); "
+                    "finish it before appending a new batch")
+        if on_existing != "trust":
+            # scan base + every committed batch (a conversation ingested
+            # by an EARLIER append is just as "existing" as a base one),
+            # but exclude THIS batch_id's own rows so a retry of a
+            # crashed append doesn't collide with its partial commit
+            base_convs = self._read_committed("turn_order").select("conv_id")
+            for bid in self.batch_ids("turn_order"):
+                if bid != batch_id:
+                    base_convs = base_convs.unionByName(
+                        self._read_committed(f"turn_order@{bid}")
+                        .select("conv_id"))
+            base_convs = base_convs.distinct()
+            batch_convs = transcripts_df.select("conv_id").distinct()
+            # semi from the BASE side so the small batch set broadcasts;
+            # the overlap result is bounded by the batch size
+            overlap = base_convs.join(
+                F.broadcast(batch_convs), "conv_id", "left_semi")
+            if on_existing == "error":
+                hit = overlap.limit(1).collect()
+                if hit:
+                    raise ValueError(
+                        f"batch {batch_id!r} overlaps the base graph "
+                        f"(e.g. conv_id={hit[0]['conv_id']!r}); use "
+                        "on_existing='skip' to drop them or 'trust' to "
+                        "skip the scan")
+            else:
+                transcripts_df = transcripts_df.join(
+                    overlap, "conv_id", "left_anti")
+        fp = f"batch:{input_fingerprint}"
+        if self.dictionary is not None:
+            fp = f"{fp}/dict={self._dictionary_digest()}"
+        return self._run_pipeline(transcripts_df, fp, batch_id=batch_id)
+
+    def _committed_entities(self, batch_id: str) -> DataFrame:
+        """Distinct entity_iri already covered by the base run or a
+        committed batch other than ``batch_id`` (a retry must not
+        exclude against its own partial commit)."""
+        ents = self._read_committed("entity_stats").select("entity_iri")
+        for bid in self.batch_ids("entity_stats"):
+            if bid != batch_id:
+                ents = ents.unionByName(
+                    self._read_committed(f"entity_stats@{bid}")
+                    .select("entity_iri"))
+        return ents.distinct()
+
+    def batch_ids(self, stage: str = "graph") -> list[str]:
+        """Batch ids with a committed row for ``stage``, append order."""
+        out = []
+        for key, rec in self._read_manifest().items():
+            if "@" in key and rec.get("status") == "ok":
+                s, bid = key.split("@", 1)
+                if s == stage and bid not in out:
+                    out.append(bid)
+        return out
+
+    def table(self, name: str) -> DataFrame:
+        """The combined view of stage ``name``: base run plus every
+        committed batch.  ``entity_stats`` re-aggregates the per-run
+        aggregates (exact under the disjoint-conversation contract —
+        counts AND distinct-conv counts are additive across disjoint
+        batches); every other stage is a plain union of partitioned
+        parquet, so consumers keep partition pruning on ``pt``."""
+        if name == "linked" and self.detect == "dictionary":
+            raise ValueError("linked is a view of mentions under "
+                             "detect='dictionary'; read table('mentions')")
+        df = self._read_committed(name)
+        for bid in self.batch_ids(name):
+            df = df.unionByName(self._read_committed(f"{name}@{bid}"))
+        if name == "entity_stats":
+            df = (df.groupBy("entity_iri", "canonical")
+                    .agg(F.sum("n_mentions").alias("n_mentions"),
+                         F.sum("n_convs").alias("n_convs")))
+        return df
 
 
 def run_kg_job(spark: SparkSession, transcripts_df: DataFrame,
