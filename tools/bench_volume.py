@@ -504,6 +504,85 @@ def lap_bigdictskew(spark: SparkSession) -> dict:
     }
 
 
+def lap_kgappend(spark: SparkSession) -> dict:
+    """Incremental KG growth: a 4M-turn base graph, then a 400k-turn
+    (10%) batch appended via KGJob.append_batch vs a full 4.4M-turn
+    rebuild.  The append is timed FIRST, the rebuild second, so any
+    warm-JVM advantage biases AGAINST the append claim.  Exactness is
+    asserted (combined graph row count == rebuild row count)."""
+    import shutil
+    import tempfile
+
+    from versa_spark.kg.job import KGJob
+    from versa_spark.kg.transcripts import synthetic_transcripts
+
+    n_base_convs = int(os.environ.get("VOL_KG_BASE_CONVS", 160_000))
+    n_all_convs = int(n_base_convs * 1.1)
+    tpc = int(os.environ.get("VOL_KG_TPC", 25))
+    # ONE generator at the full size, split by conv suffix: the
+    # generator assigns turns by id % n_convs, so generating base and
+    # full at different n_convs would give the same conv_id different
+    # text and void the base∪batch == full identity the lap asserts
+    all_tx = synthetic_transcripts(spark, n_convs=n_all_convs,
+                                   turns_per_conv=tpc)
+    conv_no = F.substring_index("conv_id", "-", -1).cast("int")
+    base_tx = all_tx.filter(conv_no < n_base_convs)
+    batch_tx = all_tx.filter(conv_no >= n_base_convs)
+
+    wd_incr = tempfile.mkdtemp(prefix="volkg_incr_")
+    wd_full = tempfile.mkdtemp(prefix="volkg_full_")
+    try:
+        job = KGJob(spark, wd_incr, n_buckets=64)
+        t0 = time.time()
+        job.run(base_tx, input_fingerprint="base")
+        base_s = time.time() - t0
+
+        t0 = time.time()
+        # 'trust' mirrors production exactly-once upstream delivery; the
+        # 'error' scan costs one extra pass over the slim combined
+        # turn_order, measured separately below
+        job.append_batch(batch_tx, "b001", input_fingerprint="b1",
+                         on_existing="trust")
+        append_s = time.time() - t0
+        combined_rows = job.table("graph").count()
+
+        t0 = time.time()
+        full = KGJob(spark, wd_full, n_buckets=64).run(
+            all_tx, input_fingerprint="full")
+        full_s = time.time() - t0
+        full_rows = full["graph"].count()
+
+        # the overlap scan variant (on_existing='error') on a fresh id —
+        # measures the guard's cost at this corpus size (scan of the
+        # combined 2-column turn_order)
+        t0 = time.time()
+        n_extra_convs = int(n_base_convs * 1.125)
+        extra = synthetic_transcripts(spark, n_convs=n_extra_convs,
+                                      turns_per_conv=tpc).filter(
+            F.substring_index("conv_id", "-", -1).cast("int")
+            >= n_all_convs)
+        job.append_batch(extra, "b002", input_fingerprint="b2")
+        append_scan_s = time.time() - t0
+
+        n_batch = n_all_convs * tpc - n_base_convs * tpc
+        return {"n_base_turns": n_base_convs * tpc,
+                "n_batch_turns": n_batch,
+                "base_build_sec": round(base_s, 3),
+                "append_sec": round(append_s, 3),
+                "append_turns_per_sec": round(n_batch / append_s, 1),
+                "full_rebuild_sec": round(full_s, 3),
+                "rebuild_turns_per_sec": round(
+                    n_all_convs * tpc / full_s, 1),
+                "speedup_vs_rebuild": round(full_s / append_s, 2),
+                "combined_graph_rows": combined_rows,
+                "full_graph_rows": full_rows,
+                "rows_match": combined_rows == full_rows,
+                "append_with_overlap_scan_sec": round(append_scan_s, 3)}
+    finally:
+        shutil.rmtree(wd_incr, ignore_errors=True)
+        shutil.rmtree(wd_full, ignore_errors=True)
+
+
 def lap_cooccur(spark: SparkSession) -> dict:
     from versa_spark.kg import analytics, extract, linking
     from versa_spark.kg.transcripts import ordered_turns, \
@@ -563,6 +642,8 @@ def main() -> None:
         out["substrdedup"] = lap_substrdedup(spark)
     if which in ("bigdictskew", "all"):
         out["bigdictskew"] = lap_bigdictskew(spark)
+    if which in ("kgappend", "all"):
+        out["kgappend"] = lap_kgappend(spark)
     print(json.dumps(out, separators=(",", ":")))
     spark.stop()
 
