@@ -291,3 +291,95 @@ def test_stream_dedup_ingest(spark, tmp_path):
     q2 = streaming.stream_dedup_ingest(spark, src, ix, out, ckpt)
     q2.awaitTermination(300)
     assert {r.doc_id for r in spark.read.parquet(out).collect()} == kept
+
+
+# -- streaming incremental KG growth (stream_kg_job) ---------------------
+
+@pytest.fixture()
+def conv_bundle_dir(spark, tmp_path):
+    """Transcripts as three conversation-atomic parquet FILES (each file
+    holds whole conversations, disjoint across files) so
+    maxFilesPerTrigger=1 yields one micro-batch per file."""
+    import os
+    import shutil
+    tx = synthetic_transcripts(spark, n_convs=30, turns_per_conv=8)
+    conv_no = F.substring_index("conv_id", "-", -1).cast("int")
+    d = str(tmp_path / "bundles")
+    os.makedirs(d)
+    for i, (lo, hi) in enumerate([(0, 10), (10, 20), (20, 30)]):
+        part_dir = str(tmp_path / f"_part{i}")
+        (tx.filter((conv_no >= lo) & (conv_no < hi))
+           .coalesce(1).write.mode("overwrite").parquet(part_dir))
+        part = next(f for f in os.listdir(part_dir)
+                    if f.endswith(".parquet"))
+        shutil.move(os.path.join(part_dir, part),
+                    os.path.join(d, f"bundle{i}.parquet"))
+        shutil.rmtree(part_dir)
+    return d
+
+
+def _graph_triples(df):
+    return {(r.origin, r.rel, r.target)
+            for r in df.select("origin", "rel", "target").collect()}
+
+
+def test_stream_kg_job_grows_workdir(spark, tmp_path, conv_bundle_dir):
+    """Three one-file epochs = bootstrap run() + two append_batch;
+    the combined table() must equal the batch build over all input."""
+    from versa_spark.kg.graph import build_graph
+    from versa_spark.kg.job import KGJob
+    from versa_spark.kg.transcripts import ordered_turns
+    wd = str(tmp_path / "wd")
+    ckpt = str(tmp_path / "ckpt")
+    q = streaming.stream_kg_job(spark, conv_bundle_dir, wd, ckpt,
+                                max_files_per_trigger=1)
+    q.awaitTermination(300)
+    job = KGJob(spark, wd)
+    assert sorted(job.batch_ids()) == ["epoch-1", "epoch-2"]
+    got = _graph_triples(job.table("graph"))
+    batch = build_graph(spark, ordered_turns(
+        spark.read.parquet(conv_bundle_dir)))["graph"]
+    want = _graph_triples(batch)
+    assert got == want and len(got) > 500
+    # count equality too: set equality alone would mask duplicate rows
+    assert job.table("graph").count() == len(got)
+    # stats roll up exactly across base + batches
+    es = {(r.entity_iri): r.n_mentions
+          for r in job.table("entity_stats").collect()}
+    assert sum(es.values()) > 0
+
+
+def test_stream_kg_job_restart_replays_without_duplicates(
+        spark, tmp_path, conv_bundle_dir):
+    """Crash between append_batch's commit and the streaming checkpoint:
+    the replayed epoch re-enters append_batch with the same batch_id +
+    fingerprint and must resume (not duplicate).  Also covers the
+    bootstrap replay hole (base built from epoch E, E re-delivered)."""
+    import os
+    import shutil
+    from versa_spark.kg.job import KGJob
+    wd = str(tmp_path / "wd")
+    ckpt = str(tmp_path / "ckpt")
+    q = streaming.stream_kg_job(spark, conv_bundle_dir, wd, ckpt,
+                                max_files_per_trigger=1)
+    q.awaitTermination(300)
+    job = KGJob(spark, wd)
+    n = job.table("graph").count()
+    triples = _graph_triples(job.table("graph"))
+
+    ckpt2 = str(tmp_path / "ckpt-crashed")
+    shutil.copytree(ckpt, ckpt2)
+    commits = sorted(f for f in os.listdir(os.path.join(ckpt2, "commits"))
+                     if not f.startswith("."))
+    os.remove(os.path.join(ckpt2, "commits", commits[-1]))
+    crc = os.path.join(ckpt2, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    q2 = streaming.stream_kg_job(spark, conv_bundle_dir, wd, ckpt2,
+                                 max_files_per_trigger=1)
+    q2.awaitTermination(300)
+    assert any(p["numInputRows"] > 0 for p in q2.recentProgress)
+    job2 = KGJob(spark, wd)
+    assert job2.table("graph").count() == n
+    assert _graph_triples(job2.table("graph")) == triples

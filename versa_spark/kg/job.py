@@ -325,8 +325,7 @@ class KGJob:
         if on_existing not in ("error", "skip", "trust"):
             raise ValueError(f"unknown on_existing {on_existing!r}")
         manifest = self._read_manifest()
-        base_stages = [s for s in self.STAGES
-                       if s != "linked" or self.detect != "dictionary"]
+        base_stages = self._required_stages()
         missing = [s for s in base_stages
                    if manifest.get(s, {}).get("status") != "ok"]
         if missing:
@@ -378,6 +377,18 @@ class KGJob:
         if self.dictionary is not None:
             fp = f"{fp}/dict={self._dictionary_digest()}"
         return self._run_pipeline(transcripts_df, fp, batch_id=batch_id)
+
+    def _required_stages(self) -> list[str]:
+        return [s for s in self.STAGES
+                if s != "linked" or self.detect != "dictionary"]
+
+    def base_complete(self) -> bool:
+        """True when every base stage has a committed manifest row —
+        the precondition for :meth:`append_batch` (streaming ingestion
+        uses this to route the first micro-batch to :meth:`run`)."""
+        manifest = self._read_manifest()
+        return all(manifest.get(s, {}).get("status") == "ok"
+                   for s in self._required_stages())
 
     def _committed_entities(self, batch_id: str) -> DataFrame:
         """Distinct entity_iri already covered by the base run or a

@@ -106,6 +106,72 @@ def stream_graph_query(spark: SparkSession, input_dir: str,
     return writer.start()
 
 
+def stream_kg_job(spark: SparkSession, input_dir: str, workdir: str,
+                  checkpoint_dir: str, available_now: bool = True,
+                  on_existing: str = "error", n_buckets: int = 32,
+                  dictionary: DataFrame | None = None,
+                  detect: str = "lexicon", detect_opts: dict | None = None,
+                  max_files_per_trigger: int = 16):
+    """Streaming incremental KG construction: each micro-batch of
+    transcript parquet GROWS a checkpointed KGJob workdir via
+    ``append_batch`` (batch_id = ``epoch-<id>``), so the streamed graph
+    is the same lineage-manifested, resumable, combined-``table()``
+    artifact a batch job produces — not a separate epoch-partitioned
+    sink (``stream_graph_query`` remains the stateless-sink variant).
+
+    Exactly-once: foreachBatch replays an epoch after a crash with the
+    SAME epoch_id and (file-source + checkpoint) the same rows;
+    ``append_batch`` with an unchanged batch_id + fingerprint resumes
+    committed stages and overwrites partial ones in the batch's own
+    directory, so a replay never duplicates rows.  The first epoch on
+    an empty workdir bootstraps via ``run()`` (same resume semantics).
+
+    Delivery contract: a conversation's turns must arrive WITHIN one
+    micro-batch (conversation-atomic bundles — the shape a
+    session-complete exporter produces).  A conversation split across
+    epochs violates append disjointness: ``on_existing='error'``
+    (default) surfaces the violation, ``'skip'`` drops the late
+    fragment, ``'trust'`` skips the scan (production setting when the
+    exporter guarantees the contract; the scan re-reads the slim
+    combined turn_order every epoch)."""
+    from versa_spark.kg.job import KGJob
+
+    os.makedirs(workdir, exist_ok=True)
+
+    def _process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df = batch_df.dropDuplicates(["conv_id", "turn_idx"])
+        job = KGJob(batch_df.sparkSession, workdir, n_buckets=n_buckets,
+                    dictionary=dictionary, detect=detect,
+                    detect_opts=detect_opts)
+        fp = f"epoch-{epoch_id}"
+        if job.base_complete():
+            # replay hole: a crash AFTER the bootstrap run() committed
+            # but BEFORE the streaming checkpoint re-delivers the same
+            # epoch with base_complete() now true — appending it would
+            # duplicate the base.  The base manifest records which
+            # epoch built it; a replay of that epoch is a no-op.
+            base_fp = (job._read_manifest()["turns"]
+                       .get("input_fingerprint", ""))
+            if base_fp.split("/", 1)[0] == fp:
+                return
+            job.append_batch(batch_df, f"epoch-{epoch_id}",
+                             input_fingerprint=fp,
+                             on_existing=on_existing)
+        else:
+            job.run(batch_df, input_fingerprint=fp)
+
+    stream = read_transcript_stream(
+        spark, input_dir, max_files_per_trigger=max_files_per_trigger)
+    writer = (stream.writeStream
+              .foreachBatch(_process_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 CONV_STATE_SCHEMA = "n_turns LONG, n_mentions LONG, last_turn_idx INT"
 CONV_OUT_SCHEMA = StructType([
     StructField("conv_id", StringType(), False),
