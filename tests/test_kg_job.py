@@ -701,3 +701,37 @@ def test_append_batch_guards(spark, tmp_path):
     with pytest.raises(ValueError, match="incomplete"):
         job2.append_batch(tx.filter(h == 1), "b2", input_fingerprint="v1",
                           on_existing="trust")
+
+
+def test_compact_to_preserves_tables_and_supports_appends(spark, tmp_path):
+    """compact_to rewrites base+batches into a fresh workdir whose
+    table() views equal the source's, with zero batch dirs; appends
+    keep working on the compacted job and stay exact."""
+    tx = synthetic_transcripts(spark, n_convs=45, turns_per_conv=5)
+    h = F.pmod(F.xxhash64("conv_id"), F.lit(3))
+    job = KGJob(spark, str(tmp_path / "src"), n_buckets=4)
+    job.run(tx.filter(h == 0), input_fingerprint="base")
+    job.append_batch(tx.filter(h == 1), "b1", input_fingerprint="b1")
+
+    with pytest.raises(ValueError, match="fresh workdir"):
+        job.compact_to(str(tmp_path / "src"))
+    cj = job.compact_to(str(tmp_path / "dst"))
+    with pytest.raises(ValueError, match="already holds"):
+        job.compact_to(str(tmp_path / "dst"))
+
+    assert cj.batch_ids() == []
+    assert _triples(cj.table("graph")) == _triples(job.table("graph"))
+    assert cj.table("graph").count() == job.table("graph").count()
+    want = {(r.entity_iri, r.canonical): (r.n_mentions, r.n_convs)
+            for r in job.table("entity_stats").collect()}
+    got = {(r.entity_iri, r.canonical): (r.n_mentions, r.n_convs)
+           for r in cj.table("entity_stats").collect()}
+    assert got == want
+
+    # appending the remaining third onto the COMPACTED job must equal
+    # a full rebuild over everything
+    cj.append_batch(tx.filter(h == 2), "b2", input_fingerprint="b2")
+    full = KGJob(spark, str(tmp_path / "full"), n_buckets=4).run(
+        tx, input_fingerprint="full")
+    assert _triples(cj.table("graph")) == _triples(full["graph"])
+    assert cj.table("graph").count() == full["graph"].count()

@@ -522,12 +522,23 @@ def lap_kgappend(spark: SparkSession) -> dict:
     # ONE generator at the full size, split by conv suffix: the
     # generator assigns turns by id % n_convs, so generating base and
     # full at different n_convs would give the same conv_id different
-    # text and void the base∪batch == full identity the lap asserts
-    all_tx = synthetic_transcripts(spark, n_convs=n_all_convs,
-                                   turns_per_conv=tpc)
+    # text and void the base∪batch == full identity the lap asserts.
+    # Inputs are MATERIALIZED to parquet before any timing — a stage
+    # pulling its input through the 4.4M-row generator + filter would
+    # charge the append O(corpus) generation cost per stage, which a
+    # real delivered 400k-row batch table never pays.
+    all_gen = synthetic_transcripts(spark, n_convs=n_all_convs,
+                                    turns_per_conv=tpc)
     conv_no = F.substring_index("conv_id", "-", -1).cast("int")
-    base_tx = all_tx.filter(conv_no < n_base_convs)
-    batch_tx = all_tx.filter(conv_no >= n_base_convs)
+    in_dir = tempfile.mkdtemp(prefix="volkg_in_")
+    all_gen.filter(conv_no < n_base_convs).write.parquet(
+        os.path.join(in_dir, "base"))
+    all_gen.filter(conv_no >= n_base_convs).write.parquet(
+        os.path.join(in_dir, "batch"))
+    all_gen.write.parquet(os.path.join(in_dir, "all"))
+    base_tx = spark.read.parquet(os.path.join(in_dir, "base"))
+    batch_tx = spark.read.parquet(os.path.join(in_dir, "batch"))
+    all_tx = spark.read.parquet(os.path.join(in_dir, "all"))
 
     wd_incr = tempfile.mkdtemp(prefix="volkg_incr_")
     wd_full = tempfile.mkdtemp(prefix="volkg_full_")
@@ -555,12 +566,13 @@ def lap_kgappend(spark: SparkSession) -> dict:
         # the overlap scan variant (on_existing='error') on a fresh id —
         # measures the guard's cost at this corpus size (scan of the
         # combined 2-column turn_order)
-        t0 = time.time()
         n_extra_convs = int(n_base_convs * 1.125)
-        extra = synthetic_transcripts(spark, n_convs=n_extra_convs,
-                                      turns_per_conv=tpc).filter(
-            F.substring_index("conv_id", "-", -1).cast("int")
-            >= n_all_convs)
+        synthetic_transcripts(spark, n_convs=n_extra_convs,
+                              turns_per_conv=tpc).filter(
+            conv_no >= n_all_convs).write.parquet(
+            os.path.join(in_dir, "extra"))
+        extra = spark.read.parquet(os.path.join(in_dir, "extra"))
+        t0 = time.time()
         job.append_batch(extra, "b002", input_fingerprint="b2")
         append_scan_s = time.time() - t0
 
@@ -581,6 +593,7 @@ def lap_kgappend(spark: SparkSession) -> dict:
     finally:
         shutil.rmtree(wd_incr, ignore_errors=True)
         shutil.rmtree(wd_full, ignore_errors=True)
+        shutil.rmtree(in_dir, ignore_errors=True)
 
 
 def lap_cooccur(spark: SparkSession) -> dict:

@@ -402,6 +402,39 @@ class KGJob:
                     .select("entity_iri"))
         return ents.distinct()
 
+    def compact_to(self, new_workdir: str,
+                   input_fingerprint: str = "compacted") -> "KGJob":
+        """Rewrite base + all committed batches into a FRESH workdir as
+        its base run — the Iceberg rewrite-data-files analogue that
+        bounds ``table()`` fan-in after many appends (each append adds a
+        directory per stage; a thousand epochs = a thousand-way union).
+
+        Crash-safe by construction: the source workdir is never touched,
+        so a crashed compaction is recovered by deleting the partial
+        target and re-running.  Costs one full pass over the combined
+        data (O(corpus)); run it at the cadence where union fan-in or
+        small-file count starts to matter, then point consumers (and
+        further appends) at the returned job."""
+        if os.path.abspath(new_workdir) == os.path.abspath(self.workdir):
+            raise ValueError("compact_to requires a fresh workdir "
+                             "(the source is left untouched)")
+        if (os.path.isdir(new_workdir)
+                and os.path.exists(os.path.join(new_workdir, MANIFEST))):
+            raise ValueError(f"{new_workdir!r} already holds a job "
+                             "(delete the partial/old target first)")
+        target = KGJob(self.spark, new_workdir, n_buckets=self.n_buckets,
+                       salt=self.salt,
+                       write_distribution=self.write_distribution,
+                       dictionary=self.dictionary, detect=self.detect,
+                       detect_opts=self.detect_opts)
+        for stage_name in self._required_stages():
+            df = self.table(stage_name)
+            # partition columns (pt) are re-derived by _run_stage
+            cols = [c for c in df.columns if c != "pt"]
+            target._run_stage(stage_name, input_fingerprint,
+                              lambda d=df.select(*cols): d)
+        return target
+
     def batch_ids(self, stage: str = "graph") -> list[str]:
         """Batch ids with a committed row for ``stage``, append order."""
         out = []
