@@ -259,6 +259,31 @@ window sort is absent from the triple-build plan. Regenerate with
             "persists for the call; buckets are integer epoch "
             "arithmetic (tz-free); the returned rollup is "
             "bucket-pair-sized and checkpointed.")
+
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from versa_spark.kg.job import KGJob
+    from versa_spark.kg.transcripts import transcripts_from_documents
+    tx = transcripts_from_documents(spark, sf)
+    h = F.pmod(F.xxhash64("conv_id"), F.lit(4))
+    kj = KGJob(spark, tempfile.mkdtemp(prefix="plans_kg_"), n_buckets=4)
+    kj.run(tx.filter(h != 0), input_fingerprint="base")
+    kj.append_batch(tx.filter(h == 0), "b1", input_fingerprint="b1")
+    section("incremental append — combined graph view (table())",
+            kj.table("graph"),
+            "Reading the grown graph is a plain UNION of parquet scans "
+            "(base + one directory per committed batch) — zero "
+            "recompute, and `pt` partition pruning survives the union. "
+            "The append itself scanned ONLY the batch inputs: the one "
+            "non-conversation-local family (entity type/label links) "
+            "anti-joins the batch's distinct entities against the "
+            "committed entity_stats AGGREGATE (dictionary-bounded, "
+            "broadcastable at any corpus size), so per-batch cost is "
+            "O(batch), never O(corpus).  After many appends, "
+            "compact_to bounds this union's fan-in by rewriting into "
+            "a fresh workdir.")
     out.close()
     print("PLANS.md written")
     spark.stop()

@@ -48,12 +48,30 @@ def kg_main(argv) -> int:
                     choices=("error", "skip", "trust"),
                     help="append mode: conv_ids already in the base "
                          "raise / get dropped / aren't scanned for")
+    ap.add_argument("--compact-to", default=None, metavar="NEW_WORKDIR",
+                    help="instead of running, rewrite --workdir's base + "
+                         "batches into NEW_WORKDIR (KGJob.compact_to); "
+                         "no --input needed")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
     spark = SparkSession.builder.appName("versa-spark-kg").getOrCreate()
 
     from versa_spark.kg.job import KGJob
+    if args.compact_to:
+        dictionary = (spark.read.parquet(args.dictionary)
+                      if args.dictionary else None)
+        job = KGJob(spark, args.workdir, n_buckets=args.buckets,
+                    salt=args.salt, dictionary=dictionary,
+                    detect=args.detect)
+        cj = job.compact_to(args.compact_to,
+                            input_fingerprint=args.fingerprint)
+        print(json.dumps({"metrics": cj.metrics,
+                          "graph_rows": cj.table("graph").count(),
+                          "edge_rows": cj.table("edges").count()},
+                         separators=(",", ":"), default=str))
+        spark.stop()
+        return 0
     if args.synthetic_turns:
         from versa_spark.kg.transcripts import synthetic_transcripts
         tx = synthetic_transcripts(
