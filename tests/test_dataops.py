@@ -1524,3 +1524,50 @@ def test_chunk_documents_rejects_negative_overlap(spark):
     df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
     with pytest.raises(ValueError, match=r"\[0, chunk_tokens\)"):
         textops.chunk_documents(df, chunk_tokens=10, overlap=-5)
+
+
+def test_dedup_index_compaction(tmp_path, spark):
+    """compact_dedup_index rewrites an append-grown index into a fresh
+    path with bounded file counts; query results are identical, the
+    sidecar carries over, and the guards hold (no source sidecar /
+    occupied destination)."""
+    import os
+    texts = [(i, " ".join(f"t{i}_{j}" for j in range(25)))
+             for i in range(6)]
+    src = str(tmp_path / "src_ix")
+    dedup.write_dedup_index(
+        spark.createDataFrame(texts[:2], ["doc_id", "text"]), src)
+    for lo, hi in [(2, 4), (4, 6)]:
+        dedup.write_dedup_index(
+            spark.createDataFrame(texts[lo:hi], ["doc_id", "text"]),
+            src, mode="append")
+
+    dst = str(tmp_path / "dst_ix")
+    dedup.compact_dedup_index(spark, src, dst, n_files=1)
+    assert (dedup.read_dedup_index_meta(spark, dst)
+            == dedup.read_dedup_index_meta(spark, src))
+    # bounded layout: one part file per table after three writes
+    for t in ("banded", "shingles", "sizes"):
+        parts = [f for f in os.listdir(os.path.join(dst, t))
+                 if f.endswith(".parquet")]
+        assert len(parts) == 1
+        src_parts = [f for f in os.listdir(os.path.join(src, t))
+                     if f.endswith(".parquet")]
+        assert len(src_parts) > 1          # the appends really fragmented
+
+    batch = spark.createDataFrame(
+        [(100, texts[3][1] + " extra"),    # near-dup of indexed doc 3
+         (101, " ".join(f"q{j}" for j in range(25)))],
+        ["doc_id", "text"])
+    via_src = {(r.batch_id, r.index_id) for r in
+               dedup.dedup_against_index(batch, src,
+                                         mode="pairs").collect()}
+    via_dst = {(r.batch_id, r.index_id) for r in
+               dedup.dedup_against_index(batch, dst,
+                                         mode="pairs").collect()}
+    assert via_src == via_dst == {(100, 3)}
+
+    with pytest.raises(ValueError, match="no dedup index sidecar"):
+        dedup.compact_dedup_index(spark, str(tmp_path / "nowhere"), dst)
+    with pytest.raises(ValueError, match="already holds"):
+        dedup.compact_dedup_index(spark, src, dst)

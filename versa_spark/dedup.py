@@ -955,6 +955,36 @@ def read_dedup_index_meta(spark: SparkSession | None,
     return read_json_sidecar(spark, f"{path}/{_INDEX_META}")
 
 
+def compact_dedup_index(spark: SparkSession, src: str, dst: str,
+                        n_files: int | None = None) -> None:
+    """Rewrite an append-grown LSH index into a fresh path with bounded
+    file counts — every :func:`write_dedup_index` append adds its own
+    part files to banded/shingles/sizes, and after thousands of
+    ingestion batches the per-query scan cost is dominated by file-open
+    overhead (the same small-file pathology the KG job's hash write
+    distribution prevents).
+
+    Crash-safe by construction (the compact_to discipline): ``src`` is
+    never touched, ``dst`` must not already hold an index, and the
+    sidecar is written LAST — an interrupted compaction leaves a
+    sidecar-less ``dst`` that every reader refuses; delete it and
+    re-run.  Query results are byte-identical before/after: compaction
+    changes layout, not content."""
+    meta = read_dedup_index_meta(spark, src)
+    if meta is None:
+        raise ValueError(f"no dedup index sidecar at {src}")
+    if read_dedup_index_meta(spark, dst) is not None:
+        raise ValueError(f"{dst!r} already holds an index "
+                         "(delete it first)")
+    from versa_spark.storage import write_json_sidecar
+    n = n_files or spark.sparkContext.defaultParallelism
+    for table in ("banded", "shingles", "sizes"):
+        (spark.read.parquet(f"{src}/{table}")
+         .repartition(n)
+         .write.mode("overwrite").parquet(f"{dst}/{table}"))
+    write_json_sidecar(spark, f"{dst}/{_INDEX_META}", meta)
+
+
 def dedup_against_index(batch: DataFrame, path: str,
                         id_col: str = "doc_id", text_col: str = "text",
                         threshold: float = 0.8, mode: str = "remove",
