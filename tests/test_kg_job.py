@@ -735,3 +735,48 @@ def test_compact_to_preserves_tables_and_supports_appends(spark, tmp_path):
         tx, input_fingerprint="full")
     assert _triples(cj.table("graph")) == _triples(full["graph"])
     assert cj.table("graph").count() == full["graph"].count()
+
+
+# -- unsupervised alias resolution (linking.resolve_aliases) -------------
+
+def test_resolve_aliases_clusters_variants(spark):
+    """Case/space/punct/plural variants and acronyms cluster; canonical
+    is the most frequent surface; result is partitioning-invariant."""
+    rows = ([("Spark",)] * 5 + [("spark",)] * 3 + [("sparks",)]
+            + [("United Nations",)] * 4 + [("UN",)] * 2
+            + [("united  nations",)] + [("Kafka",)] * 2 + [("query",)])
+    m = spark.createDataFrame(rows, ["surface"])
+    d = {r.surface: (r.canonical, r.cluster_size)
+         for r in linking.resolve_aliases(m).collect()}
+    assert d["Spark"] == d["spark"] == d["sparks"] == ("Spark", 3)
+    assert d["UN"] == d["United Nations"] == d["united  nations"] == (
+        "United Nations", 3)
+    assert d["Kafka"] == ("Kafka", 1) and d["query"] == ("query", 1)
+
+    # acronym linking is a flag (short-word false merges are inherent)
+    d2 = {r.surface: r.canonical
+          for r in linking.resolve_aliases(m, acronyms=False).collect()}
+    assert d2["UN"] == "UN" and d2["United Nations"] == "United Nations"
+
+    a = sorted(map(tuple, linking.resolve_aliases(m).collect()))
+    b = sorted(map(tuple,
+                   linking.resolve_aliases(m.repartition(13)).collect()))
+    assert a == b
+
+
+def test_resolve_aliases_feeds_link_entities(spark):
+    """The induced dictionary drops into link_entities: every variant
+    mention links to the same entity_iri; an unclustered surface links
+    to its own."""
+    m = spark.createDataFrame(
+        [("c1", 0, "Spark"), ("c1", 1, "spark"), ("c2", 0, "sparks"),
+         ("c2", 1, "Kafka")],
+        ["conv_id", "turn_idx", "surface"])
+    induced = linking.resolve_aliases(m).select(
+        "surface", "canonical", "entity_iri")
+    linked = linking.link_entities(m, induced)
+    ents = {(r.conv_id, r.turn_idx): r.entity_iri
+            for r in linked.collect()}
+    assert (ents[("c1", 0)] == ents[("c1", 1)] == ents[("c2", 0)]
+            != ents[("c2", 1)])
+    assert all(r.linked for r in linked.collect())

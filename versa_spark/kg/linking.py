@@ -206,6 +206,90 @@ def link_entities_scored(mentions: DataFrame, dictionary: DataFrame,
         canon_col, ent_col)
 
 
+def resolve_aliases(mentions: DataFrame, surface_col: str = "surface",
+                    acronyms: bool = True,
+                    max_iters: int = 25) -> DataFrame:
+    """Unsupervised alias resolution: induce a canonical dictionary from
+    the corpus itself by clustering mention surfaces that are variants
+    of one another — no curated gazetteer required (the reference's
+    resource-merge workflow, util.py:162-191 + pipeline lookup, done
+    corpus-wide instead of rule-by-rule).
+
+    Surfaces sharing any normalization key merge transitively:
+
+        norm     lowercase, trimmed, whitespace collapsed, punctuation
+                 stripped ("  Apache–Spark " → "apache spark")
+        stem     norm with a plural/inflection suffix dropped
+                 ("sparks" → "spark")
+        acronym  initials of multiword norms ("united nations" → "un");
+                 lives in the SAME key space as norm, so the surface
+                 "UN" (norm "un") joins the "United Nations" cluster.
+                 ``acronyms=False`` disables this key — acronym linking
+                 inherently risks short-word false merges ("in" ==
+                 acronym of "intelligent networks").
+
+    Scale shape: every aggregate runs over the DISTINCT-SURFACE
+    vocabulary (≪ corpus — the groupBy is the only pass over mention
+    rows); clustering is connected components over the bipartite
+    surface↔key graph (vocabulary-sized, O(log n) rounds via the
+    hooking + pointer-doubling kernel shared with dedup); the result is
+    a (surface, canonical, entity_iri) frame that drops into
+    :func:`link_entities` / ``build_graph(dictionary=…)`` as a
+    broadcastable dictionary.
+
+    Canonical per cluster = the most frequent surface (ties: smallest
+    normalized, then smallest raw — deterministic under any
+    partitioning).  Returns (surface, canonical, entity_iri,
+    n_mentions, cluster_size)."""
+    from versa_spark.dedup import connected_components
+
+    surf = (mentions.groupBy(F.col(surface_col).alias("surface"))
+            .agg(F.count("*").alias("n_mentions")))
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("surface")),
+                         r"[^\p{L}\p{Nd}]+", " "),
+        r"\s+", " "))
+    stem = F.regexp_replace(norm, r"(es|s)$", "")
+    acro = F.when(
+        F.size(F.split(norm, " ")) >= 2,
+        F.array_join(F.transform(F.split(norm, " "),
+                                 lambda w: F.substring(w, 1, 1)), ""))
+    keys = [norm, stem] + ([acro] if acronyms else [])
+    keyed = surf.select(
+        "surface", "n_mentions",
+        F.array_distinct(F.filter(
+            F.array(*keys),
+            lambda k: k.isNotNull() & (F.length(k) >= 2))).alias("_keys"))
+    # bipartite edges surface ↔ "k:"+key; the prefix keeps a surface
+    # that literally equals some key string from colliding with it
+    edges = keyed.select(
+        F.col("surface").alias("a"),
+        F.explode(F.transform(
+            "_keys", lambda k: F.concat(F.lit("k:"), k))).alias("b"))
+    labels = connected_components(edges, max_iters=max_iters)
+    comp = (keyed.join(labels.withColumnRenamed("doc_id", "surface"),
+                       "surface", "left")
+            # a surface with no usable key (e.g. length-1 norm) is its
+            # own singleton cluster
+            .withColumn("component",
+                        F.coalesce(F.col("component"),
+                                   F.concat(F.lit("s:"), F.col("surface")))))
+    from pyspark.sql import Window
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_mentions").desc(), F.length("surface"), F.col("surface"))
+    best = (comp.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("component", F.col("surface").alias("canonical")))
+    stats = comp.groupBy("component").agg(
+        F.count("*").alias("cluster_size"))
+    return (comp.join(best, "component").join(stats, "component")
+            .select("surface",
+                    "canonical",
+                    F.concat(F.lit(ENT), F.col("canonical"))
+                    .alias("entity_iri"),
+                    "n_mentions", "cluster_size"))
+
+
 def link_entities(mentions: DataFrame, dictionary: DataFrame,
                   broadcast: bool = True) -> DataFrame:
     """mentions (…, surface) ⋈ dictionary → adds ``entity_iri``,
