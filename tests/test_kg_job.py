@@ -780,3 +780,43 @@ def test_resolve_aliases_feeds_link_entities(spark):
     assert (ents[("c1", 0)] == ents[("c1", 1)] == ents[("c2", 0)]
             != ents[("c2", 1)])
     assert all(r.linked for r in linked.collect())
+
+
+# -- relation extraction (extract.turn_relations) -------------------------
+
+def test_turn_relations_extracts_verb_linked_pairs(spark):
+    """Adjacent-mention pairs with a connector verb between them become
+    (subj, v/rel/<verb>, obj); pairs with no verb, turns with <2
+    mentions, and canon-equal pairs emit nothing.  The extraction plan
+    is exchange-free (pure in-row expressions + one explode)."""
+    rows = [
+        ("c1", 0, "spark reads the table and feeds the stream"),
+        ("c1", 1, "the QUERY uses a hash but nothing links further"),
+        ("c2", 0, "no mentions here at all"),
+        ("c2", 1, "table near stream without any connector verb"),
+        ("c2", 2, "joins is join itself"),      # alias → same canonical
+    ]
+    tx = spark.createDataFrame(rows, ["conv_id", "turn_idx", "text"]) \
+        .withColumn("turn_iri", F.concat(F.lit("t/"), "conv_id",
+                                         F.lit("/"), F.col("turn_idx")))
+    got = {(r.conv_id, r.turn_idx, r.subj_iri.rsplit("/", 1)[-1],
+            r.verb, r.obj_iri.rsplit("/", 1)[-1])
+           for r in extract.turn_relations(tx).collect()}
+    assert got == {
+        ("c1", 0, "spark", "reads", "table"),
+        ("c1", 0, "table", "feeds", "stream"),
+        ("c1", 1, "query", "uses", "hash"),
+    }
+    plan = (extract.turn_relations(tx)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+
+    # graph-row form dedups on the narrow triple key across turns
+    tx2 = spark.createDataFrame(
+        [("c1", 0, "spark reads the table"),
+         ("c9", 7, "spark reads a table again")],
+        ["conv_id", "turn_idx", "text"]).withColumn(
+        "turn_iri", F.concat(F.lit("t/"), "conv_id"))
+    links = extract.relation_links(tx2).collect()
+    assert len(links) == 1 and links[0].rel.endswith("v/rel/reads")
+    assert links[0].t_iri

@@ -355,6 +355,101 @@ def turn_mentions_bigdict(turns: DataFrame, dictionary: DataFrame,
             .select(*keep, "surface", *payload))
 
 
+REL_VERB_PREFIX = BASE + "v/rel/"
+
+# Connector verbs for relation extraction: a closed, auditable set (the
+# Versa pipeline-rule spirit — relations you declared, not an open tagger).
+DEFAULT_RELATION_VERBS = (
+    "is", "has", "uses", "reads", "writes", "builds", "runs", "calls",
+    "feeds", "beats", "needs", "drives",
+)
+
+
+def turn_relations(turns: DataFrame,
+                   verbs: tuple[str, ...] = DEFAULT_RELATION_VERBS,
+                   ) -> DataFrame:
+    """Verb-linked entity relations inside a turn: for each ADJACENT
+    pair of detected mentions (by first occurrence, left→right), if a
+    connector verb from the closed ``verbs`` set appears in the text
+    between them, emit (subj_entity, v/rel/<verb>, obj_entity).
+
+    "spark reads the table and feeds the stream" →
+        (entity/spark, v/rel/reads, entity/table),
+        (entity/table, v/rel/feeds, entity/stream).
+
+    Spark-first shape: everything happens in per-row expressions —
+    mention positions via per-surface ``regexp_instr`` literals,
+    adjacency via one in-row ``array_sort``, the connecting window via
+    ``substring``, the verb via one ``regexp_extract`` — then ONE
+    explode.  Zero joins, zero shuffles, no Python: the relation pass
+    costs one more columnar scan of the turns table at any corpus size.
+    Only each surface's FIRST occurrence anchors a relation (repeats of
+    a surface rarely carry new adjacent-pair structure; a
+    position-complete variant would move the kernel into the batch-blob
+    pandas UDF).  Returns (conv_id, turn_idx, turn_iri, subj_iri, verb,
+    rel_iri, obj_iri)."""
+    import re as _re
+    low = F.lower(F.col("text"))
+    ments = F.array_sort(F.filter(
+        F.array(*[
+            F.struct(
+                F.regexp_instr(
+                    low, F.lit(rf"\b{_re.escape(s)}\b")).alias("pos"),
+                (F.regexp_instr(low, F.lit(rf"\b{_re.escape(s)}\b"))
+                 + F.lit(len(s))).alias("end"),
+                F.lit(LEXICON[s]).alias("canon"))
+            for s in _SURFACES]),
+        lambda m: m["pos"] > 0))
+    verb_pat = r"\b(" + "|".join(sorted(verbs, key=len, reverse=True)) \
+        + r")\b"
+    pairs = F.when(F.size(ments) >= 2, F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.size(ments) - 2),
+            lambda i: F.struct(
+                F.element_at(ments, i + 1).alias("a"),
+                F.element_at(ments, i + 2).alias("b"),
+                F.regexp_extract(
+                    F.substring(
+                        low, F.element_at(ments, i + 1)["end"],
+                        F.greatest(
+                            F.element_at(ments, i + 2)["pos"]
+                            - F.element_at(ments, i + 1)["end"],
+                            F.lit(0))),
+                    verb_pat, 1).alias("verb"))),
+        lambda p: (p["verb"] != "")
+        & (p["a"]["canon"] != p["b"]["canon"]))
+    ).otherwise(F.array().cast(
+        "array<struct<a:struct<pos:int,end:int,canon:string>,"
+        "b:struct<pos:int,end:int,canon:string>,verb:string>>"))
+    return (turns
+            .select("conv_id", "turn_idx", "turn_iri",
+                    F.explode(pairs).alias("p"))
+            .select("conv_id", "turn_idx", "turn_iri",
+                    F.concat(F.lit(ENT), F.col("p.a.canon"))
+                    .alias("subj_iri"),
+                    F.col("p.verb").alias("verb"),
+                    F.concat(F.lit(REL_VERB_PREFIX), F.col("p.verb"))
+                    .alias("rel_iri"),
+                    F.concat(F.lit(ENT), F.col("p.b.canon"))
+                    .alias("obj_iri")))
+
+
+def relation_links(turns: DataFrame,
+                   verbs: tuple[str, ...] = DEFAULT_RELATION_VERBS,
+                   ) -> DataFrame:
+    """:func:`turn_relations` as graph rows (origin, rel, target,
+    t_iri) ready to union into a ``build_graph`` output — per-pair
+    rows are deduped on the NARROW (subj, verb, obj) key (a relation
+    asserted in many turns is one triple, Versa set semantics)."""
+    rel = (turn_relations(turns, verbs=verbs)
+           .select("subj_iri", "rel_iri", "obj_iri")
+           .dropDuplicates(["subj_iri", "rel_iri", "obj_iri"]))
+    return rel.select(F.col("subj_iri").alias("origin"),
+                      F.col("rel_iri").alias("rel"),
+                      F.col("obj_iri").alias("target"),
+                      F.lit(True).alias("t_iri"))
+
+
 def conversation_links(turns: DataFrame) -> DataFrame:
     """Structural triples: conversation/turn typing + hasTurn edges with
     turn metadata attrs. Pure column expressions + explode."""
