@@ -596,6 +596,64 @@ def lap_kgappend(spark: SparkSession) -> dict:
         shutil.rmtree(in_dir, ignore_errors=True)
 
 
+def lap_kgenrich(spark: SparkSession) -> dict:
+    """Round-6 enrichment ops at volume.
+
+    * turn_relations over 4M synthetic turns — the claim is 'one more
+      columnar scan': connector words fitting the synthetic text
+      ('and' joins the two vocabulary mentions, 'with' joins the hot
+      entity to the filler vocabulary) so the pass produces real
+      relation rows, not an empty fast path.
+    * resolve_aliases over 1M mention rows drawing from a 100k-cluster
+      engineered vocabulary (base + capitalized + plural = 3 surfaces
+      per cluster) — exactness asserted: every cluster resolves to
+      exactly its 3 variants under the base canonical."""
+    from versa_spark.kg import extract, linking
+    from versa_spark.kg.transcripts import synthetic_transcripts
+
+    turns = synthetic_transcripts(spark, n_convs=160_000,
+                                  turns_per_conv=25).withColumn(
+        "turn_iri", F.concat(F.lit("t/"), "conv_id", F.lit("/"),
+                             F.col("turn_idx")))
+    t0 = time.time()
+    n_rel = extract.turn_relations(turns, verbs=("and", "with")).count()
+    rel_s = time.time() - t0
+    t0 = time.time()
+    n_ment = extract.turn_mentions(turns).count()
+    ment_s = time.time() - t0
+
+    n_clusters = 100_000
+    # id → (cluster, variant) cycling through all 300k surfaces so every
+    # variant is present (a hash draw would miss ~e^-3.3 of them and
+    # break the exact cluster-size assertion)
+    base = F.concat(F.lit("ent"), F.pmod(F.col("id"), F.lit(n_clusters)))
+    variant = F.pmod((F.col("id") / n_clusters).cast("long"), F.lit(3))
+    surface = (F.when(variant == 0, base)
+               .when(variant == 1, F.upper(base))
+               .otherwise(F.concat(base, F.lit("s"))))
+    mentions = spark.range(1_000_000).select(surface.alias("surface"))
+    t0 = time.time()
+    d = linking.resolve_aliases(mentions).persist()
+    n_surfaces = d.count()
+    alias_s = time.time() - t0
+    n_canon = d.select("canonical").distinct().count()
+    bad = d.filter(F.col("cluster_size") != 3).count()
+    d.unpersist()
+    return {"n_turns": 4_000_000,
+            "relations_sec": round(rel_s, 3),
+            "n_relations": n_rel,
+            "turns_per_sec_relations": round(4_000_000 / rel_s, 1),
+            "mentions_sec_same_scan": round(ment_s, 3),
+            "n_mention_rows": n_ment,
+            "alias_mentions": 1_000_000,
+            "alias_surfaces": n_surfaces,
+            "alias_clusters": n_canon,
+            "alias_clusters_expected": n_clusters,
+            "alias_wrong_size_clusters": bad,
+            "alias_resolve_sec": round(alias_s, 3),
+            "alias_mentions_per_sec": round(1_000_000 / alias_s, 1)}
+
+
 def lap_cooccur(spark: SparkSession) -> dict:
     from versa_spark.kg import analytics, extract, linking
     from versa_spark.kg.transcripts import ordered_turns, \
@@ -657,6 +715,8 @@ def main() -> None:
         out["bigdictskew"] = lap_bigdictskew(spark)
     if which in ("kgappend", "all"):
         out["kgappend"] = lap_kgappend(spark)
+    if which in ("kgenrich", "all"):
+        out["kgenrich"] = lap_kgenrich(spark)
     print(json.dumps(out, separators=(",", ":")))
     spark.stop()
 
