@@ -820,3 +820,48 @@ def test_turn_relations_extracts_verb_linked_pairs(spark):
     links = extract.relation_links(tx2).collect()
     assert len(links) == 1 and links[0].rel.endswith("v/rel/reads")
     assert links[0].t_iri
+
+
+def test_relations_in_graph_and_job_append(spark, tmp_path):
+    """relations=(…): verb triples land in build_graph's graph/edges;
+    in KGJob they are a delta-ed stage, so a relation asserted in both
+    base and batch conversations appears ONCE in the combined view and
+    the whole graph equals a full rebuild."""
+    from versa_spark.kg.graph import build_graph
+    rows = []
+    for c in range(12):
+        rows.append((f"conv-{c}", 0, "user",
+                     "spark reads the table here", None, None))
+        rows.append((f"conv-{c}", 1, "assistant",
+                     "the query uses a hash today", None, None))
+    tx = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string,"
+              " tool string, ts timestamp")
+    turns = ordered_turns(tx, with_rank=False)
+
+    g = build_graph(spark, turns, relations=("reads", "uses"))
+    rel = {(r.origin.rsplit("/", 1)[-1], r.rel.rsplit("/", 1)[-1],
+            r.target.rsplit("/", 1)[-1])
+           for r in g["graph"].filter(
+               F.col("rel").contains("v/rel/")).collect()}
+    assert rel == {("spark", "reads", "table"), ("query", "uses", "hash")}
+    assert g["edges"].filter(F.col("rel").contains("v/rel/")).count() == 2
+
+    h = F.pmod(F.xxhash64("conv_id"), F.lit(2))
+    job = KGJob(spark, str(tmp_path / "incr"), n_buckets=2,
+                relations=("reads", "uses"))
+    job.run(tx.filter(h == 0), input_fingerprint="base")
+    job.append_batch(tx.filter(h == 1), "b1", input_fingerprint="b1")
+    full = KGJob(spark, str(tmp_path / "full"), n_buckets=2,
+                 relations=("reads", "uses")).run(tx, input_fingerprint="f")
+    assert _triples(job.table("graph")) == _triples(full["graph"])
+    assert job.table("graph").count() == full["graph"].count()
+    # every relation was already asserted by base conversations → the
+    # batch's delta-ed relations stage is empty
+    assert job._read_committed("relations@b1").count() == 0
+    # changing the connector set changes the effective fingerprint →
+    # a "resume" recomputes instead of serving stale stages
+    job2 = KGJob(spark, str(tmp_path / "incr"), n_buckets=2,
+                 relations=("reads",))
+    job2.run(tx.filter(h == 0), input_fingerprint="base")
+    assert not any(m.get("resumed") for m in job2.metrics.values())

@@ -48,6 +48,11 @@ def kg_main(argv) -> int:
                     choices=("error", "skip", "trust"),
                     help="append mode: conv_ids already in the base "
                          "raise / get dropped / aren't scanned for")
+    ap.add_argument("--relations", default=None, metavar="VERB[,VERB…]",
+                    help="also extract verb-linked relation triples with "
+                         "this closed connector set (kg.extract."
+                         "turn_relations); folded into the stage "
+                         "fingerprint")
     ap.add_argument("--compact-to", default=None, metavar="NEW_WORKDIR",
                     help="instead of running, rewrite --workdir's base + "
                          "batches into NEW_WORKDIR (KGJob.compact_to); "
@@ -58,12 +63,14 @@ def kg_main(argv) -> int:
     spark = SparkSession.builder.appName("versa-spark-kg").getOrCreate()
 
     from versa_spark.kg.job import KGJob
+    rels = (tuple(v for v in args.relations.split(",") if v)
+            if args.relations else None)
     if args.compact_to:
         dictionary = (spark.read.parquet(args.dictionary)
                       if args.dictionary else None)
         job = KGJob(spark, args.workdir, n_buckets=args.buckets,
                     salt=args.salt, dictionary=dictionary,
-                    detect=args.detect)
+                    detect=args.detect, relations=rels)
         cj = job.compact_to(args.compact_to,
                             input_fingerprint=args.fingerprint)
         print(json.dumps({"metrics": cj.metrics,
@@ -85,7 +92,7 @@ def kg_main(argv) -> int:
     dictionary = (spark.read.parquet(args.dictionary)
                   if args.dictionary else None)
     job = KGJob(spark, args.workdir, n_buckets=args.buckets, salt=args.salt,
-                dictionary=dictionary, detect=args.detect)
+                dictionary=dictionary, detect=args.detect, relations=rels)
     if args.append_batch:
         out = job.append_batch(tx, args.append_batch,
                                input_fingerprint=args.fingerprint,

@@ -34,7 +34,9 @@ def build_graph(spark: SparkSession, turns: DataFrame,
                 persist: bool = True,
                 dictionary: DataFrame | None = None,
                 detect: str = "lexicon",
-                detect_opts: dict | None = None) -> dict[str, DataFrame]:
+                detect_opts: dict | None = None,
+                relations: tuple[str, ...] | None = None,
+                ) -> dict[str, DataFrame]:
     """ordered turns → {turns, linked, graph, edges} DataFrames.
 
     ``turns`` may or may not carry ``turn_rank``; no link family consumes
@@ -69,13 +71,15 @@ def build_graph(spark: SparkSession, turns: DataFrame,
     if detect == "dictionary":
         if dictionary is None:
             raise ValueError("detect='dictionary' requires a dictionary")
-        return _build_graph_bigdict(spark, turns, persist, dictionary,
-                                    detect_opts or {})
+        parts = _build_graph_bigdict(spark, turns, persist, dictionary,
+                                     detect_opts or {})
+        return _with_relations(parts, turns, relations)
     if detect != "lexicon":
         raise ValueError(f"unknown detect {detect!r} "
                          "(use 'lexicon' or 'dictionary')")
     if dictionary is not None:
-        return _build_graph_generic(spark, turns, persist, dictionary)
+        parts = _build_graph_generic(spark, turns, persist, dictionary)
+        return _with_relations(parts, turns, relations)
     te = extract.turn_entity_ids(turns.drop("turn_rank"))
     if persist:
         te = te.persist()
@@ -94,7 +98,26 @@ def build_graph(spark: SparkSession, turns: DataFrame,
                       .alias("canonical"),
                       F.element_at(iri_arr, F.col("_e").cast("int") + 1)
                       .alias("entity_iri")))
-    return {"turns": te, "linked": linked, "graph": graph,
+    parts = {"turns": te, "linked": linked, "graph": graph,
+             "edges": canonicalize.adjacency_edges(graph)}
+    return _with_relations(parts, turns, relations)
+
+
+def _with_relations(parts: dict[str, DataFrame], turns: DataFrame,
+                    relations: tuple[str, ...] | None,
+                    ) -> dict[str, DataFrame]:
+    """Opt-in verb-linked relation triples (extract.relation_links)
+    unioned into the graph/edges outputs.  Costs one more columnar scan
+    of the turns table (the extraction is in-row + one explode, no
+    shuffle beyond the narrow triple dedup); the connector surfaces are
+    always the built-in LEXICON regardless of the detect path —
+    relations between dictionary-only entities would need the
+    position-complete bigdict kernel, deliberately out of scope."""
+    if not relations:
+        return parts
+    rl = extract.relation_links(turns, verbs=tuple(relations))
+    graph = parts["graph"].unionByName(rl)
+    return {**parts, "graph": graph,
             "edges": canonicalize.adjacency_edges(graph)}
 
 

@@ -66,7 +66,8 @@ class KGJob:
                  write_distribution: str = "auto",
                  dictionary: DataFrame | None = None,
                  detect: str = "lexicon",
-                 detect_opts: dict | None = None):
+                 detect_opts: dict | None = None,
+                 relations: tuple[str, ...] | None = None):
         if detect not in ("lexicon", "dictionary"):
             raise ValueError(f"unknown detect {detect!r} "
                              "(use 'lexicon' or 'dictionary')")
@@ -90,6 +91,14 @@ class KGJob:
         self.dictionary = dictionary
         self.detect = detect
         self.detect_opts = dict(detect_opts or {})
+        # opt-in verb-linked relation triples (extract.relation_links):
+        # persisted as their own slim stage (each run's stage holds only
+        # triples NOT already committed — the entity-links delta
+        # discipline — so combined views never duplicate a relation) and
+        # unioned into the graph stage.  Folded into the effective
+        # fingerprint: a resume after changing the connector set must
+        # recompute, not serve stale stages.
+        self.relations = tuple(relations) if relations else None
         os.makedirs(workdir, exist_ok=True)
         self.metrics: dict[str, dict] = {}
 
@@ -262,28 +271,47 @@ class KGJob:
         # never the corpus)
         exclude = (self._committed_entities(batch_id)
                    if batch_id is not None else None)
-        graph = stage(
-            "graph", lambda:
-            extract.conversation_links(turns)
-            .unionByName(canonicalize.mention_links(linked))
-            .unionByName(canonicalize.entity_links(linked,
-                                                   exclude=exclude)))
+        rels = None
+        if self.relations:
+            def _build_rels():
+                r = extract.relation_links(turns, verbs=self.relations)
+                prior = self._committed_relations(batch_id)
+                if prior is not None:
+                    r = r.join(prior, ["origin", "rel", "target"],
+                               "left_anti")
+                return r
+            rels = stage("relations", _build_rels)
+        def _build_graph():
+            g = (extract.conversation_links(turns)
+                 .unionByName(canonicalize.mention_links(linked))
+                 .unionByName(canonicalize.entity_links(linked,
+                                                        exclude=exclude)))
+            return g.unionByName(rels) if rels is not None else g
+        graph = stage("graph", _build_graph)
         edges = stage(
             "edges", lambda: canonicalize.adjacency_edges(graph))
         entity_stats = stage(
             "entity_stats", lambda:
             canonicalize.entity_mention_counts(linked, salt=self.salt))
-        return {"turns": turns, "turn_order": turn_order,
-                "mentions": mentions, "linked": linked,
-                "graph": graph, "edges": edges,
-                "entity_stats": entity_stats}
+        out = {"turns": turns, "turn_order": turn_order,
+               "mentions": mentions, "linked": linked,
+               "graph": graph, "edges": edges,
+               "entity_stats": entity_stats}
+        if rels is not None:
+            out["relations"] = rels
+        return out
+
+    def _effective_fp(self, fp: str) -> str:
+        if self.dictionary is not None:
+            fp = f"{fp}/dict={self._dictionary_digest()}"
+        if self.relations:
+            fp = f"{fp}/rels={','.join(self.relations)}"
+        return fp
 
     def run(self, transcripts_df: DataFrame,
             input_fingerprint: str = "default") -> dict[str, DataFrame]:
-        fp = input_fingerprint
-        if self.dictionary is not None:
-            fp = f"{fp}/dict={self._dictionary_digest()}"
-        return self._run_pipeline(transcripts_df, fp)
+        return self._run_pipeline(transcripts_df,
+                                  self._effective_fp(input_fingerprint))
 
     # -- incremental growth -------------------------------------------
 
@@ -373,14 +401,15 @@ class KGJob:
             else:
                 transcripts_df = transcripts_df.join(
                     overlap, "conv_id", "left_anti")
-        fp = f"batch:{input_fingerprint}"
-        if self.dictionary is not None:
-            fp = f"{fp}/dict={self._dictionary_digest()}"
+        fp = self._effective_fp(f"batch:{input_fingerprint}")
         return self._run_pipeline(transcripts_df, fp, batch_id=batch_id)
 
     def _required_stages(self) -> list[str]:
-        return [s for s in self.STAGES
-                if s != "linked" or self.detect != "dictionary"]
+        out = [s for s in self.STAGES
+               if s != "linked" or self.detect != "dictionary"]
+        if self.relations:
+            out.insert(out.index("graph"), "relations")
+        return out
 
     def base_complete(self) -> bool:
         """True when every base stage has a committed manifest row —
@@ -389,6 +418,22 @@ class KGJob:
         manifest = self._read_manifest()
         return all(manifest.get(s, {}).get("status") == "ok"
                    for s in self._required_stages())
+
+    def _committed_relations(self, batch_id: str | None) -> DataFrame | None:
+        """Relation triples already committed by the base run or a batch
+    other than ``batch_id`` (None for a base run — nothing to exclude).
+    Each committed relations stage is a deduped triple set (bounded by
+    the asserted-relation vocabulary, not the corpus)."""
+        if batch_id is None:
+            return None
+        rel = self._read_committed("relations").select(
+            "origin", "rel", "target")
+        for bid in self.batch_ids("relations"):
+            if bid != batch_id:
+                rel = rel.unionByName(
+                    self._read_committed(f"relations@{bid}")
+                    .select("origin", "rel", "target"))
+        return rel
 
     def _committed_entities(self, batch_id: str) -> DataFrame:
         """Distinct entity_iri already covered by the base run or a
@@ -426,7 +471,8 @@ class KGJob:
                        salt=self.salt,
                        write_distribution=self.write_distribution,
                        dictionary=self.dictionary, detect=self.detect,
-                       detect_opts=self.detect_opts)
+                       detect_opts=self.detect_opts,
+                       relations=self.relations)
         for stage_name in self._required_stages():
             df = self.table(stage_name)
             # partition columns (pt) are re-derived by _run_stage
