@@ -111,6 +111,7 @@ def stream_kg_job(spark: SparkSession, input_dir: str, workdir: str,
                   on_existing: str = "error", n_buckets: int = 32,
                   dictionary: DataFrame | None = None,
                   detect: str = "lexicon", detect_opts: dict | None = None,
+                  relations: tuple[str, ...] | None = None,
                   max_files_per_trigger: int = 16):
     """Streaming incremental KG construction: each micro-batch of
     transcript parquet GROWS a checkpointed KGJob workdir via
@@ -144,7 +145,7 @@ def stream_kg_job(spark: SparkSession, input_dir: str, workdir: str,
         batch_df = batch_df.dropDuplicates(["conv_id", "turn_idx"])
         job = KGJob(batch_df.sparkSession, workdir, n_buckets=n_buckets,
                     dictionary=dictionary, detect=detect,
-                    detect_opts=detect_opts)
+                    detect_opts=detect_opts, relations=relations)
         fp = f"epoch-{epoch_id}"
         if job.base_complete():
             # replay hole: a crash AFTER the bootstrap run() committed
