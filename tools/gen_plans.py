@@ -271,6 +271,19 @@ window sort is absent from the triple-build plan. Regenerate with
     kj = KGJob(spark, tempfile.mkdtemp(prefix="plans_kg_"), n_buckets=4)
     kj.run(tx.filter(h != 0), input_fingerprint="base")
     kj.append_batch(tx.filter(h == 0), "b1", input_fingerprint="b1")
+    rel = __import__("versa_spark.kg.extract", fromlist=["x"]) \
+        .turn_relations(tx.withColumn(
+            "turn_iri", F.concat(F.lit("t/"), "conv_id", F.lit("/"),
+                                 F.col("turn_idx"))),
+            verbs=("fast", "slow", "big", "small"))
+    section("verb-linked relation extraction", rel,
+            "Two fused-regex passes over the text (regexp_extract_all "
+            "for occurrence-ordered mentions, split on the identical "
+            "pattern for between-texts), map-literal canonicalization, "
+            "one Generate (explode) — no Exchange anywhere: the "
+            "relation pass is one more columnar scan of the turns "
+            "table at any corpus size.")
+
     section("incremental append — combined graph view (table())",
             kj.table("graph"),
             "Reading the grown graph is a plain UNION of parquet scans "
