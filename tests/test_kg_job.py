@@ -865,3 +865,27 @@ def test_relations_in_graph_and_job_append(spark, tmp_path):
                  relations=("reads",))
     job2.run(tx.filter(h == 0), input_fingerprint="base")
     assert not any(m.get("resumed") for m in job2.metrics.values())
+
+
+def test_table_until_snapshot_reads(spark, tmp_path):
+    """table(name, until=…) is the time-travel read over the append
+    log: until='' is the base alone, until='bN' the graph as it stood
+    after that append — each equal to an independent build over the
+    same conversations."""
+    tx = synthetic_transcripts(spark, n_convs=30, turns_per_conv=5)
+    h = F.pmod(F.xxhash64("conv_id"), F.lit(3))
+    job = KGJob(spark, str(tmp_path / "tt"), n_buckets=2)
+    job.run(tx.filter(h == 0), input_fingerprint="base")
+    job.append_batch(tx.filter(h == 1), "b1", input_fingerprint="b1")
+    job.append_batch(tx.filter(h == 2), "b2", input_fingerprint="b2")
+
+    base_only = KGJob(spark, str(tmp_path / "w0"), n_buckets=2).run(
+        tx.filter(h == 0), input_fingerprint="x")["graph"]
+    upto_b1 = KGJob(spark, str(tmp_path / "w1"), n_buckets=2).run(
+        tx.filter(h != 2), input_fingerprint="x")["graph"]
+    assert _triples(job.table("graph", until="")) == _triples(base_only)
+    assert _triples(job.table("graph", until="b1")) == _triples(upto_b1)
+    assert (job.table("graph", until="b2").count()
+            == job.table("graph").count())
+    with pytest.raises(ValueError, match="no committed batch"):
+        job.table("graph", until="nope")

@@ -491,18 +491,35 @@ class KGJob:
                     out.append(bid)
         return out
 
-    def table(self, name: str) -> DataFrame:
+    def table(self, name: str, until: str | None = None) -> DataFrame:
         """The combined view of stage ``name``: base run plus every
         committed batch.  ``entity_stats`` re-aggregates the per-run
         aggregates (exact under the disjoint-conversation contract —
         counts AND distinct-conv counts are additive across disjoint
         batches); every other stage is a plain union of partitioned
-        parquet, so consumers keep partition pruning on ``pt``."""
+        parquet, so consumers keep partition pruning on ``pt``.
+
+        ``until``: snapshot read — include batches only up to and
+        including this batch_id in append (manifest) order, the
+        Iceberg time-travel analogue over the manifest's append log.
+        ``until=''`` reads the base run alone.  Exact for the same
+        reason appends are: committed batch outputs are immutable and
+        delta-complete, so a prefix of them IS the graph as it stood
+        after that append."""
         if name == "linked" and self.detect == "dictionary":
             raise ValueError("linked is a view of mentions under "
                              "detect='dictionary'; read table('mentions')")
+        bids = self.batch_ids(name)
+        if until is not None:
+            if until == "":
+                bids = []
+            elif until in bids:
+                bids = bids[:bids.index(until) + 1]
+            else:
+                raise ValueError(f"no committed batch {until!r} for stage "
+                                 f"{name!r} (have {bids})")
         df = self._read_committed(name)
-        for bid in self.batch_ids(name):
+        for bid in bids:
             df = df.unionByName(self._read_committed(f"{name}@{bid}"))
         if name == "entity_stats":
             df = (df.groupBy("entity_iri", "canonical")
