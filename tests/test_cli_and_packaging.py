@@ -344,3 +344,21 @@ def test_cli_graphstats_kcore_and_landmarks(tmp_path, spark):
           spark.read.parquet(f"{out}/shortest_paths").collect()}
     assert sp[("A", "A")] == 0 and sp[("D", "A")] == 1
     assert sp[("B", "D")] == 2 and sp[("C", "D")] == 2
+
+
+def test_cli_aliases(tmp_path, spark):
+    """The aliases subcommand induces a dictionary parquet usable as a
+    gazetteer: variant surfaces share a canonical + entity_iri."""
+    from versa_spark import cli
+    rows = [("Spark",)] * 3 + [("spark",)] * 2 + [("sparks",)] \
+        + [("Kafka",)]
+    src = str(tmp_path / "mentions_in")
+    spark.createDataFrame(rows, ["surface"]).write.parquet(src)
+    out = str(tmp_path / "dict_out")
+    assert cli.main(["aliases", src, out, "--cpus", "4"]) == 0
+    d = {r.surface: (r.canonical, r.entity_iri)
+         for r in spark.read.parquet(out).collect()}
+    assert d["Spark"] == d["spark"] == d["sparks"]
+    assert d["Kafka"][0] == "Kafka" and d["Kafka"] != d["Spark"]
+    assert set(spark.read.parquet(out).columns) >= {
+        "surface", "canonical", "entity_iri"}

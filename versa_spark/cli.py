@@ -158,6 +158,18 @@ def _spark_dataop(args) -> int:
         if existing is None:
             spark.stop()
         return 0
+    if args.cmd == "aliases":
+        from versa_spark.kg.linking import resolve_aliases
+        d = resolve_aliases(df, surface_col=args.surface_col,
+                            acronyms=not args.no_acronyms)
+        d.write.mode("overwrite").parquet(args.out)
+        n_s = d.count()
+        n_c = d.select("canonical").distinct().count()
+        print(f"aliases: {n_s} surfaces -> {n_c} canonical entities "
+              f"at {args.out}")
+        if existing is None:
+            spark.stop()
+        return 0
     if args.cmd == "dedup":
         if args.index:
             from versa_spark.dedup import dedup_against_index
@@ -295,6 +307,20 @@ def main(argv=None) -> int:
     p_mm.add_argument("source", help="parquet with (media_id, kind, payload)")
     p_mm.add_argument("out")
     p_mm.add_argument("--cpus", default="4")
+    p_al = sub.add_parser(
+        "aliases", help="induce a canonical dictionary from a mentions "
+                        "parquet (any frame with a surface column) via "
+                        "unsupervised alias resolution — feed the output "
+                        "to `jobs kg --dictionary … --detect dictionary` "
+                        "for a self-supervised gazetteer pipeline")
+    p_al.add_argument("source", help="parquet with a surface column")
+    p_al.add_argument("out", help="dictionary parquet "
+                                  "(surface, canonical, entity_iri, …)")
+    p_al.add_argument("--surface-col", default="surface")
+    p_al.add_argument("--no-acronyms", action="store_true",
+                      help="disable acronym linking (short-word false "
+                           "merges are inherent to it)")
+    p_al.add_argument("--cpus", default="4")
     p_gs = sub.add_parser(
         "graphstats", help="KG analytics over a linked-mentions parquet "
                            "(conv_id, turn_idx, entity_iri): "
@@ -319,7 +345,7 @@ def main(argv=None) -> int:
 
     if args.cmd in ("dedup", "dedupindex", "annindex", "annquery",
                     "decontaminate", "sessionize", "mediameta",
-                    "graphstats"):
+                    "graphstats", "aliases"):
         return _spark_dataop(args)
 
     with open(args.source) as f:
