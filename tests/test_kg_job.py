@@ -889,3 +889,32 @@ def test_table_until_snapshot_reads(spark, tmp_path):
             == job.table("graph").count())
     with pytest.raises(ValueError, match="no committed batch"):
         job.table("graph", until="nope")
+
+
+def test_compact_with_relations_then_append(spark, tmp_path):
+    """compact_to carries the relations stage; appends onto the
+    compacted job keep the delta discipline (a relation already in the
+    compacted base is not re-emitted) and equal a full rebuild."""
+    rows = []
+    for c in range(9):
+        rows.append((f"conv-{c}", 0, "user",
+                     "spark reads the table here", None, None))
+        rows.append((f"conv-{c}", 1, "user",
+                     f"the query uses a hash v{c}", None, None))
+    tx = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string,"
+              " tool string, ts timestamp")
+    h = F.pmod(F.xxhash64("conv_id"), F.lit(3))
+    job = KGJob(spark, str(tmp_path / "src"), n_buckets=2,
+                relations=("reads", "uses"))
+    job.run(tx.filter(h == 0), input_fingerprint="base")
+    job.append_batch(tx.filter(h == 1), "b1", input_fingerprint="b1")
+    cj = job.compact_to(str(tmp_path / "dst"))
+    assert cj.relations == ("reads", "uses")
+    cj.append_batch(tx.filter(h == 2), "b2", input_fingerprint="b2")
+    # the appended batch re-asserts both relations → empty delta stage
+    assert cj._read_committed("relations@b2").count() == 0
+    full = KGJob(spark, str(tmp_path / "full"), n_buckets=2,
+                 relations=("reads", "uses")).run(tx, input_fingerprint="f")
+    assert _triples(cj.table("graph")) == _triples(full["graph"])
+    assert cj.table("graph").count() == full["graph"].count()
