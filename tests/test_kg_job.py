@@ -918,3 +918,38 @@ def test_compact_with_relations_then_append(spark, tmp_path):
                  relations=("reads", "uses")).run(tx, input_fingerprint="f")
     assert _triples(cj.table("graph")) == _triples(full["graph"])
     assert cj.table("graph").count() == full["graph"].count()
+
+
+def test_append_and_compact_refuse_config_mismatch(spark, tmp_path):
+    """A base built under one dictionary/relations config must not be
+    grown or compacted under another: run() recomputes on config change
+    (fingerprint folding), so the incremental paths refuse instead of
+    silently mixing configurations; compact_to also refuses a
+    half-committed batch (its retry path would be gone)."""
+    import json as _json
+    import os as _os
+    tx = synthetic_transcripts(spark, n_convs=12, turns_per_conv=3)
+    h = F.pmod(F.xxhash64("conv_id"), F.lit(2))
+    wd = str(tmp_path / "cfg")
+    KGJob(spark, wd, n_buckets=2).run(tx.filter(h == 0),
+                                      input_fingerprint="base")
+    job_r = KGJob(spark, wd, n_buckets=2, relations=("reads",))
+    with pytest.raises(ValueError, match="rels"):
+        job_r.append_batch(tx.filter(h == 1), "b1", input_fingerprint="x")
+    with pytest.raises(ValueError, match="rels"):
+        job_r.compact_to(str(tmp_path / "cfg2"))
+    job_d = KGJob(spark, wd, n_buckets=2,
+                  dictionary=linking.canonical_dictionary(spark))
+    with pytest.raises(ValueError, match="dict"):
+        job_d.append_batch(tx.filter(h == 1), "b1", input_fingerprint="x")
+
+    job = KGJob(spark, wd, n_buckets=2)
+    job.append_batch(tx.filter(h == 1), "b1", input_fingerprint="b1")
+    # amputate one stage of b1 → compact must refuse (incomplete batch)
+    mpath = _os.path.join(wd, "_manifest.jsonl")
+    kept = [ln for ln in open(mpath)
+            if _json.loads(ln)["stage"] != "entity_stats@b1"]
+    with open(mpath, "w") as f:
+        f.writelines(kept)
+    with pytest.raises(ValueError, match="incomplete"):
+        KGJob(spark, wd, n_buckets=2).compact_to(str(tmp_path / "cfg3"))

@@ -48,7 +48,7 @@ Two one-shot laps whose numbers land in BASELINE.md (round-5 judge items):
 
 Usage: python tools/bench_volume.py
        [dedup|bigdict|cooccur|decontam|index|annix|chunkpack|
-        substrdedup|bigdictskew|all]
+        substrdedup|bigdictskew|kgappend|kgenrich|all]
 Deterministic synthetic inputs (xxhash64-seeded column expressions, no
 Python in the row path, no external data).
 """
@@ -691,8 +691,16 @@ def lap_cooccur(spark: SparkSession) -> dict:
     }
 
 
+LAPS = ("dedup", "bigdict", "cooccur", "decontam", "index", "annix",
+        "chunkpack", "substrdedup", "bigdictskew", "kgappend",
+        "kgenrich")
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which != "all" and which not in LAPS:
+        raise SystemExit(f"unknown lap {which!r} "
+                         f"(choose from {', '.join(LAPS)}, all)")
     spark = build_spark()
     out: dict = {"cpus": int(CPUS)}
     if which in ("dedup", "all"):

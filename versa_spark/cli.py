@@ -163,8 +163,11 @@ def _spark_dataop(args) -> int:
         d = resolve_aliases(df, surface_col=args.surface_col,
                             acronyms=not args.no_acronyms)
         d.write.mode("overwrite").parquet(args.out)
-        n_s = d.count()
-        n_c = d.select("canonical").distinct().count()
+        # count the parquet JUST WRITTEN, not the lazy frame — re-using
+        # `d` would replay the corpus groupBy + cluster joins twice more
+        written = spark.read.parquet(args.out)
+        n_s = written.count()
+        n_c = written.select("canonical").distinct().count()
         print(f"aliases: {n_s} surfaces -> {n_c} canonical entities "
               f"at {args.out}")
         if existing is None:

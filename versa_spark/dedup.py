@@ -976,11 +976,21 @@ def compact_dedup_index(spark: SparkSession, src: str, dst: str,
     if read_dedup_index_meta(spark, dst) is not None:
         raise ValueError(f"{dst!r} already holds an index "
                          "(delete it first)")
+    from pyspark.errors import AnalysisException
+
     from versa_spark.storage import write_json_sidecar
     n = n_files or spark.sparkContext.defaultParallelism
     for table in ("banded", "shingles", "sizes"):
-        (spark.read.parquet(f"{src}/{table}")
-         .repartition(n)
+        try:
+            t = spark.read.parquet(f"{src}/{table}")
+        except AnalysisException:
+            # a fresh build over an EMPTY corpus writes no part files
+            # (see write_dedup_index's sizes comment) — mirror the
+            # source state rather than failing: the target stays as
+            # schema-less as the source, and the first append
+            # populates it identically
+            continue
+        (t.repartition(n)
          .write.mode("overwrite").parquet(f"{dst}/{table}"))
     write_json_sidecar(spark, f"{dst}/{_INDEX_META}", meta)
 

@@ -397,7 +397,12 @@ def turn_relations(turns: DataFrame,
     segs = F.split(low, split_pat)
     canon_map = F.create_map(*[F.lit(x) for s in _SURFACES
                                for x in (s, LEXICON[s])])
-    verb_pat = r"\b(" + "|".join(sorted(verbs, key=len, reverse=True)) \
+    # verbs are caller-supplied (CLI --relations): escape each so a
+    # metacharacter ('c++', 'a.b') can't blow up — or silently loosen —
+    # the compiled alternation deep inside the stage
+    import re as _re
+    verb_pat = r"\b(" + "|".join(
+        _re.escape(v) for v in sorted(verbs, key=len, reverse=True)) \
         + r")\b"
     pairs = F.when(F.size(ments) >= 2, F.filter(
         F.transform(

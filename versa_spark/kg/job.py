@@ -353,26 +353,19 @@ class KGJob:
         if on_existing not in ("error", "skip", "trust"):
             raise ValueError(f"unknown on_existing {on_existing!r}")
         manifest = self._read_manifest()
-        base_stages = self._required_stages()
-        missing = [s for s in base_stages
+        if manifest.get("turns", {}).get("status") != "ok":
+            raise ValueError("append_batch requires a completed base "
+                             "run (run() first)")
+        # config first: a stage "missing" because the base was built
+        # under a different dictionary/relations config should say so
+        self._check_config_matches_base(manifest)
+        missing = [s for s in self._required_stages()
                    if manifest.get(s, {}).get("status") != "ok"]
         if missing:
             raise ValueError(
                 f"append_batch requires a completed base run; missing "
                 f"stages: {missing} (run() first)")
-        # appends are sequential: a half-committed batch would
-        # under-exclude entities for this one — retry it to completion
-        # (same batch_id + fingerprint resumes) before appending more
-        others = {k.split("@", 1)[1] for k, r in manifest.items()
-                  if "@" in k and r.get("status") == "ok"} - {batch_id}
-        for bid in sorted(others):
-            not_done = [s for s in base_stages
-                        if manifest.get(f"{s}@{bid}", {}).get("status")
-                        != "ok"]
-            if not_done:
-                raise ValueError(
-                    f"batch {bid!r} is incomplete (missing {not_done}); "
-                    "finish it before appending a new batch")
+        self._check_batches_complete(manifest, exclude=batch_id)
         if on_existing != "trust":
             # scan base + every committed batch (a conversation ingested
             # by an EARLIER append is just as "existing" as a base one),
@@ -418,6 +411,49 @@ class KGJob:
         manifest = self._read_manifest()
         return all(manifest.get(s, {}).get("status") == "ok"
                    for s in self._required_stages())
+
+    def _check_batches_complete(self, manifest: dict,
+                                exclude: str | None = None) -> None:
+        """Every committed batch other than ``exclude`` must have ALL its
+        stages — appends and compactions over a half-committed batch
+        would under-exclude entities/relations (retry the crashed batch
+        to completion first; same batch_id + fingerprint resumes)."""
+        stages = self._required_stages()
+        others = {k.split("@", 1)[1] for k, r in manifest.items()
+                  if "@" in k and r.get("status") == "ok"} - {exclude}
+        for bid in sorted(others):
+            not_done = [s for s in stages
+                        if manifest.get(f"{s}@{bid}", {}).get("status")
+                        != "ok"]
+            if not_done:
+                raise ValueError(
+                    f"batch {bid!r} is incomplete (missing {not_done}); "
+                    "finish it first (re-run with the same batch_id and "
+                    "fingerprint to resume)")
+
+    def _check_config_matches_base(self, manifest: dict) -> None:
+        """The base run's fingerprint records the dictionary digest and
+        connector set it was built with; an append (or compaction) under
+        a DIFFERENT config would silently mix configurations in the
+        combined views — run() recomputes on config change, so the
+        incremental paths must refuse instead."""
+        base_fp = manifest.get("turns", {}).get("input_fingerprint", "")
+        for token, present in (
+                (f"/dict={self._dictionary_digest()}"
+                 if self.dictionary is not None else "/dict=",
+                 self.dictionary is not None),
+                (f"/rels={','.join(self.relations)}"
+                 if self.relations else "/rels=", bool(self.relations))):
+            if present and token not in base_fp:
+                raise ValueError(
+                    f"this job's config ({token.strip('/')}) does not "
+                    f"match the base run's fingerprint {base_fp!r}; "
+                    "rebuild or construct the job with the base config")
+            if not present and token in base_fp:
+                raise ValueError(
+                    f"the base run was built with {token.strip('/')}… "
+                    f"({base_fp!r}) but this job was constructed "
+                    "without it")
 
     def _committed_relations(self, batch_id: str | None) -> DataFrame | None:
         """Relation triples already committed by the base run or a batch
@@ -467,17 +503,32 @@ class KGJob:
                 and os.path.exists(os.path.join(new_workdir, MANIFEST))):
             raise ValueError(f"{new_workdir!r} already holds a job "
                              "(delete the partial/old target first)")
+        manifest = self._read_manifest()
+        if manifest.get("turns", {}).get("status") != "ok":
+            raise ValueError("compact_to requires a completed base run")
+        self._check_config_matches_base(manifest)
+        missing = [s for s in self._required_stages()
+                   if manifest.get(s, {}).get("status") != "ok"]
+        if missing:
+            raise ValueError(f"source base run incomplete: {missing}")
+        # a half-committed batch would compact per-stage into an
+        # INCONSISTENT base (its turns present, its graph absent) with
+        # the retry path gone — refuse until it completes
+        self._check_batches_complete(manifest)
         target = KGJob(self.spark, new_workdir, n_buckets=self.n_buckets,
                        salt=self.salt,
                        write_distribution=self.write_distribution,
                        dictionary=self.dictionary, detect=self.detect,
                        detect_opts=self.detect_opts,
                        relations=self.relations)
+        # fold dict/relations into the target's fingerprints (exactly as
+        # run() would) so post-compaction appends pass the config check
+        fp = target._effective_fp(input_fingerprint)
         for stage_name in self._required_stages():
             df = self.table(stage_name)
             # partition columns (pt) are re-derived by _run_stage
             cols = [c for c in df.columns if c != "pt"]
-            target._run_stage(stage_name, input_fingerprint,
+            target._run_stage(stage_name, fp,
                               lambda d=df.select(*cols): d)
         return target
 

@@ -260,15 +260,19 @@ def resolve_aliases(mentions: DataFrame, surface_col: str = "surface",
         F.array_distinct(F.filter(
             F.array(*keys),
             lambda k: k.isNotNull() & (F.length(k) >= 2))).alias("_keys"))
-    # bipartite edges surface ↔ "k:"+key; the prefix keeps a surface
-    # that literally equals some key string from colliding with it
+    # bipartite edges "s:"+surface ↔ "k:"+key; BOTH sides are prefixed
+    # into disjoint namespaces — prefixing only the key side would
+    # still collide with a surface that literally starts with "k:"
     edges = keyed.select(
-        F.col("surface").alias("a"),
+        F.concat(F.lit("s:"), F.col("surface")).alias("a"),
         F.explode(F.transform(
             "_keys", lambda k: F.concat(F.lit("k:"), k))).alias("b"))
-    labels = connected_components(edges, max_iters=max_iters)
-    comp = (keyed.join(labels.withColumnRenamed("doc_id", "surface"),
-                       "surface", "left")
+    labels = (connected_components(edges, max_iters=max_iters)
+              .withColumn("surface",
+                          F.expr("substring(doc_id, 3)"))
+              .filter(F.col("doc_id").startswith("s:"))
+              .drop("doc_id"))
+    comp = (keyed.join(labels, "surface", "left")
             # a surface with no usable key (e.g. length-1 norm) is its
             # own singleton cluster
             .withColumn("component",

@@ -489,6 +489,11 @@ def ann_query_index(queries: DataFrame, path: str, k: int = 10,
     if meta is None:
         raise ValueError(f"no ANN index sidecar at {path}")
     cents = meta["centroids"]
+    # validate BEFORE the eager probes checkpoint: raising after it
+    # would skip the finally-release and leak pinned blocks on every
+    # bad call in a long-lived serving session
+    if route not in ("auto", "pruned", "full"):
+        raise ValueError(f"route must be auto/pruned/full, got {route!r}")
     q = queries.select(F.col(q_id_col).alias("q_id"),
                        F.col(q_vec_col).alias("q"),
                        _norm(F.col(q_vec_col)).alias("nq"))
@@ -500,8 +505,6 @@ def ann_query_index(queries: DataFrame, path: str, k: int = 10,
     # the probes in finally — the decontaminate_fuzzy discipline —
     # so repeated queries in a long-lived serving session don't
     # accumulate pinned probe tables
-    if route not in ("auto", "pruned", "full"):
-        raise ValueError(f"route must be auto/pruned/full, got {route!r}")
     try:
         cells = sorted({r.cell for r in probes.select("cell")
                         .distinct().collect()})

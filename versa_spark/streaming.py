@@ -152,11 +152,31 @@ def stream_kg_job(spark: SparkSession, input_dir: str, workdir: str,
             # but BEFORE the streaming checkpoint re-delivers the same
             # epoch with base_complete() now true — appending it would
             # duplicate the base.  The base manifest records which
-            # epoch built it; a replay of that epoch is a no-op.
+            # epoch built it; but the epoch number alone is ambiguous
+            # (a RESET checkpoint over an existing workdir also starts
+            # at epoch 0 with genuinely new files), so verify: a true
+            # replay's conversations are all already in the base.  New
+            # conversations under a base-epoch id mean the operator
+            # pointed a fresh checkpoint at an old workdir — refuse
+            # loudly rather than silently dropping (or duplicating)
+            # the batch.
             base_fp = (job._read_manifest()["turns"]
                        .get("input_fingerprint", ""))
             if base_fp.split("/", 1)[0] == fp:
-                return
+                base_convs = (job._read_committed("turn_order")
+                              .select("conv_id").distinct())
+                novel = (batch_df.select("conv_id").distinct()
+                         .join(base_convs, "conv_id", "left_anti")
+                         .limit(1).collect())
+                if not novel:
+                    return          # true bootstrap replay: no-op
+                raise ValueError(
+                    f"micro-batch epoch {epoch_id} carries new "
+                    f"conversations (e.g. {novel[0]['conv_id']!r}) but "
+                    "the workdir's base was built from this same epoch "
+                    "id — the streaming checkpoint was likely reset "
+                    "over an existing workdir; use a fresh workdir or "
+                    "restore the original checkpoint")
             job.append_batch(batch_df, f"epoch-{epoch_id}",
                              input_fingerprint=fp,
                              on_existing=on_existing)

@@ -627,7 +627,11 @@ def remove_repeated_spans(df: DataFrame, n: int = 5, min_docs: int = 2,
     if hot_grams is None:
         hot_grams = repeated_ngrams(df, n=n, min_docs=min_docs,
                                     id_col=id_col, text_col=text_col)
-    hot = hot_grams.select("gram")
+    # the discovery aggregate is the expensive corpus pass; checkpoint
+    # it so the broadcast-guard count() and the removal join don't each
+    # run it from scratch (the hot-gram table itself is small — that is
+    # what makes it broadcastable)
+    hot = hot_grams.select("gram").localCheckpoint(eager=True)
     if broadcast == "auto":
         broadcast = hot.count() <= broadcast_max_rows
     if broadcast:
