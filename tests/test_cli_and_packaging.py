@@ -362,3 +362,45 @@ def test_cli_aliases(tmp_path, spark):
     assert d["Kafka"][0] == "Kafka" and d["Kafka"] != d["Spark"]
     assert set(spark.read.parquet(out).columns) >= {
         "surface", "canonical", "entity_iri"}
+
+
+def test_unsupervised_kg_pipeline_composition(tmp_path, spark):
+    """The self-supervised gazetteer workflow end-to-end, in-process:
+    extract mention surfaces → cli aliases induces a dictionary →
+    KGJob(detect='dictionary') builds the graph with it.  Variant
+    surfaces resolve to one entity in the final triples."""
+    from versa_spark import cli
+    from versa_spark.kg.job import KGJob
+    rows = []
+    for c in range(10):
+        rows.append((f"conv-{c}", 0, "user",
+                     "We Benchmarked ApacheSpark today", None, None))
+        rows.append((f"conv-{c}", 1, "user",
+                     "apachespark and apachesparks hold up", None, None))
+    tx = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string,"
+              " tool string, ts timestamp")
+    # surface rows as an upstream extractor would hand them over —
+    # ORIGINAL case preserved: detection is deliberately exact-match,
+    # and it is the induced dictionary that folds case variants
+    # ('ApacheSpark' and 'apachespark' are two surfaces, one canonical)
+    import pyspark.sql.functions as F
+    surf = tx.select(F.explode(F.split("text", r"\s+"))
+                     .alias("surface")).filter(
+        F.lower("surface").startswith("apachespark"))
+    src = str(tmp_path / "surfaces"); surf.write.parquet(src)
+    dict_out = str(tmp_path / "induced_dict")
+    assert cli.main(["aliases", src, dict_out, "--cpus", "4"]) == 0
+
+    job = KGJob(spark, str(tmp_path / "wd"), n_buckets=2,
+                dictionary=spark.read.parquet(dict_out)
+                .select("surface", "canonical", "entity_iri"),
+                detect="dictionary")
+    out = job.run(tx, input_fingerprint="v1")
+    ents = {r.entity_iri for r in out["mentions"]
+            .select("entity_iri").distinct().collect()}
+    assert len(ents) == 1            # all variants linked to ONE entity
+    assert out["mentions"].count() == 30   # every variant mention found
+    surfaces = {r.surface for r in out["mentions"]
+                .select("surface").distinct().collect()}
+    assert surfaces == {"ApacheSpark", "apachespark", "apachesparks"}
