@@ -48,7 +48,7 @@ Two one-shot laps whose numbers land in BASELINE.md (round-5 judge items):
 
 Usage: python tools/bench_volume.py
        [dedup|bigdict|cooccur|decontam|index|annix|chunkpack|
-        substrdedup|bigdictskew|kgappend|kgenrich|all]
+        substrdedup|bigdictskew|kgappend|kgenrich|kgstream|all]
 Deterministic synthetic inputs (xxhash64-seeded column expressions, no
 Python in the row path, no external data).
 """
@@ -654,6 +654,72 @@ def lap_kgenrich(spark: SparkSession) -> dict:
             "alias_mentions_per_sec": round(1_000_000 / alias_s, 1)}
 
 
+def lap_kgstream(spark: SparkSession) -> dict:
+    """Streaming incremental growth: 8 conversation-atomic bundles of
+    125k turns each streamed through stream_kg_job (availableNow,
+    maxFilesPerTrigger=1 → 8 epochs: bootstrap + 7 appends).  The
+    O(batch) claim in streaming form: per-epoch walls must stay FLAT
+    as the workdir grows (epoch 8 ingests into a 7× larger graph for
+    ~the cost of epoch 2).  Walls come from the streaming progress
+    log (batchDuration per epoch), all disclosed."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from versa_spark import streaming as st
+    from versa_spark.kg.job import KGJob
+    from versa_spark.kg.transcripts import synthetic_transcripts
+
+    n_convs = int(os.environ.get("VOL_KGS_CONVS", 40_000))
+    tpc = int(os.environ.get("VOL_KGS_TPC", 25))
+    n_bundles = 8
+    tx = synthetic_transcripts(spark, n_convs=n_convs, turns_per_conv=tpc)
+    conv_no = F.substring_index("conv_id", "-", -1).cast("int")
+    root = tempfile.mkdtemp(prefix="volkgs_")
+    in_dir = os.path.join(root, "in")
+    os.makedirs(in_dir)
+    per = n_convs // n_bundles
+    for i in range(n_bundles):
+        part_dir = os.path.join(root, f"p{i}")
+        (tx.filter((conv_no >= i * per) & (conv_no < (i + 1) * per))
+           .coalesce(4).write.parquet(part_dir))
+        os.rename(part_dir, os.path.join(in_dir, f"bundle{i}"))
+    # one file-source "file" per bundle dir is not how the reader lists;
+    # flatten: move each bundle's parts under in_flat with unique names
+    flat = os.path.join(root, "in_flat")
+    os.makedirs(flat)
+    for i in range(n_bundles):
+        bd = os.path.join(in_dir, f"bundle{i}")
+        parts = [f for f in os.listdir(bd) if f.endswith(".parquet")]
+        for j, f_ in enumerate(parts):
+            os.rename(os.path.join(bd, f_),
+                      os.path.join(flat, f"b{i}_{j}.parquet"))
+
+    wd = os.path.join(root, "wd")
+    ck = os.path.join(root, "ck")
+    t0 = time.time()
+    q = st.stream_kg_job(spark, flat, wd, ck, on_existing="trust",
+                         n_buckets=32, max_files_per_trigger=4)
+    q.awaitTermination(3600)
+    total_s = time.time() - t0
+    walls = [round(p["batchDuration"] / 1000.0, 3)
+             for p in q.recentProgress if p["numInputRows"] > 0]
+    job = KGJob(spark, wd)
+    graph_rows = job.table("graph").count()
+    n_batches = len(job.batch_ids())
+    shutil.rmtree(root, ignore_errors=True)
+    return {"n_turns": n_convs * tpc, "n_epochs": len(walls),
+            "n_appended_batches": n_batches,
+            "epoch_walls_sec": walls,
+            "first_append_sec": walls[1] if len(walls) > 1 else None,
+            "last_append_sec": walls[-1] if len(walls) > 1 else None,
+            "total_sec": round(total_s, 3),
+            "turns_per_sec": round(n_convs * tpc / total_s, 1),
+            "graph_rows": graph_rows,
+            "flat_cost": (round(walls[-1] / walls[1], 2)
+                          if len(walls) > 2 else None)}
+
+
 def lap_cooccur(spark: SparkSession) -> dict:
     from versa_spark.kg import analytics, extract, linking
     from versa_spark.kg.transcripts import ordered_turns, \
@@ -693,7 +759,7 @@ def lap_cooccur(spark: SparkSession) -> dict:
 
 LAPS = ("dedup", "bigdict", "cooccur", "decontam", "index", "annix",
         "chunkpack", "substrdedup", "bigdictskew", "kgappend",
-        "kgenrich")
+        "kgenrich", "kgstream")
 
 
 def main() -> None:
@@ -725,6 +791,8 @@ def main() -> None:
         out["kgappend"] = lap_kgappend(spark)
     if which in ("kgenrich", "all"):
         out["kgenrich"] = lap_kgenrich(spark)
+    if which in ("kgstream", "all"):
+        out["kgstream"] = lap_kgstream(spark)
     print(json.dumps(out, separators=(",", ":")))
     spark.stop()
 
