@@ -383,3 +383,36 @@ def test_stream_kg_job_restart_replays_without_duplicates(
     job2 = KGJob(spark, wd)
     assert job2.table("graph").count() == n
     assert _graph_triples(job2.table("graph")) == triples
+
+
+def test_stream_kg_job_relations_dedupe_across_epochs(spark, tmp_path):
+    """relations passthrough: a relation re-asserted by a later epoch's
+    conversations stays a SINGLE graph row (the delta-ed relations
+    stage discipline, now under streaming epochs)."""
+    import os
+    import shutil
+    from versa_spark.kg.job import KGJob
+    rows = [(f"conv-{c}", 0, "user", "spark reads the table here",
+             None, None) for c in range(8)]
+    tx = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string,"
+              " tool string, ts timestamp")
+    conv_no = F.substring_index("conv_id", "-", -1).cast("int")
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    for i, (lo, hi) in enumerate([(0, 4), (4, 8)]):
+        pd_ = str(tmp_path / f"_p{i}")
+        (tx.filter((conv_no >= lo) & (conv_no < hi))
+           .coalesce(1).write.parquet(pd_))
+        part = next(f for f in os.listdir(pd_) if f.endswith(".parquet"))
+        shutil.move(os.path.join(pd_, part),
+                    os.path.join(d, f"b{i}.parquet"))
+    wd = str(tmp_path / "wd")
+    q = streaming.stream_kg_job(spark, d, wd, str(tmp_path / "ck"),
+                                relations=("reads",),
+                                max_files_per_trigger=1)
+    q.awaitTermination(300)
+    job = KGJob(spark, wd, relations=("reads",))
+    rel = job.table("graph").filter(F.col("rel").contains("v/rel/"))
+    assert rel.count() == 1            # deduped across the two epochs
+    assert job._read_committed("relations@epoch-1").count() == 0
