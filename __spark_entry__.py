@@ -163,7 +163,16 @@ def _q_kg_graph_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
                                             transcripts_from_documents)
     turns = ordered_turns(transcripts_from_documents(spark, sf_dir))
     graph = build_graph(spark, turns)["graph"]
-    return graph.select("origin", "rel", "target").distinct()
+    # Round 7: the trailing .distinct() is gone — a distinct over rows
+    # that are already unique (guide §2.4), and it was the query's
+    # dominant shuffle.  Uniqueness is by construction on this input:
+    # (conv_id, turn_idx) is unique (doc_id → (doc_id % C, doc_id // C)
+    # is bijective), so every per-turn structural link is unique; the
+    # mention family dedups per turn in-plan (array_distinct over
+    # canonical indices); the conversation-type and entity families are
+    # built from distincts; and the families are origin/rel-disjoint.
+    # Result set identical (oracle hash re-verified at sf0.001/0.01).
+    return graph.select("origin", "rel", "target")
 
 
 def _q_kg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -184,7 +193,13 @@ def _q_kg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     job = KGJob(spark, tempfile.mkdtemp(prefix="vskg_incr_"), n_buckets=8)
     job.run(tx.filter(h != 0), input_fingerprint="base")
     job.append_batch(tx.filter(h == 0), "b001", input_fingerprint="b001")
-    return job.table("graph").select("origin", "rel", "target").distinct()
+    # Round 7: .distinct() removed (same argument as kg_graph_triples,
+    # plus batch disjointness: base/batch split conversations by hash so
+    # the conversation-local families never overlap across batches, and
+    # the entity type/label delta is anti-joined against the committed
+    # entity set — the very mechanism that makes the O(batch) append
+    # exact also makes the union duplicate-free).
+    return job.table("graph").select("origin", "rel", "target")
 
 
 def _q_kg_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -194,7 +209,10 @@ def _q_kg_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
                                             transcripts_from_documents)
     turns = ordered_turns(transcripts_from_documents(spark, sf_dir))
     edges = build_graph(spark, turns)["edges"]
-    return edges.select("src", "rel", "dst").distinct()
+    # Round 7: .distinct() removed — edges filter the already-unique
+    # graph rows on t_iri (t_iri is a pure function of the link family,
+    # so projecting it away cannot collide rows); see kg_graph_triples.
+    return edges.select("src", "rel", "dst")
 
 
 def _q_pipeline_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,132 @@
+"""Round-7 optimization parity tests.
+
+Each optimization that changed an operator's *internals* (never its
+results) gets a direct old-vs-new equivalence check here:
+
+* JVM-expression mention extraction (extract.mention_surfaces_col)
+  vs the pandas kernel it replaced — including Unicode word-boundary
+  edges, where java.util.regex needs (?U) to agree with Python's re.
+* LSH candidate discovery via bucket groupBy + in-row pair generation
+  vs the old banded self-join.
+* conversation_links' project-late shape vs the explicit link tuples.
+* kg_graph_triples' dropped .distinct(): the triple build must emit
+  globally unique rows by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+TRICKY_TEXTS = [
+    None,
+    "",
+    "spark joins the table",
+    "sparké is not a mention, but spark is",          # unicode neighbor
+    "naïve spark café join",                          # unicode tokens around
+    "spark spark spark join spark",                   # repeats
+    "joins merges sorting windows queries tables",    # alias forms
+    "SPARK Join",                                     # case-sensitive: no hit
+    "a-join, (merge) [hash]! sort? 'window'",         # punctuation boundaries
+    "日本語 spark 日本語",
+    "prefixjoin joinsuffix join",                     # \b discipline
+    "x" * 5000 + " spark",                            # long text
+]
+
+
+def _texts_df(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TRICKY_TEXTS)], "rid long, text string")
+
+
+def test_jvm_mention_extraction_matches_pandas_kernel(spark):
+    from versa_spark.kg import extract
+    df = _texts_df(spark)
+    jvm = df.select("rid", extract.mention_surfaces_col(
+        F.col("text")).alias("m"))
+    udf = df.select("rid", extract.extract_mentions_udf()(
+        F.col("text")).alias("m"))
+    got = {r.rid: list(r.m) for r in jvm.collect()}
+    want = {r.rid: list(r.m) for r in udf.collect()}
+    # the kernel returns [] for null text; the JVM path coalesces to ''
+    assert got == want
+
+
+def test_jvm_turn_entity_ids_matches_kernel_indices(spark):
+    """eids (canonical tinyint indices) must match mapping the kernel's
+    surface output through LEXICON."""
+    from versa_spark.kg import extract
+    df = _texts_df(spark).select(
+        F.col("rid").alias("conv_id"), F.lit(0).alias("turn_idx"), "text")
+    got = {r.conv_id: list(r.eids)
+           for r in extract.turn_entity_ids(df).collect()}
+    canon_ix = {c: i for i, c in enumerate(extract._CANONICALS)}
+    for rid, text in enumerate(TRICKY_TEXTS):
+        seen, want = set(), []
+        import re
+        for m in re.finditer(extract._MENTION_PAT, text or ""):
+            ix = canon_ix[extract.LEXICON[m.group(1)]]
+            if ix not in seen:
+                seen.add(ix)
+                want.append(ix)
+        assert got[rid] == want, f"rid={rid} text={text!r}"
+
+
+def test_lsh_bucket_pairs_match_self_join(spark):
+    """Round-7 discovery (groupBy bucket + in-row pair expansion) must
+    produce exactly the self-join's candidate pair set."""
+    from versa_spark import dedup
+    docs = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma delta epsilon zeta "),
+                 (F.col("id") % 7).cast("string")).alias("text"))
+    banded = dedup._banded_signatures(docs, "doc_id", "text", 3, 16, 4,
+                                      "xxhash64")
+    left = banded.select(F.col("doc_id").alias("a"), "band", "bucket")
+    right = banded.select(F.col("doc_id").alias("b"), "band", "bucket")
+    want = {(r.a, r.b) for r in
+            (left.join(right, ["band", "bucket"])
+             .filter(F.col("a") < F.col("b"))
+             .select("a", "b").distinct()).collect()}
+    got = {(r.a, r.b) for r in dedup.minhash_lsh_candidates(
+        docs, num_hashes=16, bands=4, verify_threshold=None).collect()}
+    assert got == want and len(got) > 0
+
+
+def test_conversation_links_project_late_shape(spark):
+    from versa_spark import VTYPE_REL
+    from versa_spark.kg import extract
+    turns = spark.createDataFrame(
+        [("c1", 0, "user", None), ("c1", 1, "tool", "search")],
+        "conv_id string, turn_idx int, role string, tool string"
+    ).withColumn("turn_iri", F.concat(
+        F.lit("http://example.org/transcript/"), "conv_id", F.lit("/"),
+        F.col("turn_idx")))
+    rows = {(r.origin, r.rel, r.target, r.t_iri)
+            for r in extract.conversation_links(turns).collect()}
+    B = "http://example.org/"
+    T = "http://example.org/transcript/c1"
+    want = set()
+    for i in (0, 1):
+        t = f"{T}/{i}"
+        role = "user" if i == 0 else "tool"
+        want |= {(T, B + "v/hasTurn", t, True),
+                 (t, str(VTYPE_REL), extract.TYPE_TURN, True),
+                 (t, B + "v/role", role, False),
+                 (t, B + "v/turnIndex", str(i), False)}
+    want.add((T, str(VTYPE_REL), extract.TYPE_CONV, True))
+    want.add((f"{T}/1", extract.REL_USEDTOOL, B + "tool/search", True))
+    assert rows == want
+
+
+def test_graph_triples_unique_without_distinct(spark):
+    """The dropped .distinct() is only sound if build_graph emits unique
+    (origin, rel, target) rows — assert it on a derivation with aliases,
+    repeats and tool turns."""
+    from versa_spark.kg.graph import build_graph
+    from versa_spark.kg.transcripts import (ordered_turns,
+                                            transcripts_from_documents)
+    turns = ordered_turns(
+        transcripts_from_documents(spark, "/root/testdata/sf0.001"))
+    g = build_graph(spark, turns)["graph"].select("origin", "rel", "target")
+    total = g.count()
+    assert total == g.distinct().count()

@@ -44,6 +44,26 @@ LEXICON = {
 
 _MENTION_PAT = r"\b(" + "|".join(sorted(LEXICON, key=len, reverse=True)) + r")\b"
 
+# JVM twin of _MENTION_PAT: java.util.regex defaults \b/\w to ASCII while
+# Python's re is Unicode-aware — (?U) (UNICODE_CHARACTER_CLASS) aligns the
+# word-boundary semantics so the column-expression scan and the pandas
+# kernel agree on texts with non-ASCII neighbors ("sparké" is NOT a
+# mention under either engine).
+_MENTION_PAT_JVM = "(?U)" + _MENTION_PAT
+
+
+def mention_surfaces_col(text_col):
+    """Column expression: text → array of distinct lexicon surface forms
+    in first-occurrence order — the pure-JVM form of the extraction
+    kernel (guide §4: built-ins beat any Python boundary for a scan this
+    simple).  ``regexp_extract_all`` with the length-sorted alternation
+    yields every match in occurrence order; ``array_distinct`` keeps the
+    first occurrence of each surface, exactly the kernel's per-row dedup.
+    Output-identical to ``extract_mentions_udf()(text)`` (parity-tested),
+    with zero Arrow traffic and no Python workers in the plan."""
+    return F.array_distinct(F.regexp_extract_all(
+        F.coalesce(text_col, F.lit("")), F.lit(_MENTION_PAT_JVM), 1))
+
 
 def _batch_extract_kernel(pat, mapper=None):
     """The shared vectorized extraction kernel both mention UDFs wrap:
@@ -133,20 +153,16 @@ def extract_mention_ids_udf():
 def turn_mentions(turns: DataFrame) -> DataFrame:
     """ordered turns → (conv_id, turn_idx, turn_iri, surface) mention rows.
 
-    Python returns surface indices (1 byte each over Arrow); the surface
-    string is reconstituted by a JVM element_at lookup — identical output
-    to exploding the string-returning UDF, with a fraction of the
-    serialization traffic."""
-    extract = extract_mention_ids_udf()
-    surface_arr = F.array(*[F.lit(s) for s in _SURFACES])
+    Round 7: the scan is a pure JVM column expression
+    (mention_surfaces_col) — the small-lexicon alternation compiles into
+    the codegen stage, so the extraction pays no JVM↔Python boundary at
+    all (previously an ArrowEvalPython node shipping every text batch to
+    pandas and the index array back).  Output-identical to the kernel
+    path (parity-tested in tests/test_r07_optimizations.py)."""
     return (turns
-            .withColumn("mids", extract(F.col("text")))
+            .withColumn("mids", mention_surfaces_col(F.col("text")))
             .select("conv_id", "turn_idx", "turn_iri",
-                    F.explode("mids").alias("_mid"))
-            .select("conv_id", "turn_idx", "turn_iri",
-                    F.element_at(surface_arr,
-                                 F.col("_mid").cast("int") + 1)
-                    .alias("surface")))
+                    F.explode("mids").alias("surface")))
 
 
 def turn_entity_ids(turns: DataFrame) -> DataFrame:
@@ -168,16 +184,24 @@ def turn_entity_ids(turns: DataFrame) -> DataFrame:
     (streaming.stream_graph_query does, per micro-batch; batch readers
     of the checkpointed job inherit uniqueness from the stage write).
     With duplicate keys this path emits duplicate triples where the
-    generic mention_links path would collapse the mention family."""
-    extract = extract_mention_ids_udf()
-    canon_map = F.array(*[F.lit(i) for i in _SURFACE_CANON_IX])
+    generic mention_links path would collapse the mention family.
+
+    Round 7: extraction is the pure-JVM mention_surfaces_col expression —
+    surface→canonical collapses via a literal map and array_distinct, all
+    inside one codegen stage, with NO Python evaluation node anywhere in
+    the triple-build plan (previously one ArrowEvalPython; removing it
+    cut both the median and — more importantly — the lap variance of the
+    bench e2e, the Python-worker spawn being the dominant burst source)."""
+    canon_map = F.create_map(*[F.lit(x)
+                               for s, i in zip(_SURFACES, _SURFACE_CANON_IX)
+                               for x in (s, i)])
     keep = [c for c in turns.columns if c != "text"]
     return (turns
-            .withColumn("mids", extract(F.col("text")))
+            .withColumn("mids", mention_surfaces_col(F.col("text")))
             .select(*keep, F.array_distinct(F.transform(
                 "mids",
-                lambda m: F.element_at(canon_map, m.cast("int") + F.lit(1))
-                .cast("tinyint"))).alias("eids")))
+                lambda m: F.element_at(canon_map, m).cast("tinyint")))
+                .alias("eids")))
 
 
 def turn_entity_iri_sets(turns: DataFrame) -> DataFrame:
@@ -446,24 +470,45 @@ def relation_links(turns: DataFrame,
 
 def conversation_links(turns: DataFrame) -> DataFrame:
     """Structural triples: conversation/turn typing + hasTurn edges with
-    turn metadata attrs. Pure column expressions + explode."""
+    turn metadata attrs. Pure column expressions + explode.
+
+    Round 7 shape: the four per-turn links explode as a constant index
+    sequence and the (origin, rel, target, t_iri) strings are built by a
+    Project ABOVE the Generate instead of inside an array-of-structs
+    below it (guide §2.3 "project before/after the right boundary",
+    inverted: build payloads late).  Same rows; but consumers that never
+    read the strings — count()-shaped actions, semi-joins on other
+    columns — now prune the concat work away entirely, and full
+    materializations skip the per-row 4-struct array allocation."""
     conv_iri = F.concat(F.lit(BASE + "transcript/"), F.col("conv_id"))
+
+    # Per-turn links are unique by construction (one turn_iri per row), so
+    # no global dedup shuffle; only the per-conversation type link needs a
+    # distinct — over conv ids, not the full link table.
+    i = F.col("_i")
+    per_turn = (turns
+                .select("conv_id", "turn_iri", "role", "turn_idx",
+                        F.explode(F.sequence(F.lit(0), F.lit(3)))
+                        .alias("_i"))
+                .select(
+                    F.when(i == 0, conv_iri).otherwise(F.col("turn_iri"))
+                    .alias("origin"),
+                    F.element_at(F.array(
+                        F.lit(REL_HASTURN), F.lit(str(VTYPE_REL)),
+                        F.lit(BASE + "v/role"),
+                        F.lit(BASE + "v/turnIndex")), i + 1).alias("rel"),
+                    F.when(i == 0, F.col("turn_iri"))
+                    .when(i == 1, F.lit(TYPE_TURN))
+                    .when(i == 2, F.col("role"))
+                    .otherwise(F.col("turn_idx").cast("string"))
+                    .alias("target"),
+                    (i <= 1).alias("t_iri")))
 
     def lnk(o, r, t, t_iri=True):
         return F.struct(o.alias("origin"), F.lit(r).alias("rel"),
                         t.cast("string").alias("target"),
                         F.lit(t_iri).alias("t_iri"))
 
-    # Per-turn links are unique by construction (one turn_iri per row), so
-    # no global dedup shuffle; only the per-conversation type link needs a
-    # distinct — over conv ids, not the full link table.
-    per_turn = turns.select(F.explode(F.array(
-        lnk(conv_iri, REL_HASTURN, F.col("turn_iri")),
-        lnk(F.col("turn_iri"), str(VTYPE_REL), F.lit(TYPE_TURN)),
-        lnk(F.col("turn_iri"), BASE + "v/role", F.col("role"), False),
-        lnk(F.col("turn_iri"), BASE + "v/turnIndex", F.col("turn_idx"),
-            False),
-    )).alias("l")).select("l.*")
     conv_type = (turns.select("conv_id").distinct()
                  .select(lnk(F.concat(F.lit(BASE + "transcript/"),
                                       F.col("conv_id")),

@@ -13,9 +13,11 @@ Two deterministic sources, no external data:
   volume (millions of turns), all column expressions (xxhash64-seeded
   choices), zero Python in the row path.
 
-Both emit rows deliberately OUT of turn order (hash-shuffled) so stable
-turn reordering (window rank over (conv_id, turn_idx)) is actually
-exercised, per the per-turn-text-equality invariant.
+Both emit rows OUT of per-conversation turn order (the id→conv mapping
+interleaves conversations row-by-row) so stable turn reordering (window
+rank over (conv_id, turn_idx)) is actually exercised, per the
+per-turn-text-equality invariant.  Row order is unspecified — consumers
+must never rely on physical layout.
 """
 
 from __future__ import annotations
@@ -53,10 +55,17 @@ def transcripts_from_documents(spark: SparkSession, sf_dir: str,
         (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
          + F.make_interval(mins=F.col("doc_id").cast("int"))).alias("ts"),
     )
-    # deliberately break physical ordering (tests must not rely on the
-    # parquet row layout; the window rank restores order). Partition count
-    # follows spark.sql.shuffle.partitions — never a hardcoded width.
-    return out.repartition(F.xxhash64("conv_id", "turn_idx"))
+    # Round 7: the hash-repartition that used to sit here (a deliberate
+    # physical scramble) was a full exchange of every row INCLUDING the
+    # fat text column, paid by every consumer of this derivation — the
+    # classic "shuffle only to make output deterministically disordered"
+    # of guide §2.4.  It is gone: the derivation itself already breaks
+    # per-conversation adjacency (conv_id = doc_id % C interleaves
+    # conversations row-by-row), the window rank is order-insensitive
+    # ((conv_id, turn_idx) is unique), and the synthetic bench source
+    # below never scrambled either.  Consumers must keep treating row
+    # order as unspecified.
+    return out
 
 
 def synthetic_transcripts(spark: SparkSession, n_convs: int = 1000,
