@@ -75,9 +75,12 @@ def _q_follow_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         nation_links(spark, sf_dir)))
     start = links.select(F.col("origin").alias("node")).distinct().filter(
         F.col("node").startswith(BASE + "customer/"))
+    # broadcast_hops: each hop table is one rel's links over the small
+    # nation/region model — known-broadcastable, so the hint skips the
+    # exchange AQE would otherwise materialize before deciding (r07)
     hops = ops.follow_hops(links, start,
                            [BASE + "inNation", BASE + "inRegion",
-                            BASE + "hasName"])
+                            BASE + "hasName"], broadcast_hops=True)
     return hops.select(F.col("node").alias("customer"),
                        F.col("target").alias("region_name"))
 

@@ -392,13 +392,27 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
     banded = sig.select("doc_id", "simhash",
                         F.explode(F.array(*band_cols)).alias("bb")) \
                 .select("doc_id", "simhash", "bb.band", "bb.bucket")
-    left = banded.select(F.col("doc_id").alias("a"),
-                         F.col("simhash").alias("sig_a"), "band", "bucket")
-    right = banded.select(F.col("doc_id").alias("b"),
-                          F.col("simhash").alias("sig_b"), "band", "bucket")
-    pairs = (left.join(right, ["band", "bucket"])
-             .filter(F.col("a") < F.col("b"))
-             .select("a", "b", "sig_a", "sig_b").distinct())
+    # Round 7: bucket-membership grouping instead of the banded
+    # self-join (same rewrite as minhash_lsh_candidates): the join form
+    # computed the whole signature DAG twice — once per side — and
+    # exchanged both; one groupBy computes it once, and pairs expand
+    # in-row from the sorted membership list (a < b by construction,
+    # identical pair set — parity-tested).
+    members = F.array_sort(F.collect_list(F.struct("doc_id", "simhash")))
+    pair_structs = F.flatten(F.transform(
+        F.col("_m"),
+        lambda x, i: F.transform(
+            F.slice(F.col("_m"), i + 2,
+                    F.greatest(F.size(F.col("_m")) - i - 1, F.lit(0))),
+            lambda y: F.struct(x["doc_id"].alias("a"),
+                               y["doc_id"].alias("b"),
+                               x["simhash"].alias("sig_a"),
+                               y["simhash"].alias("sig_b")))))
+    pairs = (banded.groupBy("band", "bucket")
+             .agg(members.alias("_m"))
+             .filter(F.size("_m") >= 2)
+             .select(F.explode(pair_structs).alias("p"))
+             .select("p.a", "p.b", "p.sig_a", "p.sig_b").distinct())
     if hash_family == "xxhash64":
         hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     else:
@@ -617,28 +631,49 @@ def dedup_embeddings(emb: DataFrame, id_col: str = "vec_id",
     base = emb.select(F.col(id_col).alias("vec_id"),
                       vec64.alias("v"),
                       _norm(vec64).alias("nv"))
-    pair_parts = []
+    # Round 7: candidate discovery via ONE groupBy over the tagged union
+    # of all tables' bucket assignments, instead of a per-table
+    # self-join.  The join form evaluated each table's signature DAG
+    # twice (once per side) and verified a pair once PER TABLE it
+    # co-bucketed in; now each signature computes once, bucket
+    # memberships collect only vec_ids (vectors never ride the candidate
+    # exchange — guide §2.3, shuffle keys not payloads), and each
+    # distinct candidate pair pays exactly one cosine, attached by two
+    # id-joins against the vector table.  Same surviving pair set:
+    # cosine is a pure pair function, so verify-then-distinct ==
+    # distinct-then-verify.
+    banded_parts = []
     for t in range(n_tables):
         planes = hyperplanes(dim, n_planes, seed + t)
-        b = random_hyperplane_signatures(base, "v", planes,
+        banded_parts.append(
+            random_hyperplane_signatures(base, "v", planes,
                                          round_digits=round_digits)
-        left = b.select(F.col("vec_id").alias("a"),
-                        F.col("v").alias("va"), F.col("nv").alias("na"),
-                        "bucket")
-        right = b.select(F.col("vec_id").alias("b"),
-                         F.col("v").alias("vb"), F.col("nv").alias("nb"),
-                         "bucket")
-        pair_parts.append(
-            left.join(right, "bucket").filter(F.col("a") < F.col("b"))
-            .withColumn("cosine",
-                        F.round(_dot(F.col("va"), F.col("vb"))
-                                / (F.col("na") * F.col("nb")), 6))
-            .filter(F.col("cosine") >= threshold)
-            .select("a", "b"))
-    pairs = pair_parts[0]
-    for p in pair_parts[1:]:
-        pairs = pairs.unionByName(p)
-    pairs = pairs.distinct()
+            .select("vec_id", F.concat(F.lit(f"{t}:"), "bucket")
+                    .alias("bucket")))
+    banded = banded_parts[0]
+    for p in banded_parts[1:]:
+        banded = banded.unionByName(p)
+    ids = F.array_sort(F.collect_list("vec_id"))
+    cand_pairs = F.flatten(F.transform(
+        F.col("_ids"),
+        lambda x, i: F.transform(
+            F.slice(F.col("_ids"), i + 2,
+                    F.greatest(F.size(F.col("_ids")) - i - 1, F.lit(0))),
+            lambda y: F.struct(x.alias("a"), y.alias("b")))))
+    cands = (banded.groupBy("bucket").agg(ids.alias("_ids"))
+             .filter(F.size("_ids") >= 2)
+             .select(F.explode(cand_pairs).alias("p"))
+             .select("p.a", "p.b").distinct())
+    va = base.select(F.col("vec_id").alias("a"), F.col("v").alias("va"),
+                     F.col("nv").alias("na"))
+    vb = base.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"),
+                     F.col("nv").alias("nb"))
+    pairs = (cands.join(va, "a").join(vb, "b")
+             .withColumn("cosine",
+                         F.round(_dot(F.col("va"), F.col("vb"))
+                                 / (F.col("na") * F.col("nb")), 6))
+             .filter(F.col("cosine") >= threshold)
+             .select("a", "b"))
     cc = connected_components(pairs)
     drop = (cc.filter(F.col("doc_id") != F.col("component"))
             .select(F.col("doc_id").alias(id_col)))

@@ -106,9 +106,22 @@ def _unlinked_fallback_cols(ent_col: str, canon_col: str):
     """The three output columns every linker shares: ``linked``,
     ``canonical`` (surface fallback), ``entity_iri`` (dictionary hit, or
     the deterministic fingerprint ID under entity/unlinked/).  Only
-    misses pay the hash UDF; non-ASCII surfaces route through the UDF's
-    json.dumps path so the \\uXXXX escaping matches the reference
-    byte-for-byte."""
+    misses pay the hash UDF's *compute* (null inputs short-circuit inside
+    the kernel); every row still crosses the Arrow boundary because
+    Catalyst lifts the UDF into an unconditional ArrowEvalPython node.
+
+    Round-7 note (measured, kept as-is): a hit/miss split-union variant
+    (UDF only on the miss branch — zero Arrow rows for an all-hits
+    corpus) was built and ABBA'd on the kg_mentions derivation at sf0.1:
+    0.88 s (this form) vs 1.16 s (split).  The split references the
+    joined frame twice, so the whole upstream extraction DAG executes
+    once per branch — and re-scanning the corpus costs more than
+    shipping two thin mostly-null columns through Arrow.  The same
+    trade holds at scale whenever upstream is a fresh corpus scan;
+    callers that already hold a materialized mention table and expect
+    heavy miss rates can still pre-split manually.  Non-ASCII surfaces
+    route through the UDF's json.dumps path so the \\uXXXX escaping
+    matches the reference byte-for-byte."""
     ascii_safe = F.col("surface").rlike(_ASCII_SAFE)
     miss = F.col(ent_col).isNull()
     plaintext = F.when(

@@ -154,13 +154,22 @@ def origin_view(df: DataFrame) -> DataFrame:
 
 
 def follow_hops(df: DataFrame, start: DataFrame, rels: Iterable[str],
-                start_col: str = "node") -> DataFrame:
+                start_col: str = "node",
+                broadcast_hops: bool = False) -> DataFrame:
     """Bulk multi-hop traversal: from each row of *start* (column
     *start_col*), follow rel₁ then rel₂ … returning (``node``, ``target``,
     ``t_iri``, ``attrs``) landing rows.  Spark form of the reference's
     ``follow`` action loop (pipeline/other_actions.py:295-329) as chained
     equi-joins; a 1-hop follow against a small model should pass
-    ``F.broadcast(df)``."""
+    ``F.broadcast(df)``.
+
+    ``broadcast_hops=True`` hints every per-rel hop table as a broadcast
+    side (guide §3.1: size *estimates* after a rel filter are often
+    wrong, so AQE discovers broadcastability only after materializing an
+    exchange — the explicit hint skips that exchange).  Opt-in because
+    only the caller knows whether a single rel's links fit the broadcast
+    budget; the default keeps AQE's adaptive choice for arbitrarily
+    large models."""
     rels = list(rels)
     if not rels:
         raise ValueError("follow_hops needs at least one rel (an empty "
@@ -175,6 +184,8 @@ def follow_hops(df: DataFrame, start: DataFrame, rels: Iterable[str],
                        F.col("t_iri").alias("_ti"),
                        F.col("attrs").alias("_at"),
                        F.col("link_ix").alias("_ix")))
+        if broadcast_hops:
+            hop = F.broadcast(hop)
         frontier = (frontier.select("node", "_cur").join(hop, "_cur")
                     .select("node", F.col("_nxt").alias("_cur"),
                             F.col("_ti").alias("t_iri"),
