@@ -118,6 +118,44 @@ def test_conversation_links_project_late_shape(spark):
     assert rows == want
 
 
+def test_config_guard_rejects_rels_prefix(spark, tmp_path):
+    """Advice fix: a job whose relations tuple is a comma-PREFIX of the
+    base's must refuse append_batch (the old substring check passed)."""
+    import pytest
+    from versa_spark.kg.job import KGJob
+    from versa_spark.kg.transcripts import transcripts_from_documents
+    tx = transcripts_from_documents(spark, "/root/testdata/sf0.001")
+    base = KGJob(spark, str(tmp_path / "kg"), n_buckets=2,
+                 relations=("is", "has"))
+    base.run(tx.filter(F.col("conv_id") != "conv-0"),
+             input_fingerprint="base")
+    narrower = KGJob(spark, str(tmp_path / "kg"), n_buckets=2,
+                     relations=("is",))
+    with pytest.raises(ValueError, match="does not match"):
+        narrower.append_batch(tx.filter(F.col("conv_id") == "conv-0"),
+                              "b1", input_fingerprint="b1")
+    # same config still appends fine
+    again = KGJob(spark, str(tmp_path / "kg"), n_buckets=2,
+                  relations=("is", "has"))
+    again.append_batch(tx.filter(F.col("conv_id") == "conv-0"),
+                       "b1", input_fingerprint="b1")
+
+
+def test_turn_relations_normalizes_caller_verbs(spark):
+    """Advice fix: '--relations Uses' (case/space sloppy) must match the
+    lowercased text scan instead of silently yielding zero triples."""
+    import pytest
+    from versa_spark.kg import extract
+    t = spark.createDataFrame(
+        [("c", 0, "spark Uses the table")],
+        "conv_id string, turn_idx int, text string").withColumn(
+        "turn_iri", F.lit("t/c/0"))
+    rows = extract.turn_relations(t, verbs=(" Uses ",)).collect()
+    assert [r.verb for r in rows] == ["uses"]
+    with pytest.raises(ValueError, match="non-empty"):
+        extract.turn_relations(t, verbs=("  ",))
+
+
 def test_graph_triples_unique_without_distinct(spark):
     """The dropped .distinct() is only sound if build_graph emits unique
     (origin, rel, target) rows — assert it on a derivation with aliases,
