@@ -392,6 +392,12 @@ def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted = docs.select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" appended")).alias("text"))
+    # r07 A/B note: fanning `both` out to defaultParallelism before the
+    # dedup call was measured (ABBA, 6 laps each) at 3.26 s median vs
+    # 2.90 s for the single-partition form at sf0.1 — at 400 rows the
+    # extra exchange and the 32-task waves it adds to every downstream
+    # stage cost more than the parallelism buys, so the sort-limit's
+    # natural single partition stays.
     both = docs.select("doc_id", "text").unionByName(planted)
     return dedup.minhash_lsh_candidates(
         both, verify_threshold=0.8, hash_family="md5",

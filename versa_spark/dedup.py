@@ -253,20 +253,10 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
     K² rows anyway."""
     banded = _banded_signatures(df, id_col, text_col, k, num_hashes,
                                 bands, hash_family)
-    ids = F.array_sort(F.collect_list("doc_id"))
-    # outer lambda is BINARY on purpose: pyspark dispatches (element,
-    # index); each element pairs with every later element of the sorted
-    # membership list, so a < b holds by construction
-    pairs = F.flatten(F.transform(
-        F.col("_ids"),
-        lambda x, i: F.transform(
-            F.slice(F.col("_ids"), i + 2,
-                    F.greatest(F.size(F.col("_ids")) - i - 1, F.lit(0))),
-            lambda y: F.struct(x.alias("a"), y.alias("b")))))
     cands = (banded.groupBy("band", "bucket")
-             .agg(ids.alias("_ids"))
+             .agg(F.array_sort(F.collect_list("doc_id")).alias("_ids"))
              .filter(F.size("_ids") >= 2)
-             .select(F.explode(pairs).alias("p"))
+             .select(F.explode(_pair_expand("_ids")).alias("p"))
              .select("p.a", "p.b").distinct())
     if verify_threshold is None:
         return cands
@@ -476,12 +466,14 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
     pending: list = []
     for i in range(max_iters):
         rounds += 1
+        lab = labels.select("node", "component")
         # 1. hook: candidate label = min(own, min over neighbors' labels)
-        nbr = (edges.join(labels.withColumnRenamed("node", "y"), "y")
+        nbr = (edges.join(lab.withColumnRenamed("node", "y"), "y")
                .groupBy("x").agg(F.min("component").alias("nbr_min"))
                .withColumnRenamed("x", "node"))
-        hooked = (labels.join(nbr, "node", "left")
+        hooked = (lab.join(nbr, "node", "left")
                   .select("node",
+                          F.col("component").alias("_old"),
                           F.least(F.col("component"),
                                   F.coalesce(F.col("nbr_min"),
                                              F.col("component")))
@@ -494,16 +486,20 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
         doubled = (hooked.join(parent,
                                hooked["component"] == parent["_p"], "left")
                    .select("node",
-                           F.coalesce("_pc", "component").alias("component")))
+                           F.coalesce("_pc", "component").alias("component"),
+                           # convergence flag rides the label table so the
+                           # per-round check below is a scan of the
+                           # just-materialized blocks, not the extra
+                           # old⋈new join per round it used to be (r07 —
+                           # one fewer join job every round)
+                           (F.coalesce("_pc", "component")
+                            != F.col("_old")).alias("_chg")))
         new_is_ckpt = (i + 1) % checkpoint_every == 0
         if new_is_ckpt:
             new_labels = doubled.localCheckpoint(eager=True)
         else:
             new_labels = doubled.persist()
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .filter(F.col("n.component") != F.col("o.component"))
-                   .limit(1).count())
+        changed = new_labels.filter(F.col("_chg")).limit(1).count()
         # the previous round's table is dead once `changed` materialized,
         # BUT its blocks may only be freed once a lineage-truncating
         # checkpoint exists downstream (see `pending` above); a k-round
@@ -530,6 +526,19 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
             f"(pointer-doubling needs ~log2(n); raise max_iters)")
     out = labels.select(F.col("node").alias("doc_id"), "component")
     return (out, rounds) if with_rounds else out
+
+
+def _pair_expand(ids_col: str):
+    """Shared in-row pair expansion over a sorted membership array:
+    struct pairs (a, b) with a < b, every element against every later
+    element.  The outer transform lambda is BINARY on purpose — pyspark
+    dispatches (element, index)."""
+    return F.flatten(F.transform(
+        F.col(ids_col),
+        lambda x, i: F.transform(
+            F.slice(F.col(ids_col), i + 2,
+                    F.greatest(F.size(F.col(ids_col)) - i - 1, F.lit(0))),
+            lambda y: F.struct(x.alias("a"), y.alias("b")))))
 
 
 def merge_duplicates(links: DataFrame, pairs: DataFrame,
@@ -653,16 +662,10 @@ def dedup_embeddings(emb: DataFrame, id_col: str = "vec_id",
     banded = banded_parts[0]
     for p in banded_parts[1:]:
         banded = banded.unionByName(p)
-    ids = F.array_sort(F.collect_list("vec_id"))
-    cand_pairs = F.flatten(F.transform(
-        F.col("_ids"),
-        lambda x, i: F.transform(
-            F.slice(F.col("_ids"), i + 2,
-                    F.greatest(F.size(F.col("_ids")) - i - 1, F.lit(0))),
-            lambda y: F.struct(x.alias("a"), y.alias("b")))))
-    cands = (banded.groupBy("bucket").agg(ids.alias("_ids"))
+    cands = (banded.groupBy("bucket")
+             .agg(F.array_sort(F.collect_list("vec_id")).alias("_ids"))
              .filter(F.size("_ids") >= 2)
-             .select(F.explode(cand_pairs).alias("p"))
+             .select(F.explode(_pair_expand("_ids")).alias("p"))
              .select("p.a", "p.b").distinct())
     va = base.select(F.col("vec_id").alias("a"), F.col("v").alias("va"),
                      F.col("nv").alias("na"))

@@ -423,8 +423,17 @@ def turn_relations(turns: DataFrame,
                                for x in (s, LEXICON[s])])
     # verbs are caller-supplied (CLI --relations): escape each so a
     # metacharacter ('c++', 'a.b') can't blow up — or silently loosen —
-    # the compiled alternation deep inside the stage
+    # the compiled alternation deep inside the stage.  r07 (advice fix):
+    # verbs are matched against lower(text), so normalize them to
+    # stripped lowercase too — '--relations Uses' used to compile a
+    # case-sensitive alternation that could never match and silently
+    # yielded zero relation triples.
     import re as _re
+    verbs = tuple(dict.fromkeys(
+        v.strip().lower() for v in verbs if v and v.strip()))
+    if not verbs:
+        raise ValueError("turn_relations needs at least one non-empty "
+                         "verb (after strip/lowercase normalization)")
     verb_pat = r"\b(" + "|".join(
         _re.escape(v) for v in sorted(verbs, key=len, reverse=True)) \
         + r")\b"

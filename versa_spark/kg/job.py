@@ -438,22 +438,30 @@ class KGJob:
         combined views — run() recomputes on config change, so the
         incremental paths must refuse instead."""
         base_fp = manifest.get("turns", {}).get("input_fingerprint", "")
-        for token, present in (
-                (f"/dict={self._dictionary_digest()}"
-                 if self.dictionary is not None else "/dict=",
-                 self.dictionary is not None),
-                (f"/rels={','.join(self.relations)}"
-                 if self.relations else "/rels=", bool(self.relations))):
-            if present and token not in base_fp:
+        # r07 (advice fix): compare the FULL value of each config segment
+        # for exact equality instead of substring containment — under the
+        # old check a job with rels=('is',) matched a base built with
+        # rels=is,has (comma-prefix), silently mixing connector configs
+        # in the combined table() view.  Segments are parsed on '/' (the
+        # same separator _effective_fp appends with); a user fingerprint
+        # that itself contains '/dict=' or '/rels=' remains ambiguous and
+        # is documented as reserved.
+        base_segs = base_fp.split("/")
+        base_dict = [s[len("dict="):] for s in base_segs
+                     if s.startswith("dict=")]
+        base_rels = [s[len("rels="):] for s in base_segs
+                     if s.startswith("rels=")]
+        want_dict = ([self._dictionary_digest()]
+                     if self.dictionary is not None else [])
+        want_rels = [",".join(self.relations)] if self.relations else []
+        for kind, base_v, want_v in (("dict", base_dict, want_dict),
+                                     ("rels", base_rels, want_rels)):
+            if base_v != want_v:
                 raise ValueError(
-                    f"this job's config ({token.strip('/')}) does not "
-                    f"match the base run's fingerprint {base_fp!r}; "
-                    "rebuild or construct the job with the base config")
-            if not present and token in base_fp:
-                raise ValueError(
-                    f"the base run was built with {token.strip('/')}… "
-                    f"({base_fp!r}) but this job was constructed "
-                    "without it")
+                    f"this job's config ({kind}={want_v or 'absent'}) "
+                    f"does not match the base run's fingerprint "
+                    f"{base_fp!r} ({kind}={base_v or 'absent'}); rebuild "
+                    "or construct the job with the base config")
 
     def _committed_relations(self, batch_id: str | None) -> DataFrame | None:
         """Relation triples already committed by the base run or a batch

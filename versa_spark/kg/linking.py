@@ -250,9 +250,12 @@ def resolve_aliases(mentions: DataFrame, surface_col: str = "surface",
     :func:`link_entities` / ``build_graph(dictionary=…)`` as a
     broadcastable dictionary.
 
-    Canonical per cluster = the most frequent surface (ties: smallest
-    normalized, then smallest raw — deterministic under any
-    partitioning).  Returns (surface, canonical, entity_iri,
+    Canonical per cluster = the most frequent surface (ties: shortest
+    raw surface, then lexicographically smallest raw surface —
+    deterministic under any partitioning; r07 advice fix aligned this
+    doc with the implemented window order, which ranks by
+    ``length(surface), surface``, not by the normalized key).
+    Returns (surface, canonical, entity_iri,
     n_mentions, cluster_size)."""
     from versa_spark.dedup import connected_components
 
