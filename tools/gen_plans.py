@@ -45,10 +45,11 @@ window sort is absent from the triple-build plan. Regenerate with
     df = e.queries()["kg_graph_triples"](spark, sf); df.count()
     section("KG triple build (flagship)", df,
             "No Window operator (rank pruned — not consumed by link "
-            "generation); the mention UDF appears once (ArrowEvalPython); "
-            "the entity dictionary joins as BroadcastHashJoin; the fat "
-            "text column never reaches a persist or exchange beyond the "
-            "initial scan.")
+            "generation); round 7: the mention scan is a pure JVM regexp "
+            "column expression, so there is NO Python evaluation node in "
+            "the whole plan; the fat text column never reaches a persist "
+            "or exchange beyond the initial scan, and the former trailing "
+            "distinct over already-unique triples is gone.")
 
     from versa_spark.kg import canonicalize, extract, linking
     from versa_spark.kg.transcripts import (ordered_turns,
@@ -89,12 +90,11 @@ window sort is absent from the triple-build plan. Regenerate with
             "alias collapse happens in-plan (array_distinct over "
             "canonical indices) before the explode, and (conv_id, "
             "turn_idx) uniquely keys turns — the mention-link plan adds "
-            "NO Exchange: cached extraction scan → explode → project. "
-            "The one Exchange visible below (REPARTITION_BY_COL) is the "
-            "test fixture's deliberate input hash-shuffle inside "
-            "transcripts_from_documents, upstream of the persist "
-            "boundary; the triple build's former dominant dedup shuffle "
-            "is gone.")
+            "NO Exchange: scan → extraction → explode → project.  "
+            "Round 7: the extraction is a pure JVM regexp column "
+            "expression (no ArrowEvalPython anywhere), and the fixture's "
+            "input hash-shuffle is gone too, so the path is exchange- "
+            "free end to end.")
 
     df = e.queries()["kg_mentions_bigdict"](spark, sf); df.count()
     section("large-dictionary mention detection (token n-gram ⋈ gazetteer)",
@@ -214,15 +214,12 @@ window sort is absent from the triple-build plan. Regenerate with
     section("co-occurrence from zero-exchange entity sets", pmi_s,
             "The sets producer (turn_entity_iri_sets, audited here "
             "through the driver's own _kg_entity_sets derivation) is "
-            "pure map-side — the mention UDF, tinyint canonicalization, "
-            "and IRI mapping all happen in-row, so the collect_set "
-            "corpus Exchange of the mention-row path vanishes entirely; "
-            "the only exchanges the OPERATOR adds are the pair-sized "
-            "and entity-sized aggregations.  (The REPARTITION_BY_COL "
-            "exchange visible in the scan subtree is the documents→"
-            "transcripts FIXTURE shuffle, same as the mention-links "
-            "section above — a real transcript table is read already "
-            "partitioned.)  This is the default driver/CLI path since "
+            "pure map-side — the mention scan (JVM regexp since r7), "
+            "tinyint canonicalization and IRI mapping all happen "
+            "in-row, so the collect_set corpus Exchange of the "
+            "mention-row path vanishes entirely; the only exchanges the "
+            "OPERATOR adds are the pair-sized and entity-sized "
+            "aggregations.  This is the default driver/CLI path since "
             "round 5 (37.5 s → 5.1 s at 4M turns).")
 
     tri = analytics.triangle_stats(

@@ -871,32 +871,29 @@ def decontaminate_fuzzy(corpus: DataFrame, benchmark: DataFrame,
     # semi-joins + the pair join); persist so discovery runs once
     cands = cands.persist()
     try:
-        # semi-join the DOC rows before shingling (a semi-join on the
-        # exploded table can't push below the Generate): verify then
-        # re-shingles only candidate docs — at a 2% contamination rate
-        # that is 50× less explode work than scoping after the explode
-        c_sh = shingles(
-            c.join(cands.select(F.col("a").alias("doc_id")).distinct(),
-                   "doc_id", "left_semi"), "doc_id", "text", k)
-        b_sh = shingles(
-            b.join(cands.select(F.col("b").alias("doc_id")).distinct(),
-                   "doc_id", "left_semi"), "doc_id", "text", k)
-        sizes_a = c_sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-        sizes_b = b_sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-        inter = (cands
-                 .join(c_sh.select(F.col("doc_id").alias("a"), "shingle"),
-                       "a")
-                 .join(b_sh.select(F.col("doc_id").alias("b"), "shingle"),
-                       ["b", "shingle"])
-                 .groupBy("a", "b").agg(F.count("*").alias("n_inter")))
-        matched = (inter
-                   .join(sizes_a.select(F.col("doc_id").alias("a"),
-                                        F.col("n_sh").alias("n_a")), "a")
-                   .join(sizes_b.select(F.col("doc_id").alias("b"),
-                                        F.col("n_sh").alias("n_b")), "b")
+        # semi-join the DOC rows before shingling (a semi-join on an
+        # exploded table can't push below the Generate): verify touches
+        # only candidate docs — at a 2% contamination rate that is 50×
+        # less shingle work than scoping after the fact.  r07: same
+        # in-row rewrite as ngram_jaccard_pairs(candidates=…) — shingles
+        # stay per-doc arrays and the per-pair intersection is one
+        # array_intersect, collapsing the exploded per-pair shingle
+        # equi-join + count + two size joins into two pair joins.
+        c_sh = (c.join(cands.select(F.col("a").alias("doc_id")).distinct(),
+                       "doc_id", "left_semi")
+                .select(F.col("doc_id").alias("a"),
+                        shingle_array("text", k).alias("_sh_a")))
+        b_sh = (b.join(cands.select(F.col("b").alias("doc_id")).distinct(),
+                       "doc_id", "left_semi")
+                .select(F.col("doc_id").alias("b"),
+                        shingle_array("text", k).alias("_sh_b")))
+        matched = (cands.join(c_sh, "a").join(b_sh, "b")
+                   .withColumn("n_inter",
+                               F.size(F.array_intersect("_sh_a", "_sh_b")))
+                   .filter(F.col("n_inter") > 0)
                    .withColumn("jaccard",
                                F.col("n_inter")
-                               / (F.col("n_a") + F.col("n_b")
+                               / (F.size("_sh_a") + F.size("_sh_b")
                                   - F.col("n_inter")))
                    .filter(F.col("jaccard") >= threshold)
                    .select(F.col("a").alias("corpus_id"),
