@@ -488,7 +488,19 @@ def conversation_links(turns: DataFrame) -> DataFrame:
     inverted: build payloads late).  Same rows; but consumers that never
     read the strings — count()-shaped actions, semi-joins on other
     columns — now prune the concat work away entirely, and full
-    materializations skip the per-row 4-struct array allocation."""
+    materializations skip the per-row 4-struct array allocation.
+
+    ``turn_iri`` is rebuilt from (conv_id, turn_idx) when the input
+    doesn't carry it (byte-identical to the ordered_turns construction):
+    build_graph's persisted slim frame deliberately drops the ~50-byte
+    IRI string so it never occupies cache — it is a pure function of the
+    key columns and cheaper to re-derive above the cache scan than to
+    store (and count-shaped consumers then never build it at all)."""
+    if "turn_iri" not in turns.columns:
+        from versa_spark.kg.transcripts import TURN_IRI_PREFIX
+        turns = turns.withColumn(
+            "turn_iri", F.concat(F.lit(TURN_IRI_PREFIX), F.col("conv_id"),
+                                 F.lit("/"), F.col("turn_idx")))
     conv_iri = F.concat(F.lit(BASE + "transcript/"), F.col("conv_id"))
 
     # Per-turn links are unique by construction (one turn_iri per row), so

@@ -42,7 +42,11 @@ def build_graph(spark: SparkSession, turns: DataFrame,
     ``turns`` may or may not carry ``turn_rank``; no link family consumes
     it, so it is dropped here and Catalyst prunes the rank window out of
     the triple-build plan entirely (the ranked view stays available via
-    ordered_turns / turn_order where rank IS consumed).
+    ordered_turns / turn_order where rank IS consumed).  Since r07 the
+    returned ``turns`` frame (the persisted slim frame) also omits
+    ``turn_iri`` and ``ts``: the IRI is a pure function of
+    (conv_id, turn_idx) that consumers re-derive in-plan, and no link
+    family reads the timestamp — both were pure cache weight.
 
     Multiplicity caveat on ``linked``: the default (built-in lexicon)
     path derives it from per-turn DISTINCT entity ids (``eids`` holds
@@ -80,7 +84,16 @@ def build_graph(spark: SparkSession, turns: DataFrame,
     if dictionary is not None:
         parts = _build_graph_generic(spark, turns, persist, dictionary)
         return _with_relations(parts, turns, relations)
-    te = extract.turn_entity_ids(turns.drop("turn_rank"))
+    # r07: the persisted slim frame also drops ``turn_iri`` (a ~50-byte
+    # string that is a pure function of (conv_id, turn_idx) —
+    # conversation_links re-derives it above the cache, and
+    # mention_links_from_eids always built its own) and ``ts`` (no link
+    # family consumes it; for the synthetic source, dropping it before
+    # extraction prunes the timestamp expressions out of the plan
+    # entirely).  Cache bytes per row drop by more than half, which both
+    # speeds the persist and shrinks the per-lap memory churn the bench
+    # host punishes (OPTIMIZATION_r07.md §6).
+    te = extract.turn_entity_ids(turns.drop("turn_rank", "turn_iri", "ts"))
     if persist:
         te = te.persist()
     graph = (extract.conversation_links(te.drop("eids"))
@@ -132,7 +145,7 @@ def _build_graph_bigdict(spark: SparkSession, turns: DataFrame,
     m = extract.turn_mentions_bigdict(turns.drop("turn_rank", "turn_iri"),
                                       dictionary, **detect_opts)
     linked = m.select("conv_id", "turn_idx", "canonical", "entity_iri")
-    turns_slim = turns.drop("text", "turn_rank")
+    turns_slim = turns.drop("text", "turn_rank", "turn_iri", "ts")
     if persist:
         linked = linked.persist()
         turns_slim = turns_slim.persist()
@@ -150,7 +163,7 @@ def _build_graph_generic(spark: SparkSession, turns: DataFrame,
     # the graph link families consume only these four columns — keeping
     # the cached rows narrow is what lets the persist fit at bench scale
     linked = linked.select("conv_id", "turn_idx", "canonical", "entity_iri")
-    turns_slim = turns.drop("text", "turn_rank")
+    turns_slim = turns.drop("text", "turn_rank", "turn_iri", "ts")
     if persist:
         linked = linked.persist()
         turns_slim = turns_slim.persist()
