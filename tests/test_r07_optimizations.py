@@ -168,3 +168,98 @@ def test_graph_triples_unique_without_distinct(spark):
     g = build_graph(spark, turns)["graph"].select("origin", "rel", "target")
     total = g.count()
     assert total == g.distinct().count()
+
+
+def test_sql_string_minhash_matches_builder_form(spark):
+    """Round-7 2nd pass: minhash signatures / banding / shingles are
+    assembled as single F.expr SQL strings (one py4j round trip) instead
+    of per-hash builder listcomps.  Assert the SQL form computes exactly
+    what the original builder expressions computed, on texts covering
+    null/empty/multi-space/unicode/short-doc edges."""
+    from versa_spark import dedup
+
+    df = _texts_df(spark).select(F.col("rid").alias("doc_id"),
+                                 F.coalesce("text", F.lit("pad")).alias("text"))
+
+    # builder twins (the pre-rewrite construction, verbatim)
+    def builder_shingles(text_col="text", k=3):
+        words = F.split(
+            F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "),
+            " ")
+        n = F.size(words)
+        idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+        sh = F.transform(idx, lambda i: F.concat_ws(
+            " ", F.slice(words, i + 1, k)))
+        return F.array_distinct(
+            F.when(n >= k, sh).otherwise(F.array(F.concat_ws(" ", words))))
+
+    got_sh = [r[0] for r in df.select(dedup.shingle_array("text")).collect()]
+    exp_sh = [r[0] for r in df.select(builder_shingles("text")).collect()]
+    assert got_sh == exp_sh
+
+    sh = df.select("doc_id",
+                   F.explode(builder_shingles("text")).alias("shingle"))
+    for fam in ("xxhash64", "md5"):
+        if fam == "xxhash64":
+            aggs = [F.min(F.xxhash64(F.col("shingle"), F.lit(i)))
+                    .alias(f"h{i}") for i in range(64)]
+            src = sh
+        else:
+            a = F.conv(F.substring(F.md5(F.col("shingle")), 1, 12),
+                       16, 10).cast("long")
+            b = F.conv(F.substring(
+                F.md5(F.concat(F.lit("b:"), F.col("shingle"))), 1, 12),
+                16, 10).cast("long")
+            src = sh.select("doc_id", a.alias("_ha"), b.alias("_hb"))
+            aggs = [F.min((F.col("_ha") + i * F.col("_hb"))
+                          .bitwiseAND(F.lit(dedup._MD5_MASK))).alias(f"h{i}")
+                    for i in range(64)]
+        exp = {r.doc_id: r.sig for r in
+               src.groupBy("doc_id").agg(*aggs)
+               .select("doc_id", F.array(*[F.col(f"h{i}")
+                                           for i in range(64)]).alias("sig"))
+               .collect()}
+        got = {r.doc_id: r.sig for r in
+               dedup.minhash_signatures(df, hash_family=fam).collect()}
+        assert got == exp, fam
+
+        bucket_of = ((lambda e: F.xxhash64(e)) if fam == "xxhash64"
+                     else F.md5)
+        sig = dedup.minhash_signatures(df, hash_family=fam)
+        exp_b = sorted(map(tuple, sig.select(
+            "doc_id",
+            F.explode(F.array(*[
+                F.struct(F.lit(bb).alias("band"),
+                         bucket_of(F.concat_ws(
+                             ",", *[F.col("sig")[bb * 4 + r].cast("string")
+                                    for r in range(4)])).alias("bucket"))
+                for bb in range(16)])).alias("bb"))
+            .select("doc_id", "bb.band", "bb.bucket").collect()))
+        got_b = sorted(map(tuple, dedup._banded_signatures(
+            df, "doc_id", "text", 3, 64, 16, fam).collect()))
+        assert got_b == exp_b, fam
+
+
+def test_verify_candidates_distinct_fast_path(spark):
+    """candidates_distinct=True must emit the same verified pairs as the
+    re-distinct default, including when the caller's frame has duplicate
+    candidate rows (then only the default dedups them — assert both
+    contracts)."""
+    from versa_spark import dedup
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),
+         (2, "alpha beta gamma delta epsilon"),
+         (3, "totally different text here now"),
+         (4, "alpha beta gamma delta zeta")],
+        "doc_id long, text string")
+    cands = spark.createDataFrame([(1, 2), (1, 4)], "a long, b long")
+    base = sorted(map(tuple, dedup.ngram_jaccard_pairs(
+        docs, threshold=0.5, candidates=cands).collect()))
+    fast = sorted(map(tuple, dedup.ngram_jaccard_pairs(
+        docs, threshold=0.5, candidates=cands,
+        candidates_distinct=True).collect()))
+    assert base == fast and len(base) == 2
+    # duplicated candidate rows: default dedups, fast path double-scores
+    dup = cands.unionByName(cands)
+    assert sorted(map(tuple, dedup.ngram_jaccard_pairs(
+        docs, threshold=0.5, candidates=dup).collect())) == base

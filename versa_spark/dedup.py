@@ -36,19 +36,34 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
             .filter(F.col("n_docs") > 1))
 
 
+def _shingle_sql(text_col: str, k: int) -> str:
+    """SQL text of the shingle expression below — built as ONE string so
+    F.expr crosses py4j once instead of ~30 builder round trips (the
+    round-7 profile showed expression *construction* dominating the
+    small-corpus minhash laps; see minhash_signatures)."""
+    w = (f"split(regexp_replace(lower(trim(`{text_col}`)), '\\\\s+', ' '),"
+         f" ' ')")
+    return (
+        f"array_distinct(CASE WHEN size({w}) >= {k} THEN "
+        f"transform(sequence(0, greatest(size({w}) - {k}, 0)), "
+        f"_si -> concat_ws(' ', slice({w}, _si + 1, {k}))) "
+        f"ELSE array(concat_ws(' ', {w})) END)")
+
+
 def shingle_array(text_col: str = "text", k: int = 3):
     """Column expression: text → array of DISTINCT word k-shingles —
     the in-row form every shingle consumer shares.  Keeping it an array
     (instead of exploding) lets signature and verify paths stay
-    exchange-free (guide §2.4)."""
-    words = F.split(normalized_text(text_col), " ")
-    n = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    sh = F.transform(idx, lambda i: F.concat_ws(
-        " ", F.slice(words, i + 1, k)))
-    return F.array_distinct(
-        F.when(n >= k, sh).otherwise(
-            F.array(F.concat_ws(" ", words))))
+    exchange-free (guide §2.4).
+
+    Round 7 (2nd pass): the expression is assembled as one SQL string
+    (F.expr) rather than nested builder calls — semantically identical
+    tree (parity-tested in tests/test_r07_optimizations.py), but ONE
+    py4j round trip instead of ~30; with 64-hash signatures on top this
+    was the bench minhash query's dominant cost (guide §4: the
+    JVM↔Python boundary includes plan-construction chatter, not just
+    row traffic)."""
+    return F.expr(_shingle_sql(text_col, k))
 
 
 def shingles(df: DataFrame, id_col: str = "doc_id",
@@ -76,7 +91,8 @@ def _jaccard_finish(inter: DataFrame, sizes: DataFrame,
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", k: int = 3,
                         threshold: float = 0.8,
-                        candidates: DataFrame | None = None) -> DataFrame:
+                        candidates: DataFrame | None = None,
+                        candidates_distinct: bool = False) -> DataFrame:
     """Exact Jaccard over word k-shingles.  (a, b, jaccard) with a < b and
     jaccard ≥ threshold.
 
@@ -91,11 +107,20 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     if candidates is not None:
         # candidate pairs must be distinct or a pair would be scored (and
         # emitted) twice; the distinct is O(candidates) — trivial next to
-        # the joins it scopes
-        cands = candidates.select("a", "b").distinct()
-        cand_ids = (cands.select(F.col("a").alias("doc_id"))
-                    .unionByName(cands.select(F.col("b").alias("doc_id")))
-                    .distinct())
+        # the joins it scopes.  ``candidates_distinct=True`` lets a caller
+        # that already distinct-ed (minhash_lsh_candidates ends in
+        # .distinct() and persists) skip the re-aggregation: the r07
+        # 2nd-pass job trace showed the redundant Aggregate executing
+        # once per plan reference (pair join + cand_ids), each with its
+        # own exchange stage — pure scheduling latency on a tiny table.
+        cands = candidates.select("a", "b")
+        if not candidates_distinct:
+            cands = cands.distinct()
+        # one explode + one distinct instead of a two-branch union of the
+        # candidate frame (which re-executed the frame per branch): one
+        # exchange for the doc-id set, not three
+        cand_ids = (cands.select(F.explode(F.array("a", "b"))
+                    .alias("doc_id")).distinct())
         # semi-join the DOC rows, then shingle: a semi-join on an
         # exploded shingle table can't push below the Generate, so it
         # would re-explode every doc's shingles just to discard them —
@@ -169,26 +194,33 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     functions evaluate interpreted per element while this explode +
     groupBy shape runs 64 codegen'd min-aggregates, and the exchange it
     "saves" is already map-side-combined to ONE ~0.5 KB row per doc.
-    The exchange-free "ideal" loses on CPU; the aggregate form stays."""
+    The exchange-free "ideal" loses on CPU; the aggregate form stays.
+
+    Round 7 (2nd pass): the num_hashes min-aggregates are assembled as
+    ONE SQL string (F.expr over array(min(…), …)) instead of num_hashes
+    builder listcomps — the cProfile of the bench minhash lap showed
+    ~0.7 s/lap of py4j socket round trips (10k+ messages) spent just
+    CONSTRUCTING the 64-aggregate plan, more than its execution.  Same
+    Catalyst expressions (the SQL parser builds the identical Add/
+    Multiply/BitwiseAnd/Min trees; parity-tested + oracle-gated), one
+    round trip."""
     sh = shingles(df, id_col, text_col, k)
     if hash_family == "xxhash64":
-        aggs = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-                for i in range(num_hashes)]
+        mins = ",".join(f"min(xxhash64(shingle, {i}))"
+                        for i in range(num_hashes))
     elif hash_family == "md5":
-        a = F.conv(F.substring(F.md5(F.col("shingle")), 1, 12), 16, 10) \
-             .cast("long")
-        b = F.conv(F.substring(
-            F.md5(F.concat(F.lit("b:"), F.col("shingle"))), 1, 12), 16, 10) \
-             .cast("long")
-        sh = sh.select("doc_id", a.alias("_ha"), b.alias("_hb"))
-        aggs = [F.min((F.col("_ha") + i * F.col("_hb"))
-                      .bitwiseAND(F.lit(_MD5_MASK))).alias(f"h{i}")
-                for i in range(num_hashes)]
+        sh = sh.selectExpr(
+            "doc_id",
+            "cast(conv(substring(md5(shingle), 1, 12), 16, 10) as bigint)"
+            " AS _ha",
+            "cast(conv(substring(md5(concat('b:', shingle)), 1, 12), 16, 10)"
+            " as bigint) AS _hb")
+        mins = ",".join(f"min((_ha + {i} * _hb) & {_MD5_MASK})"
+                        for i in range(num_hashes))
     else:
         raise ValueError(f"unknown hash_family {hash_family!r}")
-    sig = sh.groupBy("doc_id").agg(*aggs)
-    return sig.select("doc_id", F.array(
-        *[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
+    return (sh.groupBy("doc_id")
+            .agg(F.expr(f"array({mins})").alias("sig")))
 
 
 def _banded_signatures(df: DataFrame, id_col: str, text_col: str, k: int,
@@ -210,17 +242,18 @@ def _banded_signatures(df: DataFrame, id_col: str, text_col: str, k: int,
     rows_per = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, k, num_hashes,
                              hash_family)
-    bucket_of = (lambda expr: F.xxhash64(expr)) \
-        if hash_family == "xxhash64" else F.md5
-    return sig.select(
-        "doc_id",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     bucket_of(F.concat_ws(
-                         ",", *[F.col("sig")[b * rows_per + r].cast("string")
-                                for r in range(rows_per)])).alias("bucket"))
-            for b in range(bands)])).alias("bb")
-    ).select("doc_id", "bb.band", "bb.bucket")
+    # one SQL string for the whole band/bucket explode (same py4j-chatter
+    # rationale as minhash_signatures — the 16-band struct array cost
+    # ~0.4 s/lap to CONSTRUCT via builder calls)
+    fn = "xxhash64" if hash_family == "xxhash64" else "md5"
+    structs = ",".join(
+        f"struct({b} as band, {fn}(concat_ws(',', " + ",".join(
+            f"cast(sig[{b * rows_per + r}] as string)"
+            for r in range(rows_per)) + ")) as bucket)"
+        for b in range(bands))
+    return (sig.select("doc_id",
+                       F.expr(f"explode(array({structs}))").alias("bb"))
+            .select("doc_id", "bb.band", "bb.bucket"))
 
 
 def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
@@ -271,7 +304,8 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
         # production paths through this branch.
         return ngram_jaccard_pairs(df, id_col, text_col, k,
                                    threshold=verify_threshold,
-                                   candidates=cands)
+                                   candidates=cands,
+                                   candidates_distinct=True)
     # the candidate list feeds the verify join twice (pair join + doc-id
     # semi-join); persist it so the signature/banding DAG runs once — it
     # is tiny (near-dup pairs), the whole point of LSH.  The verified
@@ -283,7 +317,8 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
     try:
         verified = ngram_jaccard_pairs(
             df, id_col, text_col, k, threshold=verify_threshold,
-            candidates=cands).localCheckpoint(eager=True)
+            candidates=cands,
+            candidates_distinct=True).localCheckpoint(eager=True)
     finally:
         cands.unpersist()
     return verified
