@@ -124,8 +124,13 @@ def _q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from versa_spark.kg.transcripts import (ordered_turns,
                                             transcripts_from_documents)
     turns = ordered_turns(transcripts_from_documents(spark, sf_dir))
+    # surface_universe: turn_mentions can only emit lexicon surfaces, so
+    # the miss-fallback IDs fold into the plan driver-side and the linker
+    # is one broadcast join with no ArrowEvalPython node (guide §4; r07
+    # 2nd pass — results identical, value-oracled)
     linked = linking.link_entities(extract.turn_mentions(turns),
-                                   linking.canonical_dictionary(spark))
+                                   linking.canonical_dictionary(spark),
+                                   surface_universe=extract.LEXICON)
     return linked.select("conv_id", "turn_idx", "surface", "entity_iri")
 
 
@@ -151,8 +156,11 @@ def _q_kg_entity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from versa_spark.kg.transcripts import (ordered_turns,
                                             transcripts_from_documents)
     turns = ordered_turns(transcripts_from_documents(spark, sf_dir))
+    # surface_universe: same zero-Python linking as _q_kg_mentions — the
+    # salted rollup then aggregates a pure-JVM plan end to end
     linked = linking.link_entities(extract.turn_mentions(turns),
-                                   linking.canonical_dictionary(spark))
+                                   linking.canonical_dictionary(spark),
+                                   surface_universe=extract.LEXICON)
     stats = canonicalize.entity_mention_counts(linked, salted=True)
     return stats.select("entity_iri", "canonical",
                         F.col("n_mentions").cast("long").alias("n_mentions"),
@@ -752,7 +760,8 @@ def _kg_linked(spark: SparkSession, sf_dir: str):
                                             transcripts_from_documents)
     turns = ordered_turns(transcripts_from_documents(spark, sf_dir))
     linked = linking.link_entities(extract.turn_mentions(turns),
-                                   linking.canonical_dictionary(spark))
+                                   linking.canonical_dictionary(spark),
+                                   surface_universe=extract.LEXICON)
     return turns, linked
 
 

@@ -263,3 +263,83 @@ def test_verify_candidates_distinct_fast_path(spark):
     dup = cands.unionByName(cands)
     assert sorted(map(tuple, dedup.ngram_jaccard_pairs(
         docs, threshold=0.5, candidates=dup).collect())) == base
+
+
+def test_link_entities_surface_universe_matches_udf_path(spark):
+    """surface_universe precomputes the dictionary-miss fallback IRIs
+    driver-side and must emit exactly what the pandas-UDF path emits —
+    hits, ASCII misses, and non-ASCII misses (whose plaintext takes the
+    json.dumps \\uXXXX branch) all covered."""
+    import pytest
+    from versa_spark.kg import linking
+    mentions = spark.createDataFrame(
+        [("c0", 0, "spark"), ("c0", 1, "join"),
+         ("c1", 0, "ghost"), ("c1", 1, 'we"ird\\surf'),
+         ("c2", 0, "café"), ("c2", 1, "日本語")],
+        "conv_id string, turn_idx int, surface string")
+    dictionary = linking.canonical_dictionary(spark)
+    universe = ["spark", "join", "ghost", 'we"ird\\surf',
+                "café", "日本語"]
+    udf_path = sorted(map(tuple, linking.link_entities(
+        mentions, dictionary).collect()))
+    uni_path = sorted(map(tuple, linking.link_entities(
+        mentions, dictionary, surface_universe=universe).collect()))
+    assert uni_path == udf_path
+    # schema (incl. column order) identical too
+    assert (linking.link_entities(mentions, dictionary).schema
+            == linking.link_entities(mentions, dictionary,
+                                     surface_universe=universe).schema)
+    # the budget guard refuses unbounded universes
+    with pytest.raises(ValueError, match="budget"):
+        linking.link_entities(mentions, dictionary,
+                              surface_universe=[f"s{i}" for i in range(5000)])
+
+
+def test_sql_string_simhash_matches_builder_form(spark):
+    """simhash_signatures' single-SQL-string aggregates must equal the
+    original 64-vote builder construction for both hash families."""
+    from versa_spark import dedup
+    df = _texts_df(spark).select(
+        F.col("rid").alias("doc_id"),
+        F.coalesce("text", F.lit("pad words here")).alias("text"))
+    words = F.split(dedup.normalized_text("text"), " ")
+    tok = df.select("doc_id", F.explode(words).alias("w"))
+
+    # builder twin — xxhash64 family
+    t = tok.withColumn("h", F.xxhash64("w"))
+    votes = [F.sum(F.when(F.shiftright(F.col("h"), i)
+                          .bitwiseAND(F.lit(1)) == 1, 1)
+                   .otherwise(-1)).alias(f"b{i}") for i in range(64)]
+    agg = t.groupBy("doc_id").agg(*votes)
+    sig = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")) \
+               .otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << i).cast("long") if i < 63 else \
+            F.when(F.col(f"b{i}") > 0,
+                   F.lit(-(1 << 63)).cast("long")).otherwise(
+                       F.lit(0).cast("long"))
+        sig = term if sig is None else (sig + term)
+    exp = {r.doc_id: r.simhash
+           for r in agg.select("doc_id", sig.alias("simhash")).collect()}
+    got = {r.doc_id: r.simhash
+           for r in dedup.simhash_signatures(df).collect()}
+    assert got == exp
+
+    # builder twin — md5 family
+    t = tok.withColumn("h16", F.substring(F.md5("w"), 1, 16))
+    votes = []
+    for i in range(64):
+        digit_val = F.conv(F.substring("h16", i // 4 + 1, 1), 16, 10) \
+                     .cast("int")
+        bit = F.shiftright(digit_val, i % 4).bitwiseAND(F.lit(1))
+        votes.append(F.sum(F.when(bit == 1, 1).otherwise(-1))
+                     .alias(f"b{i}"))
+    agg = t.groupBy("doc_id").agg(*votes)
+    sig = F.concat(*[F.when(F.col(f"b{i}") > 0, F.lit("1"))
+                     .otherwise(F.lit("0")) for i in range(64)])
+    exp = {r.doc_id: r.simhash
+           for r in agg.select("doc_id", sig.alias("simhash")).collect()}
+    got = {r.doc_id: r.simhash
+           for r in dedup.simhash_signatures(df, hash_family="md5").collect()}
+    assert got == exp

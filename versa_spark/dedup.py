@@ -337,40 +337,39 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
     step is reproducible in DuckDB SQL, so the driver oracle is a full
     value check.  Bit i lives at hex digit i//4, position i%4 within the
     digit."""
-    words = F.split(normalized_text(text_col), " ")
+    # Single-SQL-string construction (one F.expr round trip instead of
+    # 64 vote + 64 reconstruction builder columns — the same py4j
+    # construction-chatter fix as minhash_signatures; parity-tested).
     tok = df.select(F.col(id_col).alias("doc_id"),
-                    F.explode(words).alias("w"))
+                    F.explode(F.split(normalized_text(text_col), " "))
+                    .alias("w"))
     if hash_family == "xxhash64":
-        tok = tok.withColumn("h", F.xxhash64("w"))
-        votes = [F.sum(F.when(F.shiftright(F.col("h"), i)
-                              .bitwiseAND(F.lit(1)) == 1, 1)
-                       .otherwise(-1)).alias(f"b{i}")
-                 for i in range(64)]
-        agg = tok.groupBy("doc_id").agg(*votes)
-        sig = None
-        for i in range(64):
-            bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")) \
-                   .otherwise(F.lit(0).cast("long"))
-            term = bit * F.lit(1 << i).cast("long") if i < 63 else \
-                F.when(F.col(f"b{i}") > 0,
-                       F.lit(-(1 << 63)).cast("long")).otherwise(
-                           F.lit(0).cast("long"))
-            sig = term if sig is None else (sig + term)
-        return agg.select("doc_id", sig.alias("simhash"))
+        tok = tok.selectExpr("doc_id", "xxhash64(w) AS h")
+
+        def vote(i):
+            return (f"sum(CASE WHEN (shiftright(h, {i}) & 1) = 1"
+                    f" THEN 1 ELSE -1 END)")
+        terms = [f"(CASE WHEN {vote(i)} > 0 THEN cast(1 as bigint)"
+                 f" ELSE cast(0 as bigint) END * cast({1 << i} as bigint))"
+                 for i in range(63)]
+        terms.append(f"CASE WHEN {vote(63)} > 0"
+                     f" THEN cast({-(1 << 63)} as bigint)"
+                     f" ELSE cast(0 as bigint) END")
+        return (tok.groupBy("doc_id")
+                .agg(F.expr(" + ".join(terms)).alias("simhash")))
     if hash_family != "md5":
         raise ValueError(f"unknown hash_family {hash_family!r}")
-    tok = tok.withColumn("h16", F.substring(F.md5("w"), 1, 16))
-    votes = []
-    for i in range(64):
-        digit_val = F.conv(F.substring("h16", i // 4 + 1, 1), 16, 10) \
-                     .cast("int")
-        bit = F.shiftright(digit_val, i % 4).bitwiseAND(F.lit(1))
-        votes.append(F.sum(F.when(bit == 1, 1).otherwise(-1))
-                     .alias(f"b{i}"))
-    agg = tok.groupBy("doc_id").agg(*votes)
-    sig = F.concat(*[F.when(F.col(f"b{i}") > 0, F.lit("1"))
-                     .otherwise(F.lit("0")) for i in range(64)])
-    return agg.select("doc_id", sig.alias("simhash"))
+    tok = tok.selectExpr("doc_id", "substring(md5(w), 1, 16) AS h16")
+
+    def vote_md5(i):
+        digit = (f"cast(conv(substring(h16, {i // 4 + 1}, 1), 16, 10)"
+                 f" as int)")
+        return (f"sum(CASE WHEN (shiftright({digit}, {i % 4}) & 1) = 1"
+                f" THEN 1 ELSE -1 END)")
+    bits = ",".join(f"CASE WHEN {vote_md5(i)} > 0 THEN '1' ELSE '0' END"
+                    for i in range(64))
+    return (tok.groupBy("doc_id")
+            .agg(F.expr(f"concat({bits})").alias("simhash")))
 
 
 def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",

@@ -76,16 +76,13 @@ def entity_links(linked_mentions: DataFrame,
 def _entity_type_label_links(ents: DataFrame) -> DataFrame:
     from versa_spark import VLABEL_REL, VTYPE_REL
     from versa_spark.kg.extract import TYPE_CONCEPT
-    return ents.select(F.explode(F.array(
-        F.struct(F.col("entity_iri").alias("origin"),
-                 F.lit(str(VTYPE_REL)).alias("rel"),
-                 F.lit(TYPE_CONCEPT).alias("target"),
-                 F.lit(True).alias("t_iri")),
-        F.struct(F.col("entity_iri").alias("origin"),
-                 F.lit(str(VLABEL_REL)).alias("rel"),
-                 F.col("canonical").alias("target"),
-                 F.lit(False).alias("t_iri")),
-    )).alias("l")).select("l.*")
+    return ents.selectExpr(
+        f"explode(array("
+        f"struct(entity_iri AS origin, '{VTYPE_REL}' AS rel,"
+        f" '{TYPE_CONCEPT}' AS target, true AS t_iri),"
+        f"struct(entity_iri AS origin, '{VLABEL_REL}' AS rel,"
+        f" canonical AS target, false AS t_iri))) AS l"
+    ).select("l.*")
 
 
 def mention_links(linked_mentions: DataFrame) -> DataFrame:
@@ -128,17 +125,16 @@ def mention_links_from_eids(turn_eids: DataFrame) -> DataFrame:
     dictionary (asserted in tests + the reference-parity suite)."""
     from versa_spark.kg.extract import ENT, REL_MENTIONS, _CANONICALS
     from versa_spark.kg.transcripts import TURN_IRI_PREFIX
-    iri_arr = F.array(*[F.lit(ENT + c) for c in _CANONICALS])
+    iri_arr_sql = "array(" + ",".join(
+        f"'{ENT + c}'" for c in _CANONICALS) + ")"
     return (turn_eids
-            .select("conv_id", "turn_idx", F.explode("eids").alias("_e"))
-            .select(
-                F.concat(F.lit(TURN_IRI_PREFIX), F.col("conv_id"),
-                         F.lit("/"),
-                         F.col("turn_idx").cast("string")).alias("origin"),
-                F.lit(REL_MENTIONS).alias("rel"),
-                F.element_at(iri_arr, F.col("_e").cast("int") + 1)
-                .alias("target"),
-                F.lit(True).alias("t_iri")))
+            .selectExpr("conv_id", "turn_idx", "explode(eids) AS _e")
+            .selectExpr(
+                f"concat('{TURN_IRI_PREFIX}', conv_id, '/',"
+                f" cast(turn_idx as string)) AS origin",
+                f"'{REL_MENTIONS}' AS rel",
+                f"element_at({iri_arr_sql}, cast(_e as int) + 1) AS target",
+                "true AS t_iri"))
 
 
 def entity_links_from_eids(turn_eids: DataFrame) -> DataFrame:
@@ -147,13 +143,16 @@ def entity_links_from_eids(turn_eids: DataFrame) -> DataFrame:
     label strings are reconstructed from literal arrays after the
     exchange."""
     from versa_spark.kg.extract import ENT, _CANONICALS
-    iri_arr = F.array(*[F.lit(ENT + c) for c in _CANONICALS])
-    name_arr = F.array(*[F.lit(c) for c in _CANONICALS])
-    ents = (turn_eids.select(F.explode("eids").alias("_e")).distinct()
-            .select(F.element_at(iri_arr, F.col("_e").cast("int") + 1)
-                    .alias("entity_iri"),
-                    F.element_at(name_arr, F.col("_e").cast("int") + 1)
-                    .alias("canonical")))
+    iri_arr_sql = "array(" + ",".join(
+        f"'{ENT + c}'" for c in _CANONICALS) + ")"
+    name_arr_sql = "array(" + ",".join(
+        f"'{c}'" for c in _CANONICALS) + ")"
+    ents = (turn_eids.selectExpr("explode(eids) AS _e").distinct()
+            .selectExpr(
+                f"element_at({iri_arr_sql}, cast(_e as int) + 1)"
+                f" AS entity_iri",
+                f"element_at({name_arr_sql}, cast(_e as int) + 1)"
+                f" AS canonical"))
     return _entity_type_label_links(ents)
 
 

@@ -52,6 +52,18 @@ _MENTION_PAT = r"\b(" + "|".join(sorted(LEXICON, key=len, reverse=True)) + r")\b
 _MENTION_PAT_JVM = "(?U)" + _MENTION_PAT
 
 
+# _MENTION_PAT_JVM as a SQL single-quoted-literal body (backslashes
+# doubled; the pattern itself contains no quotes)
+_MENTION_PAT_SQL = _MENTION_PAT_JVM.replace("\\", "\\\\")
+
+
+def mention_surfaces_sql(text_col: str) -> str:
+    """SQL text of the extraction expression — single-string construction
+    (one py4j round trip; guide §4 chatter note, see dedup._shingle_sql)."""
+    return (f"array_distinct(regexp_extract_all(coalesce(`{text_col}`, ''),"
+            f" '{_MENTION_PAT_SQL}', 1))")
+
+
 def mention_surfaces_col(text_col):
     """Column expression: text → array of distinct lexicon surface forms
     in first-occurrence order — the pure-JVM form of the extraction
@@ -60,7 +72,12 @@ def mention_surfaces_col(text_col):
     yields every match in occurrence order; ``array_distinct`` keeps the
     first occurrence of each surface, exactly the kernel's per-row dedup.
     Output-identical to ``extract_mentions_udf()(text)`` (parity-tested),
-    with zero Arrow traffic and no Python workers in the plan."""
+    with zero Arrow traffic and no Python workers in the plan.
+
+    Accepts a column NAME (fast path: one F.expr round trip) or a Column
+    (builder form, identical expression tree)."""
+    if isinstance(text_col, str):
+        return F.expr(mention_surfaces_sql(text_col))
     return F.array_distinct(F.regexp_extract_all(
         F.coalesce(text_col, F.lit("")), F.lit(_MENTION_PAT_JVM), 1))
 
@@ -160,7 +177,7 @@ def turn_mentions(turns: DataFrame) -> DataFrame:
     pandas and the index array back).  Output-identical to the kernel
     path (parity-tested in tests/test_r07_optimizations.py)."""
     return (turns
-            .withColumn("mids", mention_surfaces_col(F.col("text")))
+            .withColumn("mids", mention_surfaces_col("text"))
             .select("conv_id", "turn_idx", "turn_iri",
                     F.explode("mids").alias("surface")))
 
@@ -192,16 +209,17 @@ def turn_entity_ids(turns: DataFrame) -> DataFrame:
     the triple-build plan (previously one ArrowEvalPython; removing it
     cut both the median and — more importantly — the lap variance of the
     bench e2e, the Python-worker spawn being the dominant burst source)."""
-    canon_map = F.create_map(*[F.lit(x)
-                               for s, i in zip(_SURFACES, _SURFACE_CANON_IX)
-                               for x in (s, i)])
+    # whole mids→eids mapping as one SQL string (map literal + transform
+    # + array_distinct): the create_map of 2·|lexicon| literals plus the
+    # lambda used to cost ~90 py4j round trips per call (guide §4
+    # construction-chatter note)
+    canon_map_sql = "map(" + ",".join(
+        f"'{s}',{i}" for s, i in zip(_SURFACES, _SURFACE_CANON_IX)) + ")"
     keep = [c for c in turns.columns if c != "text"]
-    return (turns
-            .withColumn("mids", mention_surfaces_col(F.col("text")))
-            .select(*keep, F.array_distinct(F.transform(
-                "mids",
-                lambda m: F.element_at(canon_map, m).cast("tinyint")))
-                .alias("eids")))
+    return turns.selectExpr(
+        *keep,
+        f"array_distinct(transform({mention_surfaces_sql('text')}, "
+        f"m -> cast(element_at({canon_map_sql}, m) as tinyint))) AS eids")
 
 
 def turn_entity_iri_sets(turns: DataFrame) -> DataFrame:
@@ -216,13 +234,13 @@ def turn_entity_iri_sets(turns: DataFrame) -> DataFrame:
     exploded mention rows (measured 37.5 s → 5.1 s best-lap at 4M
     turns, local[32]).  Same PRECONDITION as ``turn_entity_ids``:
     (conv_id, turn_idx) unique."""
-    iri_map = F.array(*[F.lit(ENT + c) for c in _CANONICALS])
+    iri_arr_sql = "array(" + ",".join(
+        f"'{ENT + c}'" for c in _CANONICALS) + ")"
     keep = [c for c in turns.columns if c != "text"]
-    return (turn_entity_ids(turns)
-            .select(*keep, F.transform(
-                "eids",
-                lambda e: F.element_at(iri_map, e.cast("int") + F.lit(1)))
-                .alias("ents")))
+    return turn_entity_ids(turns).selectExpr(
+        *keep,
+        f"transform(eids, e -> element_at({iri_arr_sql},"
+        f" cast(e as int) + 1)) AS ents")
 
 
 # Multi-word surfaces for the big-dictionary fixtures: phrases that occur
@@ -496,48 +514,41 @@ def conversation_links(turns: DataFrame) -> DataFrame:
     IRI string so it never occupies cache — it is a pure function of the
     key columns and cheaper to re-derive above the cache scan than to
     store (and count-shaped consumers then never build it at all)."""
+    from versa_spark.kg.transcripts import TURN_IRI_PREFIX
     if "turn_iri" not in turns.columns:
-        from versa_spark.kg.transcripts import TURN_IRI_PREFIX
         turns = turns.withColumn(
-            "turn_iri", F.concat(F.lit(TURN_IRI_PREFIX), F.col("conv_id"),
-                                 F.lit("/"), F.col("turn_idx")))
-    conv_iri = F.concat(F.lit(BASE + "transcript/"), F.col("conv_id"))
+            "turn_iri",
+            F.expr(f"concat('{TURN_IRI_PREFIX}', conv_id, '/', turn_idx)"))
 
     # Per-turn links are unique by construction (one turn_iri per row), so
     # no global dedup shuffle; only the per-conversation type link needs a
-    # distinct — over conv ids, not the full link table.
-    i = F.col("_i")
+    # distinct — over conv ids, not the full link table.  All projections
+    # are single selectExpr strings (construction-chatter note, guide §4:
+    # the old builder form cost ~0.2 s/call in py4j round trips).
     per_turn = (turns
-                .select("conv_id", "turn_iri", "role", "turn_idx",
-                        F.explode(F.sequence(F.lit(0), F.lit(3)))
-                        .alias("_i"))
-                .select(
-                    F.when(i == 0, conv_iri).otherwise(F.col("turn_iri"))
-                    .alias("origin"),
-                    F.element_at(F.array(
-                        F.lit(REL_HASTURN), F.lit(str(VTYPE_REL)),
-                        F.lit(BASE + "v/role"),
-                        F.lit(BASE + "v/turnIndex")), i + 1).alias("rel"),
-                    F.when(i == 0, F.col("turn_iri"))
-                    .when(i == 1, F.lit(TYPE_TURN))
-                    .when(i == 2, F.col("role"))
-                    .otherwise(F.col("turn_idx").cast("string"))
-                    .alias("target"),
-                    (i <= 1).alias("t_iri")))
-
-    def lnk(o, r, t, t_iri=True):
-        return F.struct(o.alias("origin"), F.lit(r).alias("rel"),
-                        t.cast("string").alias("target"),
-                        F.lit(t_iri).alias("t_iri"))
-
+                .selectExpr("conv_id", "turn_iri", "role", "turn_idx",
+                            "explode(sequence(0, 3)) AS _i")
+                .selectExpr(
+                    f"CASE WHEN _i = 0 THEN"
+                    f" concat('{BASE}transcript/', conv_id)"
+                    f" ELSE turn_iri END AS origin",
+                    f"element_at(array('{REL_HASTURN}', '{VTYPE_REL}',"
+                    f" '{BASE}v/role', '{BASE}v/turnIndex'), _i + 1) AS rel",
+                    f"CASE WHEN _i = 0 THEN turn_iri"
+                    f" WHEN _i = 1 THEN '{TYPE_TURN}'"
+                    f" WHEN _i = 2 THEN role"
+                    f" ELSE cast(turn_idx as string) END AS target",
+                    "_i <= 1 AS t_iri"))
     conv_type = (turns.select("conv_id").distinct()
-                 .select(lnk(F.concat(F.lit(BASE + "transcript/"),
-                                      F.col("conv_id")),
-                             str(VTYPE_REL), F.lit(TYPE_CONV)).alias("l"))
-                 .select("l.*"))
-    tool_links = (turns.filter(F.col("tool").isNotNull())
-                  .select(lnk(F.col("turn_iri"), REL_USEDTOOL,
-                              F.concat(F.lit(BASE + "tool/"),
-                                       F.col("tool"))).alias("l"))
-                  .select("l.*"))
+                 .selectExpr(
+                     f"concat('{BASE}transcript/', conv_id) AS origin",
+                     f"'{VTYPE_REL}' AS rel",
+                     f"'{TYPE_CONV}' AS target",
+                     "true AS t_iri"))
+    tool_links = (turns.filter("tool IS NOT NULL")
+                  .selectExpr(
+                      "turn_iri AS origin",
+                      f"'{REL_USEDTOOL}' AS rel",
+                      f"concat('{BASE}tool/', tool) AS target",
+                      "true AS t_iri"))
     return per_turn.unionByName(conv_type).unionByName(tool_links)

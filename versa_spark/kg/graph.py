@@ -159,7 +159,11 @@ def _build_graph_bigdict(spark: SparkSession, turns: DataFrame,
 def _build_graph_generic(spark: SparkSession, turns: DataFrame,
                          persist: bool,
                          dictionary: DataFrame) -> dict[str, DataFrame]:
-    linked = linking.link_entities(extract.turn_mentions(turns), dictionary)
+    # turn_mentions can only emit lexicon surfaces whatever the linking
+    # dictionary is, so the miss fallback precomputes driver-side and the
+    # plan carries no Python node (linking.link_entities surface_universe)
+    linked = linking.link_entities(extract.turn_mentions(turns), dictionary,
+                                   surface_universe=extract.LEXICON)
     # the graph link families consume only these four columns — keeping
     # the cached rows narrow is what lets the persist fit at bench scale
     linked = linked.select("conv_id", "turn_idx", "canonical", "entity_iri")

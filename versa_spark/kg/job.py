@@ -262,7 +262,10 @@ class KGJob:
                          else linking.canonical_dictionary(self.spark))
             linked = stage(
                 "linked", lambda: linking.link_entities(
-                    mentions, link_dict))
+                    mentions, link_dict,
+                    # mentions come from turn_mentions → the lexicon IS
+                    # the surface universe; zero-Python linking stage
+                    surface_universe=extract.LEXICON))
         # the one non-conversation-local link family: entity type/label
         # links are per-distinct-entity, so a batch must not re-emit
         # links for entities the base (or an earlier batch) already

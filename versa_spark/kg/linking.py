@@ -310,12 +310,76 @@ def resolve_aliases(mentions: DataFrame, surface_col: str = "surface",
                     "n_mentions", "cluster_size"))
 
 
+# surface_universe literal-map bound: same discipline as
+# simsearch._LITERAL_BUDGET — past this the plan-time map stops being
+# "a handful of literals" and a caller should fall back to the UDF path
+# (or broadcast-join a precomputed fallback table themselves)
+_UNIVERSE_BUDGET = 4096
+
+
+def fallback_iri_map(surfaces) -> dict[str, str]:
+    """surface → the exact entity/unlinked/<id> IRI the fallback UDF
+    would emit for a dictionary miss, computed driver-side.  Shares the
+    UDF's own plaintext construction (json.dumps, ensure_ascii — covers
+    non-ASCII surfaces with the same \\uXXXX escaping) and the same
+    vectorized mmh3 kernel, so IDs are byte-identical by construction."""
+    import json
+
+    import pandas as pd
+
+    from versa_spark.kg.ids_vec import resource_id_series
+    surfaces = list(surfaces)
+    if not surfaces:
+        return {}
+    type_rel, etype, name_rel = str(VTYPE_REL), TYPE_CONCEPT, ENT + "name"
+    plaintexts = pd.Series([
+        json.dumps(sorted([[name_rel, s], [type_rel, etype]]),
+                   separators=(",", ":"))
+        for s in surfaces])
+    ids = resource_id_series(plaintexts)
+    return {s: ENT + "unlinked/" + i for s, i in zip(surfaces, ids)}
+
+
 def link_entities(mentions: DataFrame, dictionary: DataFrame,
-                  broadcast: bool = True) -> DataFrame:
+                  broadcast: bool = True,
+                  surface_universe=None) -> DataFrame:
     """mentions (…, surface) ⋈ dictionary → adds ``entity_iri``,
     ``canonical``, ``linked`` (False = dictionary miss → deterministic
-    fingerprint ID under entity/unlinked/)."""
+    fingerprint ID under entity/unlinked/).
+
+    ``surface_universe`` (optional, round-7): an iterable of every
+    surface the mention producer can possibly emit — available whenever
+    detection is pattern-bound (``turn_mentions``'s universe IS the
+    lexicon's key set).  With it, the dictionary-miss fallback IDs are
+    precomputed driver-side (``fallback_iri_map``, the identical mmh3
+    kernel) and fused into the plan as a literal map, so the linker is
+    ONE broadcast join with zero Python anywhere — the ArrowEvalPython
+    node that otherwise ships every (plaintext, surface) batch to a
+    worker disappears (guide §4), without the rejected hit/miss-split's
+    double corpus scan (see _unlinked_fallback_cols).  Caller contract:
+    surfaces outside both the universe and the dictionary yield NULL
+    entity_iri instead of a fingerprint ID — only pass a universe that
+    is actually exhaustive.  Bounded by _UNIVERSE_BUDGET literals."""
     dict_df = F.broadcast(dictionary) if broadcast else dictionary
     out = mentions.join(dict_df, "surface", "left")
+    if surface_universe is not None:
+        fmap = fallback_iri_map(sorted(set(surface_universe)))
+        if len(fmap) > _UNIVERSE_BUDGET:
+            raise ValueError(
+                f"surface_universe has {len(fmap)} surfaces — past the "
+                f"{_UNIVERSE_BUDGET}-literal budget; use the UDF path")
+        cols = [F.col("entity_iri").isNotNull().alias("linked"),
+                F.coalesce(F.col("canonical"), F.col("surface"))
+                 .alias("canonical")]
+        if fmap:
+            lit_map = F.create_map(*[F.lit(x)
+                                     for s, iri in sorted(fmap.items())
+                                     for x in (s, iri)])
+            cols.append(F.coalesce(F.col("entity_iri"),
+                                   F.element_at(lit_map, F.col("surface")))
+                        .alias("entity_iri"))
+        else:
+            cols.append(F.col("entity_iri"))
+        return out.select(*mentions.columns, *cols)
     return out.select(*mentions.columns,
                       *_unlinked_fallback_cols("entity_iri", "canonical"))

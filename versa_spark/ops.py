@@ -175,24 +175,25 @@ def follow_hops(df: DataFrame, start: DataFrame, rels: Iterable[str],
         raise ValueError("follow_hops needs at least one rel (an empty "
                          "chain would reference hop columns that were "
                          "never produced)")
-    frontier = start.select(F.col(start_col).alias("node"),
-                            F.col(start_col).alias("_cur"))
+    frontier = start.selectExpr(f"`{start_col}` AS node",
+                                f"`{start_col}` AS _cur")
     for i, rel in enumerate(rels):
-        hop = (df.filter(F.col("rel") == str(rel))
-               .select(F.col("origin").alias("_cur"),
-                       F.col("target").alias("_nxt"),
-                       F.col("t_iri").alias("_ti"),
-                       F.col("attrs").alias("_at"),
-                       F.col("link_ix").alias("_ix")))
+        # escape any single quote in the rel IRI for the SQL literal
+        r = str(rel).replace("'", "\\'")
+        hop = df.where(f"rel = '{r}'").selectExpr(
+            "origin AS _cur", "target AS _nxt", "t_iri AS _ti",
+            "attrs AS _at", "link_ix AS _ix")
         if broadcast_hops:
             hop = F.broadcast(hop)
-        frontier = (frontier.select("node", "_cur").join(hop, "_cur")
-                    .select("node", F.col("_nxt").alias("_cur"),
-                            F.col("_ti").alias("t_iri"),
-                            F.col("_at").alias("attrs"),
-                            F.col("_ix").alias("link_ix")))
-    return frontier.select("node", F.col("_cur").alias("target"),
-                           "t_iri", "attrs", "link_ix")
+        # joining on _cur and re-projecting in one selectExpr drops the
+        # previous hop's t_iri/attrs/link_ix (hop columns all carry
+        # unique underscore names, so no ambiguity) — one fewer
+        # DataFrame op per hop than the old pre-select form
+        frontier = frontier.join(hop, "_cur").selectExpr(
+            "node", "_nxt AS _cur", "_ti AS t_iri", "_at AS attrs",
+            "_ix AS link_ix")
+    return frontier.selectExpr("node", "_cur AS target", "t_iri", "attrs",
+                               "link_ix")
 
 
 def zoom_in(df: DataFrame, focus, depth: int = 1,
