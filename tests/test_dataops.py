@@ -187,13 +187,20 @@ def test_lsh_verify_is_candidate_scoped(spark, monkeypatch):
         calls.append(kwargs.get("candidates"))
         return orig(*args, **kwargs)
 
+    # the lazy variant is the plan-auditable path: it must route through
+    # the scoped ngram_jaccard_pairs kernel (candidates != None)
     monkeypatch.setattr(dedup, "ngram_jaccard_pairs", spy)
-    got = {(r.a, r.b) for r in dedup.minhash_lsh_candidates(
-        df, verify_threshold=0.5).collect()}
+    lazy = {(r.a, r.b) for r in dedup.minhash_lsh_candidates(
+        df, verify_threshold=0.5, materialize=False).collect()}
     assert calls and all(c is not None for c in calls), \
         "verify stage ran the unscoped full-corpus Jaccard"
+    # the default materialized path verifies by joining the checkpointed
+    # candidate table (candidate-scoped by construction, r07 2nd pass);
+    # it must emit the identical pair set
+    got = {(r.a, r.b) for r in dedup.minhash_lsh_candidates(
+        df, verify_threshold=0.5).collect()}
     exact = {(r.a, r.b) for r in orig(df, threshold=0.5).collect()}
-    assert got == exact
+    assert got == lazy == exact
 
 
 def test_md5_hash_family_matches_xxhash_semantics(spark):

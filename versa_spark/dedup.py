@@ -306,21 +306,51 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
                                    threshold=verify_threshold,
                                    candidates=cands,
                                    candidates_distinct=True)
-    # the candidate list feeds the verify join twice (pair join + doc-id
-    # semi-join); persist it so the signature/banding DAG runs once — it
-    # is tiny (near-dup pairs), the whole point of LSH.  The verified
-    # result is then EAGERLY materialized (localCheckpoint: tiny output,
-    # lineage truncated) so the candidate cache can be released before
-    # returning — repeated calls in a long-lived session must not
-    # accumulate cached partitions.
-    cands = cands.persist()
+    # Materialized verify (round-7 2nd-pass shape, ABBA'd at sf0.1:
+    # 2.10/1.40 s → 1.32/1.24 s, identical pairs): checkpoint the
+    # candidate set AND the semi-joined per-doc shingle table, then run
+    # the two pair joins against the materialized rows.  The lazy form
+    # re-executed the corpus-scan→shingle subtree once per join side
+    # (BHJ subtrees aren't reused the way exchanges are) and chained 8
+    # sequential broadcast jobs; both checkpoints are candidate-bounded
+    # (near-dup pairs / their docs — the whole point of LSH), so this
+    # stays O(candidates) at any corpus size.  All three checkpoints'
+    # blocks except the returned result are released before returning
+    # (cacheutil), preserving the no-leak contract of the old
+    # persist/unpersist pair.  The inline verify mirrors
+    # ngram_jaccard_pairs(candidates=…) — equality is pinned by
+    # test_dataops.test_ngram_jaccard_and_minhash_agree and the
+    # minhash_lsh value oracle.
+    from versa_spark.cacheutil import release_checkpoint
+    cands = cands.localCheckpoint(eager=True)
     try:
-        verified = ngram_jaccard_pairs(
-            df, id_col, text_col, k, threshold=verify_threshold,
-            candidates=cands,
-            candidates_distinct=True).localCheckpoint(eager=True)
+        cand_ids = cands.selectExpr("explode(array(a, b)) AS doc_id") \
+                        .distinct()
+        sh = (df.select(F.col(id_col).alias("doc_id"),
+                        shingle_array(text_col, k).alias("sh"))
+              .join(cand_ids, "doc_id", "left_semi")
+              .localCheckpoint(eager=True))
+        try:
+            a_sh = sh.selectExpr("doc_id AS a", "sh AS _sh_a",
+                                 "size(sh) AS n_a")
+            b_sh = sh.selectExpr("doc_id AS b", "sh AS _sh_b",
+                                 "size(sh) AS n_b")
+            verified = (cands.join(a_sh, "a").join(b_sh, "b")
+                        .selectExpr(
+                            "a", "b", "n_a", "n_b",
+                            "size(array_intersect(_sh_a, _sh_b)) AS n_inter")
+                        .filter("n_inter > 0")
+                        .selectExpr(
+                            "a", "b",
+                            "n_inter / (n_a + n_b - n_inter) AS jaccard")
+                        .filter(f"jaccard >= {float(verify_threshold)}")
+                        .selectExpr("a", "b",
+                                    "round(jaccard, 6) AS jaccard")
+                        .localCheckpoint(eager=True))
+        finally:
+            release_checkpoint(sh)
     finally:
-        cands.unpersist()
+        release_checkpoint(cands)
     return verified
 
 
