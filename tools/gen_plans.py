@@ -56,13 +56,17 @@ window sort is absent from the triple-build plan. Regenerate with
                                             transcripts_from_documents)
     turns = ordered_turns(transcripts_from_documents(spark, sf))
     linked = linking.link_entities(extract.turn_mentions(turns),
-                                   linking.canonical_dictionary(spark))
+                                   linking.canonical_dictionary(spark),
+                                   surface_universe=extract.LEXICON)
     stats = canonicalize.entity_mention_counts(linked, salted=True)
     stats.count()
     section("salted canonicalization", stats,
             "Two HashAggregate pairs (partial/final) around the salted "
             "key — the hot 'spark' entity spreads over `salt` reducers in "
-            "phase 1; phase 2 sees at most `salt` rows per entity.")
+            "phase 1; phase 2 sees at most `salt` rows per entity.  "
+            "Round 7 (2nd pass): linking passes surface_universe, so the "
+            "miss-fallback IRIs are plan literals and there is no "
+            "ArrowEvalPython node anywhere in this plan.")
 
     from versa_spark import dedup
     docs = spark.read.parquet(f"{sf}/documents.parquet")
