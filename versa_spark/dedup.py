@@ -40,7 +40,13 @@ def _shingle_sql(text_col: str, k: int) -> str:
     """SQL text of the shingle expression below — built as ONE string so
     F.expr crosses py4j once instead of ~30 builder round trips (the
     round-7 profile showed expression *construction* dominating the
-    small-corpus minhash laps; see minhash_signatures)."""
+    small-corpus minhash laps; see minhash_signatures).
+
+    String literals here assume the default parser escaping
+    (spark.sql.parser.escapedStringLiterals=false, the Spark default
+    since 2.0); a session opting into the legacy flag would read the
+    '\\\\s+' literal differently.  The oracle gate and tests pin the
+    default-config behavior."""
     w = (f"split(regexp_replace(lower(trim(`{text_col}`)), '\\\\s+', ' '),"
          f" ' ')")
     return (
