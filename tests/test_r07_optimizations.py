@@ -343,3 +343,23 @@ def test_sql_string_simhash_matches_builder_form(spark):
     got = {r.doc_id: r.simhash
            for r in dedup.simhash_signatures(df, hash_family="md5").collect()}
     assert got == exp
+
+
+def test_sql_string_builders_escape_caller_strings(spark):
+    """The single-string constructors must round-trip hostile column
+    names / rel strings (backticks, quotes, backslashes) exactly like
+    the builder forms they replaced."""
+    from versa_spark import dedup, ops
+    odd = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id long, `we``ird` string")
+    got = odd.select(dedup.shingle_array("we`ird", k=2)).collect()[0][0]
+    assert got == ["alpha beta", "beta gamma", "gamma delta"]
+
+    links = spark.createDataFrame(
+        [("n1", "rel'with\\odd", "n2", True, [], None),
+         ("n2", "plain", "n3", True, [], None)],
+        "origin string, rel string, target string, t_iri boolean, "
+        "attrs array<struct<k:string,v:string>>, link_ix long")
+    start = spark.createDataFrame([("n1",)], "node string")
+    hops = ops.follow_hops(links, start, ["rel'with\\odd"])
+    assert [(r.node, r.target) for r in hops.collect()] == [("n1", "n2")]

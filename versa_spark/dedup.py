@@ -47,7 +47,8 @@ def _shingle_sql(text_col: str, k: int) -> str:
     since 2.0); a session opting into the legacy flag would read the
     '\\\\s+' literal differently.  The oracle gate and tests pin the
     default-config behavior."""
-    w = (f"split(regexp_replace(lower(trim(`{text_col}`)), '\\\\s+', ' '),"
+    tc = text_col.replace("`", "``")
+    w = (f"split(regexp_replace(lower(trim(`{tc}`)), '\\\\s+', ' '),"
          f" ' ')")
     return (
         f"array_distinct(CASE WHEN size({w}) >= {k} THEN "

@@ -60,7 +60,8 @@ _MENTION_PAT_SQL = _MENTION_PAT_JVM.replace("\\", "\\\\")
 def mention_surfaces_sql(text_col: str) -> str:
     """SQL text of the extraction expression — single-string construction
     (one py4j round trip; guide §4 chatter note, see dedup._shingle_sql)."""
-    return (f"array_distinct(regexp_extract_all(coalesce(`{text_col}`, ''),"
+    tc = text_col.replace("`", "``")
+    return (f"array_distinct(regexp_extract_all(coalesce(`{tc}`, ''),"
             f" '{_MENTION_PAT_SQL}', 1))")
 
 

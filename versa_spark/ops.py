@@ -175,11 +175,13 @@ def follow_hops(df: DataFrame, start: DataFrame, rels: Iterable[str],
         raise ValueError("follow_hops needs at least one rel (an empty "
                          "chain would reference hop columns that were "
                          "never produced)")
-    frontier = start.selectExpr(f"`{start_col}` AS node",
-                                f"`{start_col}` AS _cur")
+    sc = start_col.replace("`", "``")
+    frontier = start.selectExpr(f"`{sc}` AS node", f"`{sc}` AS _cur")
     for i, rel in enumerate(rels):
-        # escape any single quote in the rel IRI for the SQL literal
-        r = str(rel).replace("'", "\\'")
+        # escape backslashes then quotes so ANY rel string round-trips
+        # the SQL literal exactly (IRIs never contain either, but the
+        # API accepts arbitrary strings)
+        r = str(rel).replace("\\", "\\\\").replace("'", "\\'")
         hop = df.where(f"rel = '{r}'").selectExpr(
             "origin AS _cur", "target AS _nxt", "t_iri AS _ti",
             "attrs AS _at", "link_ix AS _ix")
